@@ -2,14 +2,21 @@
 
 Tests run hermetically on CPU with a virtual 8-device platform so that
 multi-chip sharding paths (mesh/pjit) are exercised without TPU hardware.
-Must run before jax initializes its backends.
+
+Note: this environment's sitecustomize registers the TPU PJRT plugin and
+overwrites ``jax_platforms`` at interpreter start, so setting the
+JAX_PLATFORMS env var is not enough — the config must be updated after
+import (backends have not initialized yet at conftest time).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,238 @@
+"""Numerics parity of core ops vs torch CPU reference implementations.
+
+These pin the framework's STFT/mel, LSTM, and CTC numerics to the same
+semantics the reference gets from torch/torchaudio/cuDNN.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def test_power_spectrum_matches_torch_stft():
+    from voice100_tpu.ops.melspec import power_spectrum
+
+    rng = np.random.RandomState(0)
+    wav = rng.randn(4000).astype(np.float32)
+
+    spec = np.asarray(power_spectrum(jnp.asarray(wav), 512, 160, 400))
+
+    t_spec = torch.stft(
+        torch.from_numpy(wav),
+        n_fft=512,
+        hop_length=160,
+        win_length=400,
+        window=torch.hann_window(400, periodic=True),
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    t_pow = (t_spec.real**2 + t_spec.imag**2).numpy().T  # [frames, freq]
+
+    assert spec.shape == t_pow.shape
+    np.testing.assert_allclose(spec, t_pow, rtol=1e-4, atol=1e-3)
+
+
+def test_power_spectrum_fft_matches_matmul():
+    from voice100_tpu.ops.melspec import power_spectrum
+
+    rng = np.random.RandomState(1)
+    wav = jnp.asarray(rng.randn(2, 3200).astype(np.float32))
+    a = np.asarray(power_spectrum(wav, 512, 160, 400, use_fft=False))
+    b = np.asarray(power_spectrum(wav, 512, 160, 400, use_fft=True))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_log_mel_shapes():
+    from voice100_tpu.ops.melspec import log_mel_spectrogram, num_frames
+
+    wav = jnp.zeros((2, 16000), jnp.float32)
+    mel = log_mel_spectrogram(wav)
+    assert mel.shape == (2, num_frames(16000, 160), 64)
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def _copy_torch_lstm_params(t_lstm, num_layers, bidirectional):
+    layers = []
+    for layer in range(num_layers):
+        layer_params = {}
+        dirs = [("fwd", "")] + ([("bwd", "_reverse")] if bidirectional else [])
+        for name, suffix in dirs:
+            layer_params[name] = {
+                "w_ih": jnp.asarray(
+                    getattr(t_lstm, f"weight_ih_l{layer}{suffix}").detach().numpy()
+                ),
+                "w_hh": jnp.asarray(
+                    getattr(t_lstm, f"weight_hh_l{layer}{suffix}").detach().numpy()
+                ),
+                "b_ih": jnp.asarray(
+                    getattr(t_lstm, f"bias_ih_l{layer}{suffix}").detach().numpy()
+                ),
+                "b_hh": jnp.asarray(
+                    getattr(t_lstm, f"bias_hh_l{layer}{suffix}").detach().numpy()
+                ),
+            }
+        layers.append(layer_params)
+    return layers
+
+
+def test_bilstm_matches_torch_packed():
+    from voice100_tpu.ops.lstm import multilayer_bilstm
+
+    torch.manual_seed(0)
+    batch, time, d_in, hidden, num_layers = 3, 12, 8, 16, 2
+    t_lstm = torch.nn.LSTM(
+        d_in, hidden, num_layers=num_layers, bidirectional=True,
+        batch_first=True, dropout=0.0,
+    )
+    t_lstm.eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(batch, time, d_in).astype(np.float32)
+    lengths = np.array([12, 7, 3], dtype=np.int32)
+
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.from_numpy(x), torch.from_numpy(lengths), batch_first=True,
+        enforce_sorted=False,
+    )
+    t_out, _ = t_lstm(packed)
+    t_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        t_out, batch_first=True, total_length=time
+    )
+    t_out = t_out.detach().numpy()
+
+    params = _copy_torch_lstm_params(t_lstm, num_layers, True)
+    out = np.asarray(
+        multilayer_bilstm(params, jnp.asarray(x), jnp.asarray(lengths))
+    )
+    np.testing.assert_allclose(out, t_out, rtol=1e-4, atol=1e-5)
+
+
+def test_ctc_loss_matches_torch():
+    from voice100_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.RandomState(0)
+    batch, time, vocab, label_len = 4, 20, 7, 6
+    logits = rng.randn(batch, time, vocab).astype(np.float32)
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    targets = rng.randint(1, vocab, size=(batch, label_len)).astype(np.int32)
+    input_lengths = np.array([20, 15, 9, 20], dtype=np.int32)
+    target_lengths = np.array([6, 4, 3, 1], dtype=np.int32)
+
+    loss = float(
+        ctc_loss(
+            log_probs,
+            jnp.asarray(targets),
+            jnp.asarray(input_lengths),
+            jnp.asarray(target_lengths),
+        )
+    )
+
+    t_log_probs = torch.from_numpy(np.asarray(log_probs)).transpose(0, 1)
+    criterion = torch.nn.CTCLoss(zero_infinity=True)
+    t_loss = criterion(
+        t_log_probs,
+        torch.from_numpy(targets).long(),
+        torch.from_numpy(input_lengths).long(),
+        torch.from_numpy(target_lengths).long(),
+    ).item()
+    assert abs(loss - t_loss) < 1e-4
+
+
+def test_ctc_loss_gradient_finite():
+    from voice100_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 10, 5).astype(np.float32))
+    targets = jnp.asarray([[1, 2, 3], [2, 2, 0]], dtype=jnp.int32)
+
+    def loss_fn(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return ctc_loss(
+            lp, targets, jnp.asarray([10, 8]), jnp.asarray([3, 2])
+        )
+
+    g = jax.grad(loss_fn)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ctc_viterbi_matches_reference_algorithm():
+    """Compare the batched lattice Viterbi against a direct NumPy port of
+    the reference dynamic program (voice100/models/align.py:18-66)."""
+    from voice100_tpu.ops.ctc import ctc_viterbi_align
+
+    def ref_best_path(logits, labels, max_move=3):
+        # independent reimplementation of the reference recurrence
+        T = logits.shape[0]
+        z = np.zeros(labels.shape[0] * 2 + 1, dtype=np.int64)
+        z[1::2] = labels
+        S = z.shape[0]
+        alpha = np.full(S, -np.inf)
+        alpha[0] = logits[0, z[0]]
+        if S > 1:
+            alpha[1] = logits[0, z[1]]
+        bp = np.zeros((T, S), dtype=np.int64)
+        for t in range(1, T):
+            new = np.full(S, -np.inf)
+            for s in range(S):
+                best, best_m = -np.inf, 0
+                for m in range(max_move):
+                    if s - m < 0:
+                        continue
+                    if m > 0 and m % 2 == 0 and z[s] == 0:
+                        continue
+                    v = alpha[s - m]
+                    if v > best:
+                        best, best_m = v, m
+                new[s] = best + logits[t, z[s]]
+                bp[t, s] = best_m
+            alpha = new
+        j = S - 1 if alpha[S - 1] > alpha[S - 2] else S - 2
+        score = alpha[j]
+        path = np.zeros(T, dtype=np.int64)
+        for t in range(T - 1, -1, -1):
+            path[t] = j
+            j -= bp[t, j]
+        return score, path, z[path]
+
+    rng = np.random.RandomState(0)
+    batch, time, vocab = 3, 15, 6
+    logits = rng.randn(batch, time, vocab).astype(np.float32)
+    log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    label_lens = np.array([5, 3, 4], dtype=np.int32)
+    labels = np.zeros((batch, 5), dtype=np.int32)
+    for b in range(batch):
+        labels[b, : label_lens[b]] = rng.randint(1, vocab, label_lens[b])
+    input_lens = np.array([15, 10, 12], dtype=np.int32)
+
+    res = ctc_viterbi_align(
+        jnp.asarray(log_probs),
+        jnp.asarray(labels),
+        jnp.asarray(input_lens),
+        jnp.asarray(label_lens),
+    )
+
+    for b in range(batch):
+        score, path, lab = ref_best_path(
+            log_probs[b, : input_lens[b]],
+            labels[b, : label_lens[b]],
+        )
+        np.testing.assert_allclose(
+            float(res.score[b]), score, rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.path[b, : input_lens[b]]), path
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.labels[b, : input_lens[b]]), lab
+        )
+        # padding frames are zeroed
+        np.testing.assert_array_equal(
+            np.asarray(res.labels[b, input_lens[b]:]), 0
+        )

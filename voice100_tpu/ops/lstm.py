@@ -1,0 +1,160 @@
+"""Length-masked (bi)LSTM as JAX scans.
+
+The reference runs cuDNN LSTMs over packed sequences
+(voice100/models/_asr_v2.py:32-48, _align_v2.py:19-35, _tts_v2.py:36-56),
+which forces a device->host sync for the lengths. Here sequences stay
+padded with static shapes:
+
+* the input projection ``x @ W_ih^T`` for the whole sequence is hoisted
+  out of the recurrence into one large matmul (MXU-friendly,
+  ``[B*T, D] x [D, 4H]``),
+* ``jax.lax.scan`` carries only the recurrent ``h @ W_hh^T`` step,
+* packed-sequence semantics are reproduced with masks: state freezes at
+  padding steps and padded outputs are zero; the backward direction
+  starts from the true end of each sequence.
+
+Weight layout and gate order (i, f, g, o) follow torch.nn.LSTM so
+checkpoints are cross-loadable and numerics directly comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "init_lstm_params",
+    "lstm_direction",
+    "bilstm",
+    "multilayer_bilstm",
+]
+
+Params = Dict[str, jnp.ndarray]
+
+
+def init_lstm_params(
+    key: jax.Array,
+    input_size: int,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool = True,
+    dtype=jnp.float32,
+) -> List[Dict[str, Params]]:
+    """torch-style uniform(-1/sqrt(H), 1/sqrt(H)) init, torch layout:
+    ``w_ih [4H, D]``, ``w_hh [4H, H]``, ``b_ih [4H]``, ``b_hh [4H]``."""
+    bound = 1.0 / np.sqrt(hidden_size)
+    directions = ["fwd", "bwd"] if bidirectional else ["fwd"]
+    layers = []
+    for layer in range(num_layers):
+        d_in = input_size if layer == 0 else hidden_size * len(directions)
+        layer_params: Dict[str, Params] = {}
+        for direction in directions:
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            layer_params[direction] = {
+                "w_ih": jax.random.uniform(
+                    k1, (4 * hidden_size, d_in), dtype, -bound, bound
+                ),
+                "w_hh": jax.random.uniform(
+                    k2, (4 * hidden_size, hidden_size), dtype, -bound, bound
+                ),
+                "b_ih": jax.random.uniform(
+                    k3, (4 * hidden_size,), dtype, -bound, bound
+                ),
+                "b_hh": jax.random.uniform(
+                    k4, (4 * hidden_size,), dtype, -bound, bound
+                ),
+            }
+        layers.append(layer_params)
+    return layers
+
+
+def lstm_direction(
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    reverse: bool,
+) -> jnp.ndarray:
+    """One direction of a masked LSTM layer.
+
+    Args:
+        params: ``w_ih [4H, D]``, ``w_hh [4H, H]``, ``b_ih``, ``b_hh``.
+        x: ``[B, T, D]`` padded inputs.
+        lengths: ``[B]`` valid lengths.
+        reverse: scan right-to-left (backward direction).
+
+    Returns:
+        ``[B, T, H]`` outputs, zero at padding positions.
+    """
+    batch, time, _ = x.shape
+    hidden = params["w_hh"].shape[1]
+    # Hoisted input projection: one big MXU matmul over the sequence.
+    xg = (
+        x @ params["w_ih"].T + params["b_ih"] + params["b_hh"]
+    )  # [B, T, 4H]
+    xg = jnp.swapaxes(xg, 0, 1)  # [T, B, 4H] for scan
+    t_index = jnp.arange(time)
+    if reverse:
+        xg = xg[::-1]
+        t_index = t_index[::-1]
+    w_hh_t = params["w_hh"].T  # [H, 4H]
+
+    def step(carry, inp):
+        h_prev, c_prev = carry
+        gates_x, t = inp
+        gates = gates_x + h_prev @ w_hh_t
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c_prev + i * g
+        h = o * jnp.tanh(c)
+        valid = (t < lengths)[:, None].astype(x.dtype)  # [B, 1]
+        # Freeze state at padding so the backward pass starts from the
+        # true sequence end and the forward final state is at len-1.
+        h = valid * h + (1.0 - valid) * h_prev
+        c = valid * c + (1.0 - valid) * c_prev
+        return (h, c), h * valid
+
+    init = (
+        jnp.zeros((batch, hidden), x.dtype),
+        jnp.zeros((batch, hidden), x.dtype),
+    )
+    _, out = jax.lax.scan(step, init, (xg, t_index))
+    if reverse:
+        out = out[::-1]
+    return jnp.swapaxes(out, 0, 1)  # [B, T, H]
+
+
+def bilstm(layer_params: Dict[str, Params], x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional layer: concat(fwd, bwd) -> ``[B, T, 2H]``."""
+    fwd = lstm_direction(layer_params["fwd"], x, lengths, reverse=False)
+    bwd = lstm_direction(layer_params["bwd"], x, lengths, reverse=True)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def multilayer_bilstm(
+    params: List[Dict[str, Params]],
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Stacked (bi)LSTM with inter-layer dropout (torch convention:
+    applied to every layer's output except the last, training only —
+    pass ``dropout_rng=None`` for eval)."""
+    out = x
+    for i, layer in enumerate(params):
+        if "bwd" in layer:
+            out = bilstm(layer, out, lengths)
+        else:
+            out = lstm_direction(layer["fwd"], out, lengths, reverse=False)
+        last = i == len(params) - 1
+        if dropout > 0.0 and dropout_rng is not None and not last:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+            out = jnp.where(keep, out / (1.0 - dropout), 0.0)
+    return out
