@@ -1,0 +1,100 @@
+"""Synthetic dummy corpus builder (hermetic test fixture).
+
+Same layout the reference tests build (tests/test_datasets.py:70-129)
+and the ``dummy_{lang}`` registry entry expects
+(voice100/data_modules.py:371-376): random sine-mixture WAVs under
+``dummy-speech-{lang}/wavs``, a pipe-separated ``metadata.csv``, plus
+``dummy_{lang}-{split}.txt`` / phone / align / phone-align files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from voice100_tpu.dsp.wav import write_wav
+
+EN_SENTENCES = [
+    "the quick brown fox jumps over the lazy dog",
+    "hello world this is a test",
+    "speech synthesis and recognition",
+    "a small corpus of random sines",
+    "one two three four five",
+    "testing the data pipeline end to end",
+    "pack my box with five dozen jugs",
+    "how vexingly quick daft zebras jump",
+]
+
+EN_PHONE = [
+    "DH/AH0/K/W/IH1/K/B/R/AW1/N/F/AA1/K/S",
+    "HH/AH0/L/OW1/W/ER1/L/D",
+    "S/P/IY1/CH/S/IH1/N/TH/AH0/S/AH0/S",
+    "AH0/S/M/AO1/L/K/AO1/R/P/AH0/S",
+    "W/AH1/N/T/UW1/TH/R/IY1",
+    "T/EH1/S/T/IH0/NG/DH/AH0/D/EY1/T/AH0",
+    "P/AE1/K/M/AY1/B/AA1/K/S",
+    "HH/AW1/V/EH1/K/S/IH0/NG/L/IY0",
+]
+
+
+def make_dummy_corpus(
+    data_dir: str,
+    language: str = "en",
+    n_clips: int = 8,
+    sample_rate: int = 16000,
+    seed: int = 0,
+) -> str:
+    """Create a dummy corpus under ``data_dir``; returns the corpus root."""
+    root = os.path.join(data_dir, f"dummy-speech-{language}")
+    wavs = os.path.join(root, "wavs")
+    os.makedirs(wavs, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    lines = []
+    for i in range(n_clips):
+        clipid = f"clip{i:04d}"
+        dur = rng.uniform(0.4, 1.2)
+        t = np.arange(int(dur * sample_rate)) / sample_rate
+        wav = np.zeros_like(t, dtype=np.float64)
+        for _ in range(3):
+            freq = rng.uniform(100, 2000)
+            wav += rng.uniform(0.05, 0.3) * np.sin(
+                2 * np.pi * freq * t + rng.uniform(0, 2 * np.pi)
+            )
+        write_wav(
+            os.path.join(wavs, clipid + ".wav"),
+            wav.astype(np.float32),
+            sample_rate,
+        )
+        text = EN_SENTENCES[i % len(EN_SENTENCES)]
+        lines.append(f"{clipid}|{text}|{text}")
+    with open(os.path.join(root, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # text files: dummy_{lang}-train.txt (clipid|normalized text)
+    name = f"dummy_{language}"
+    with open(os.path.join(data_dir, f"{name}-train.txt"), "w") as f:
+        for i in range(n_clips):
+            text = EN_SENTENCES[i % len(EN_SENTENCES)]
+            f.write(f"clip{i:04d}|{text}\n")
+    with open(os.path.join(data_dir, f"{name}-phone-train.txt"), "w") as f:
+        for i in range(n_clips):
+            f.write(f"clip{i:04d}|{EN_PHONE[i % len(EN_PHONE)]}\n")
+
+    # align files: text|aligntext|counts over 2*len(text)+1 slots
+    for infix, texts, sep in (
+        ("align", EN_SENTENCES, ""),
+        ("phone-align", EN_PHONE, "/"),
+    ):
+        path = os.path.join(data_dir, f"{name}-{infix}-train.txt")
+        with open(path, "w") as f:
+            for i in range(n_clips):
+                text = texts[i % len(texts)]
+                n_tok = len(text.split(sep)) if sep else len(text)
+                counts = rng.randint(0, 4, size=2 * n_tok + 1)
+                aligntext = text  # content is irrelevant for training
+                f.write(
+                    f"{text}|{aligntext}|{' '.join(map(str, counts))}\n"
+                )
+    return root

@@ -1,0 +1,169 @@
+"""Data-layer tests over the hermetic dummy corpus.
+
+Mirrors the reference's dataset test strategy
+(/root/reference/tests/test_datasets.py): build a fake corpus in a temp
+dir, then exercise readers, the registry, the feature cache, collation,
+and a full datamodule epoch with shape/NaN invariants.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from corpus_fixture import make_dummy_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("data"))
+    make_dummy_corpus(data_dir)
+    return data_dir
+
+
+def test_wav_roundtrip(tmp_path):
+    from voice100_tpu.dsp.wav import read_wav, write_wav
+
+    rng = np.random.RandomState(0)
+    wav = (rng.rand(1000).astype(np.float32) - 0.5) * 0.9
+    path = str(tmp_path / "x.wav")
+    write_wav(path, wav, 16000)
+    out, rate = read_wav(path)
+    assert rate == 16000
+    assert out.shape == (1, 1000)
+    np.testing.assert_allclose(out[0], wav, atol=1.0 / 16000)
+
+
+def test_resample_sine_frequency_preserved():
+    from voice100_tpu.dsp.resample import resample
+
+    sr_in, sr_out = 22050, 16000
+    t = np.arange(sr_in) / sr_in
+    wav = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    out = resample(wav, sr_in, sr_out)
+    assert abs(out.shape[0] - sr_out) <= 1
+    spec = np.abs(np.fft.rfft(out[: sr_out]))
+    peak_hz = np.argmax(spec) * sr_out / sr_out
+    assert abs(peak_hz - 440.0) < 3.0
+    # energy preserved within a few percent
+    assert abs(np.std(out) - np.std(wav)) < 0.05
+
+
+def test_metafile_dataset(corpus):
+    from voice100_tpu.data import MetafileDataset
+
+    root = os.path.join(corpus, "dummy-speech-en")
+    ds = MetafileDataset(
+        root, metafile="metadata.csv", sep="|", header=False, idcol=0,
+        ext=".wav",
+    )
+    assert len(ds) == 8
+    clipid, path, text = ds[0]
+    assert clipid == "clip0000"
+    assert os.path.exists(path)
+    assert isinstance(text, str) and text
+
+
+def test_registry_and_merge(corpus):
+    from voice100_tpu.data import get_dataset
+
+    ds = get_dataset(corpus, "dummy_en", "train")
+    assert len(ds) == 8
+    clipid, path, text = ds[0]
+    assert os.path.exists(path)
+
+    ds_align = get_dataset(corpus, "dummy_en", "train", use_align=True)
+    clipid, path, aligntext = ds_align[0]
+    assert isinstance(aligntext, str)
+
+    ds2 = get_dataset(corpus, "dummy_en,dummy_en", "train")
+    assert len(ds2) == 16
+
+
+def test_mel_datamodule_epoch(corpus, tmp_path):
+    from voice100_tpu.data import AudioTextDataModule
+
+    data = AudioTextDataModule(
+        vocoder="mel",
+        dataset="dummy_en",
+        data_dir=corpus,
+        cache_dir=str(tmp_path / "cache"),
+        batch_size=4,
+        valid_ratio=0.25,
+    )
+    assert data.audio_size == 64
+    assert data.vocab_size == 29
+    data.setup("fit")
+    assert len(data.train_ds) == 6
+    assert len(data.valid_ds) == 2
+
+    n = 0
+    for (audio, audio_len), (text, text_len) in data.train_dataloader():
+        assert audio.ndim == 3 and audio.shape[2] == 64
+        assert audio.shape[1] % 64 == 0  # bucketed
+        assert np.isfinite(audio).all()
+        assert audio.shape[0] == audio_len.shape[0] == text.shape[0]
+        assert (audio_len <= audio.shape[1]).all()
+        assert (text_len <= text.shape[1]).all()
+        assert (text[np.arange(len(text_len)), text_len - 1] != -1).all()
+        n += audio.shape[0]
+    assert n == 6
+
+    # cache populated and reused
+    cache_files = os.listdir(str(tmp_path / "cache"))
+    assert len(cache_files) == 6
+    for _ in data.train_dataloader():
+        pass
+    assert len(os.listdir(str(tmp_path / "cache"))) == 6
+
+
+def test_align_datamodule(corpus):
+    from voice100_tpu.data import AlignTextDataModule
+
+    data = AlignTextDataModule(
+        data_dir=corpus, dataset="dummy_en", batch_size=4
+    )
+    assert data.vocab_size == 29
+    data.setup()
+    for (text, text_len), (align, align_len) in data.train_dataloader():
+        assert text.ndim == 2
+        assert align.ndim == 2
+        # counts files hold 2*len(text)+1 slots
+        assert (align_len == 2 * text_len + 1).all()
+
+
+def test_align_datamodule_phone(corpus):
+    from voice100_tpu.data import AlignTextDataModule
+
+    data = AlignTextDataModule(
+        data_dir=corpus, dataset="dummy_en", use_phone=True, batch_size=4
+    )
+    assert data.vocab_size == 71
+    data.setup()
+    batches = list(data.train_dataloader())
+    assert batches
+
+
+def test_mcep_matrices_roundtrip():
+    """sp2mc/mc2sp matrices: freqt built from the SPTK recurrence; a
+    smooth spectrum survives the mcep round trip."""
+    from voice100_tpu.dsp.mcep import create_sp2mc_matrix, create_mc2sp_matrix
+
+    sp2mc = create_sp2mc_matrix(512, 24, 0.410)
+    mc2sp = create_mc2sp_matrix(512, 24, 0.410)
+    assert sp2mc.shape == (257, 25)
+    assert mc2sp.shape == (25, 257)
+
+    freqs = np.linspace(0, 1, 257)
+    logspc = (-2.0 - 3.0 * freqs + np.cos(2 * np.pi * freqs)).astype(
+        np.float64
+    )
+    mcep = logspc @ sp2mc
+    recon = mcep @ mc2sp
+    # smooth spectra reconstruct closely
+    assert np.max(np.abs(recon - logspc)) < 0.2
+    # constant spectra reconstruct almost exactly
+    const = np.full(257, -3.0)
+    np.testing.assert_allclose(
+        (const @ sp2mc) @ mc2sp, const, atol=1e-6
+    )

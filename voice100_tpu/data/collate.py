@@ -1,0 +1,123 @@
+"""Batch collation with bucketed padding (static shapes for XLA).
+
+Same batch layouts as the reference collate functions
+(voice100/data_modules.py:446-496,673-682):
+
+* mel:        ((audio [B,T,D], audio_len), (text [B,L], text_len))
+* world:      ((f0 [B,T], f0_len, logspc [B,T,S], codeap [B,T,C]),
+               (aligntext [B,L], aligntext_len))
+* world+tgt:  adds (targettext, targettext_len)
+* text-align: ((text, text_len), (align [B,A], align_len))
+
+Padding values match the reference: audio pad = log(1e-6), token pad =
+blank 0, WORLD streams pad = 0.
+
+TPU-first addition: padded lengths round up to bucket multiples so a
+training run compiles a handful of programs instead of one per batch
+shape.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.augment import BLANK_AUDIO
+
+__all__ = [
+    "pad_stack",
+    "collate_audio_text",
+    "collate_world_text",
+    "collate_world_text_target",
+    "collate_text_align",
+    "get_collate_fn",
+    "TIME_BUCKET",
+    "TEXT_BUCKET",
+]
+
+BLANK_IDX = 0
+TIME_BUCKET = 64   # frames (mel 10ms hop: 0.64 s granularity)
+TEXT_BUCKET = 16   # tokens
+
+
+def _bucket(n: int, bucket: int) -> int:
+    return max(bucket, -(-n // bucket) * bucket)
+
+
+def pad_stack(
+    items: Sequence[np.ndarray],
+    pad_value: float,
+    bucket: int,
+    dtype=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length arrays, padded to a bucketed max length."""
+    lengths = np.asarray([len(x) for x in items], dtype=np.int32)
+    max_len = _bucket(int(lengths.max()), bucket)
+    first = np.asarray(items[0])
+    shape = (len(items), max_len) + first.shape[1:]
+    out = np.full(shape, pad_value, dtype=dtype or first.dtype)
+    for i, x in enumerate(items):
+        out[i, : len(x)] = x
+    return out, lengths
+
+
+def collate_audio_text(batch, time_bucket: int = TIME_BUCKET,
+                       text_bucket: int = TEXT_BUCKET):
+    """Mel-mode batches (reference generate_audio_text_batch,
+    data_modules.py:446-455)."""
+    audio_items = [b[0] for b in batch]
+    text_items = [b[1] for b in batch]
+    audio, audio_len = pad_stack(audio_items, BLANK_AUDIO, time_bucket)
+    text, text_len = pad_stack(text_items, BLANK_IDX, text_bucket)
+    return (audio, audio_len), (text, text_len)
+
+
+def collate_world_text(batch, time_bucket: int = TIME_BUCKET,
+                       text_bucket: int = TEXT_BUCKET):
+    """WORLD-mode batches (reference generate_audio_text_align_batch,
+    data_modules.py:458-474)."""
+    f0s = [b[0][0] for b in batch]
+    spcs = [b[0][1] for b in batch]
+    codeaps = [b[0][2] for b in batch]
+    texts = [b[1] for b in batch]
+    f0, f0_len = pad_stack(f0s, 0.0, time_bucket)
+    spc, _ = pad_stack(spcs, 0.0, time_bucket)
+    codeap, _ = pad_stack(codeaps, 0.0, time_bucket)
+    text, text_len = pad_stack(texts, BLANK_IDX, text_bucket)
+    return (f0, f0_len, spc, codeap), (text, text_len)
+
+
+def collate_world_text_target(batch, time_bucket: int = TIME_BUCKET,
+                              text_bucket: int = TEXT_BUCKET):
+    """Multi-task batches (reference
+    generate_audio_text_align_target_batch, data_modules.py:477-496)."""
+    (features, texts), targets = (
+        ([b[0] for b in batch], [b[1] for b in batch]),
+        [b[2] for b in batch],
+    )
+    f0, f0_len = pad_stack([f[0] for f in features], 0.0, time_bucket)
+    spc, _ = pad_stack([f[1] for f in features], 0.0, time_bucket)
+    codeap, _ = pad_stack([f[2] for f in features], 0.0, time_bucket)
+    text, text_len = pad_stack(texts, BLANK_IDX, text_bucket)
+    target, target_len = pad_stack(targets, BLANK_IDX, text_bucket)
+    return (f0, f0_len, spc, codeap), (text, text_len), (target, target_len)
+
+
+def collate_text_align(batch, text_bucket: int = TEXT_BUCKET):
+    """Duration-model batches (reference generate_text_align_batch,
+    data_modules.py:673-682)."""
+    texts = [b[0] for b in batch]
+    aligns = [b[1] for b in batch]
+    text, text_len = pad_stack(texts, BLANK_IDX, text_bucket)
+    align, align_len = pad_stack(aligns, 0, 2 * text_bucket)
+    return (text, text_len), (align, align_len)
+
+
+def get_collate_fn(vocoder: str, use_target: bool):
+    """Factory (reference voice100/data_modules.py:433-443)."""
+    if vocoder == "mel":
+        return collate_audio_text
+    if vocoder in ("world", "world_mcep"):
+        return collate_world_text_target if use_target else collate_world_text
+    raise ValueError(f"Unknown vocoder {vocoder!r}")

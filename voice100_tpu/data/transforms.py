@@ -1,0 +1,196 @@
+"""Per-clip audio feature transforms with on-disk caching.
+
+Mirrors the reference's EncodedCacheDataset flow
+(voice100/data_modules.py:162-241): features are computed once per clip,
+cached under ``sha1(salt + clipid)``, and WORLD features are stored as
+mel-cepstrum (mcep) with the full log-spectrum reconstituted on read via
+the mc2sp matrix. The cache format here is ``.npz`` instead of torch
+pickles.
+
+TPU-first note: the log-mel transform itself is the on-device JAX op
+(ops.melspec); per-clip extraction jits once per bucketed waveform
+length.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+
+from ..dsp.audioio import load_audio
+from ..ops.melspec import log_mel_spectrogram, MELSPEC_DIM
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "MelSpectrogramAudioTransform",
+    "WORLDAudioProcessor",
+    "EncodedCacheDataset",
+    "get_audio_transform",
+]
+
+_WAVE_BUCKET = 4096  # pad waveforms to multiples of this before jit
+
+
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _jit_logmel(wav, sample_rate: int):
+    return log_mel_spectrogram(wav, sample_rate=sample_rate)
+
+
+class MelSpectrogramAudioTransform:
+    """audio file -> ``[T, n_mels]`` float32 log-mel
+    (reference voice100/data_modules.py:262-292)."""
+
+    def __init__(
+        self, sample_rate: int = 16000, n_mels: int = MELSPEC_DIM
+    ) -> None:
+        self.sample_rate = sample_rate
+        self.n_mels = n_mels
+
+    @property
+    def audio_size(self) -> int:
+        return self.n_mels
+
+    def __call__(self, audiopath: str) -> np.ndarray:
+        wav = load_audio(audiopath, self.sample_rate)
+        frames = wav.shape[0] // 160 + 1
+        # bucket the waveform length to bound jit recompiles
+        padded_len = -(-wav.shape[0] // _WAVE_BUCKET) * _WAVE_BUCKET
+        wav = np.pad(wav, (0, padded_len - wav.shape[0]))
+        mel = np.asarray(_jit_logmel(wav, self.sample_rate))
+        return mel[:frames]
+
+
+class WORLDAudioProcessor:
+    """audio file -> (f0, logspc|mcep, codeap) WORLD features
+    (reference voice100/data_modules.py:295-316)."""
+
+    def __init__(self, sample_rate: int, use_mcep: bool) -> None:
+        from ..dsp.world import WORLDVocoder
+
+        self.sample_rate = sample_rate
+        self.vocoder = WORLDVocoder(
+            sample_rate=sample_rate, use_mcep=use_mcep
+        )
+
+    @property
+    def audio_size(self) -> int:
+        return sum(self.vocoder.output_dims)
+
+    def __call__(self, audiopath: str):
+        wav = load_audio(audiopath, self.sample_rate)
+        return self.vocoder.encode(wav)
+
+
+def get_audio_transform(vocoder: str, sample_rate: int):
+    """Factory (reference voice100/data_modules.py:415-424)."""
+    if vocoder == "mel":
+        return MelSpectrogramAudioTransform(sample_rate=sample_rate)
+    if vocoder == "world":
+        return WORLDAudioProcessor(sample_rate=sample_rate, use_mcep=False)
+    if vocoder == "world_mcep":
+        return WORLDAudioProcessor(sample_rate=sample_rate, use_mcep=True)
+    raise ValueError(f"Unknown vocoder {vocoder!r}")
+
+
+class EncodedCacheDataset:
+    """Applies audio + text transforms with a feature cache
+    (reference voice100/data_modules.py:162-241).
+
+    WORLD features are cached in mcep form and expanded back to logspc on
+    read when the vocoder is 'world' (data_modules.py:178-191,229-232),
+    so 'world' and 'world_mcep' share one cache (same salt policy as the
+    reference, data_modules.py:545).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        audio_transform,
+        text_transform,
+        targettext_transform=None,
+        cachedir: Optional[str] = None,
+        salt: bytes = b"",
+    ) -> None:
+        self._dataset = dataset
+        self.audio_transform = audio_transform
+        self.text_transform = text_transform
+        self.targettext_transform = targettext_transform
+        self._cachedir = cachedir
+        self._salt = salt
+        self.save_mcep = False
+        if isinstance(audio_transform, WORLDAudioProcessor):
+            vocoder = audio_transform.vocoder
+            if not vocoder.use_mcep:
+                from ..dsp.mcep import create_mc2sp_matrix, create_sp2mc_matrix
+
+                self.save_mcep = True
+                self.mc2sp_matrix = create_mc2sp_matrix(
+                    vocoder.n_fft, vocoder.mcep_dim, vocoder.mcep_alpha
+                ).astype(np.float32)
+                self.sp2mc_matrix = create_sp2mc_matrix(
+                    vocoder.n_fft, vocoder.mcep_dim, vocoder.mcep_alpha
+                ).astype(np.float32)
+
+    def __len__(self) -> int:
+        return len(self._dataset)
+
+    def __getitem__(self, index: int):
+        data = self._dataset[index]
+        if self.targettext_transform is not None:
+            clipid, audio, text, targettext = data
+            return (
+                self._get_encoded_audio(clipid, audio),
+                self.text_transform(text),
+                self.targettext_transform(targettext),
+            )
+        clipid, audio, text = data
+        return (
+            self._get_encoded_audio(clipid, audio),
+            self.text_transform(text),
+        )
+
+    def _cachefile(self, clipid: str) -> Optional[str]:
+        if self._cachedir is None:
+            return None
+        h = hashlib.sha1(self._salt)
+        h.update(clipid.encode("utf-8"))
+        return os.path.join(self._cachedir, h.hexdigest() + ".npz")
+
+    def _get_encoded_audio(self, clipid: str, audiopath: str):
+        cachefile = self._cachefile(clipid)
+        encoded = None
+        if cachefile and os.path.exists(cachefile):
+            try:
+                with np.load(cachefile) as z:
+                    encoded = tuple(z[k] for k in z.files)
+                    if len(encoded) == 1:
+                        encoded = encoded[0]
+            except Exception:
+                logger.warning("Failed to load audio cache", exc_info=True)
+                encoded = None
+        if encoded is None:
+            encoded = self.audio_transform(audiopath)
+            to_save = encoded
+            if self.save_mcep:
+                f0, logspc, codeap = encoded
+                to_save = (f0, logspc @ self.sp2mc_matrix, codeap)
+                encoded = to_save
+            if cachefile:
+                try:
+                    arrays = (
+                        to_save if isinstance(to_save, tuple) else (to_save,)
+                    )
+                    np.savez(cachefile, *arrays)
+                except Exception:
+                    logger.warning("Failed to save audio cache", exc_info=True)
+        if self.save_mcep:
+            f0, mcep, codeap = encoded
+            encoded = (f0, mcep @ self.mc2sp_matrix, codeap)
+        return encoded

@@ -80,7 +80,7 @@ def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
     channels, n = samples.shape
     if samples.dtype != np.int16:
         samples = np.clip(samples, -1.0, 1.0)
-        samples = (samples * 32767.0).astype(np.int16)
+        samples = np.round(samples * 32767.0).astype(np.int16)
     interleaved = samples.T.reshape(-1)
     payload = interleaved.astype("<i2").tobytes()
     byte_rate = rate * channels * 2
