@@ -1,0 +1,196 @@
+"""End-to-end training slice over the dummy corpus (SURVEY.md §7 step 5).
+
+Exercises: mel frontend -> conv+biLSTM AudioToAlignText -> CTC loss under
+the jitted data-parallel train step -> greedy decode, plus checkpoint
+save/restore and the duration model's training path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from corpus_fixture import make_dummy_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("data"))
+    make_dummy_corpus(data_dir, n_clips=8)
+    return data_dir
+
+
+TINY_ENC = ((32, False, 3, 2, 1, False), (32, False, 3, 1, 1, False))
+
+
+def _tiny_asr():
+    from voice100_tpu.models import AudioToAlignText
+
+    return AudioToAlignText(
+        audio_size=64,
+        vocab_size=29,
+        encoder_settings=TINY_ENC,
+        decoder_num_layers=1,
+        decoder_hidden_size=32,
+        learning_rate=1e-3,
+    )
+
+
+def test_asr_training_loop_and_checkpoint(corpus, tmp_path):
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.training import Trainer, TrainerConfig
+    from voice100_tpu.training.checkpoint import (
+        restore_checkpoint, load_variables,
+    )
+
+    data = AudioTextDataModule(
+        vocoder="mel",
+        dataset="dummy_en",
+        data_dir=corpus,
+        cache_dir=str(tmp_path / "cache"),
+        batch_size=4,
+        valid_ratio=0.25,
+    )
+    ckpt_dir = str(tmp_path / "ckpt")
+    trainer = Trainer(
+        TrainerConfig(
+            max_epochs=3,
+            checkpoint_dir=ckpt_dir,
+            every_n_epochs=2,
+            log_every_n_steps=1,
+            monitor="val_loss",
+        )
+    )
+    model = _tiny_asr()
+    state = trainer.fit(model, data)
+    assert state.step == 3 * 2  # 6 train samples / bs 4 -> 2 steps/epoch
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))
+
+    # restore round-trips exactly
+    restored = restore_checkpoint(os.path.join(ckpt_dir, "last"), state)
+    a = np.concatenate(
+        [np.ravel(x) for x in __import__("jax").tree_util.tree_leaves(
+            state.params)]
+    )
+    b = np.concatenate(
+        [np.ravel(np.asarray(x))
+         for x in __import__("jax").tree_util.tree_leaves(restored.params)]
+    )
+    np.testing.assert_allclose(a, b)
+
+    # load_variables gives apply-ready variables
+    variables = load_variables(os.path.join(ckpt_dir, "last"))
+    batch = next(iter(data.val_dataloader()))
+    (audio, audio_len), _ = batch
+    import jax.numpy as jnp
+    from voice100_tpu.models import AudioToAlignText
+
+    ids, out_len = model.apply(
+        variables, jnp.asarray(audio), jnp.asarray(audio_len),
+        method=AudioToAlignText.greedy_decode,
+    )
+    assert ids.shape[0] == audio.shape[0]
+
+
+def test_asr_loss_decreases(corpus, tmp_path):
+    """Overfit 4 clips: train loss must drop substantially."""
+    import jax
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.training import make_task
+    import optax
+
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=corpus,
+        cache_dir=str(tmp_path / "cache2"), batch_size=4, valid_ratio=0.0,
+    )
+    data.setup("fit")
+    batch = next(iter(data.train_dataloader()))
+
+    model = _tiny_asr()
+    task = make_task(model)
+    variables = dict(task.init(jax.random.PRNGKey(0), batch))
+    params = variables.pop("params")
+    extra = variables
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        def loss_fn(p):
+            loss, _, _ = task.loss(p, extra, batch, rng, train=False)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(0)
+    first = None
+    for i in range(30):
+        rng, k = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, k)
+        if first is None:
+            first = float(loss)
+    last = float(loss)
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+
+
+def test_align_model_training(corpus, tmp_path):
+    from voice100_tpu.data import AlignTextDataModule
+    from voice100_tpu.models import TextToAlignText
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    data = AlignTextDataModule(
+        data_dir=corpus, dataset="dummy_en", batch_size=4, valid_ratio=0.25
+    )
+    model = TextToAlignText(vocab_size=29, hidden_size=16, num_layers=1)
+    trainer = Trainer(
+        TrainerConfig(max_epochs=2, monitor="train_loss",
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    )
+    state = trainer.fit(model, data)
+    assert state.step > 0
+
+
+def test_cli_fit_smoke(corpus, tmp_path):
+    """The YAML CLI runs a fit end-to-end on a tiny config."""
+    import yaml
+    from voice100_tpu.training.cli import cli_main
+
+    cfg = {
+        "seed_everything": 1234,
+        "trainer": {"max_epochs": 1, "gradient_clip_val": 1.0},
+        "model": {
+            "class_path": "voice100_tpu.models.AudioToAlignText",
+            "init_args": {
+                "vocab_size": 29,
+                "audio_size": 64,
+                "encoder_settings": [[16, False, 3, 2, 1, False]],
+                "decoder_num_layers": 1,
+                "decoder_hidden_size": 16,
+            },
+        },
+        "data": {
+            "class_path": "voice100_tpu.data.AudioTextDataModule",
+            "init_args": {
+                "vocoder": "mel",
+                "dataset": "dummy_en",
+                "language": "en",
+                "batch_size": 4,
+            },
+        },
+    }
+    cfg_path = str(tmp_path / "tiny.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cli_main([
+        "fit",
+        "--config", cfg_path,
+        "--data_dir", corpus,
+        "--cache_dir", str(tmp_path / "cache"),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ])
+    assert os.path.isdir(str(tmp_path / "ckpt" / "last"))

@@ -28,6 +28,7 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        pad_to_full: bool = True,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -36,6 +37,10 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Pad the final batch to the full batch size by repeating items:
+        # keeps the leading axis static (one compiled program, clean DP
+        # sharding) at the cost of a few duplicated samples per epoch.
+        self.pad_to_full = pad_to_full
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -57,6 +62,9 @@ class DataLoader:
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]
             items = [self.dataset[int(i)] for i in idx]
+            if self.pad_to_full and len(items) < self.batch_size:
+                reps = -(-self.batch_size // len(items))
+                items = (items * reps)[: self.batch_size]
             yield self.collate_fn(items)
 
     def __iter__(self) -> Iterator:

@@ -1,0 +1,199 @@
+"""Unified YAML CLI: ``voice100-tpu fit --config config/asr_en_base.yaml``.
+
+Drop-in surface for the reference's LightningCLI entry point
+(voice100/main.py:8-13): configs carry ``seed_everything``, ``trainer``
+(max_epochs, gradient_clip_val, ModelCheckpoint callback), and
+``model``/``data`` sections with ``class_path`` + ``init_args``.
+Reference class paths (``voice100.models.*``,
+``voice100.data_modules.*``) are accepted and mapped onto this
+framework's classes, so the reference's own config files run unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict
+
+import yaml
+
+from .. import models as _models
+from ..data import datamodule as _datamodules
+from .trainer import Trainer, TrainerConfig
+
+__all__ = ["cli_main", "build_from_config", "load_config"]
+
+_MODEL_CLASSES = {
+    name: getattr(_models, name) for name in _models.__all__
+}
+_DATA_CLASSES = {
+    "AudioTextDataModule": _datamodules.AudioTextDataModule,
+    "AlignTextDataModule": _datamodules.AlignTextDataModule,
+}
+
+
+def _resolve_class(class_path: str, table: Dict[str, Any]):
+    name = class_path.rsplit(".", 1)[-1]
+    if name not in table:
+        raise ValueError(f"Unknown class_path {class_path!r}")
+    return table[name]
+
+
+def _filter_kwargs(cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop reference-only kwargs our constructors don't take and
+    normalize list-valued settings to tuples."""
+    import dataclasses
+    import inspect
+
+    if dataclasses.is_dataclass(cls):
+        accepted = {f.name for f in dataclasses.fields(cls)}
+    else:
+        accepted = set(inspect.signature(cls.__init__).parameters)
+    out = {}
+    dropped = []
+    for k, v in kwargs.items():
+        if k in accepted:
+            if isinstance(v, list):
+                v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+            out[k] = v
+        else:
+            dropped.append(k)
+    if dropped:
+        print(f"[cli] note: ignoring config keys {dropped} for "
+              f"{cls.__name__}")
+    return out
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def build_from_config(config: Dict[str, Any], overrides: Dict[str, Any]):
+    """Instantiate (model, datamodule, trainer_config) from a config."""
+    model_cfg = config["model"]
+    data_cfg = config["data"]
+    model_cls = _resolve_class(model_cfg["class_path"], _MODEL_CLASSES)
+    data_cls = _resolve_class(data_cfg["class_path"], _DATA_CLASSES)
+
+    model_kwargs = dict(model_cfg.get("init_args") or {})
+    # the reference TTS config points at a torch stat file; WORLD stats
+    # load separately in this framework (tools/calc_stat emits .npz)
+    audio_stat = model_kwargs.pop("audio_stat", None)
+    model = model_cls(**_filter_kwargs(model_cls, model_kwargs))
+    data_kwargs = dict(data_cfg.get("init_args") or {})
+    data_kwargs.update(
+        {k: v for k, v in overrides.items() if k in ("data_dir", "cache_dir",
+                                                     "batch_size")}
+    )
+    data = data_cls(**_filter_kwargs(data_cls, data_kwargs))
+
+    trainer_cfg = config.get("trainer") or {}
+    monitor = "val_loss"
+    every_n = 10
+    for cb in trainer_cfg.get("callbacks") or []:
+        init = cb.get("init_args") or {}
+        monitor = init.get("monitor", monitor)
+        every_n = init.get("every_n_epochs", every_n)
+    tc = TrainerConfig(
+        max_epochs=int(
+            overrides.get("max_epochs")
+            or trainer_cfg.get("max_epochs", 1)
+        ),
+        gradient_clip_val=float(trainer_cfg.get("gradient_clip_val", 1.0)),
+        monitor=monitor,
+        every_n_epochs=every_n,
+        seed=int(config.get("seed_everything", 1234)),
+        checkpoint_dir=overrides.get("checkpoint_dir"),
+        log_path=overrides.get("log_path"),
+        mesh_model_axis=int(overrides.get("mesh_model_axis", 1)),
+    )
+    return model, data, tc, audio_stat
+
+
+def _load_world_stats(model_variables, audio_stat_path):
+    """Merge WORLD norm stats from a calc-stat .npz into variables."""
+    import numpy as np
+
+    stats = dict(np.load(audio_stat_path))
+    wn = model_variables.get("world_norm")
+    if wn is None:
+        return model_variables
+    target = wn.get("norm", wn)
+    for key in target:
+        if key in stats:
+            target[key] = stats[key].astype(np.float32).reshape(
+                np.shape(target[key])
+            )
+    return model_variables
+
+
+def cli_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="voice100-tpu")
+    parser.add_argument(
+        "subcommand", choices=["fit", "validate", "test"],
+    )
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--cache_dir", type=str, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--checkpoint_dir", type=str, default=None)
+    parser.add_argument("--restore_from", type=str, default=None)
+    parser.add_argument("--log_path", type=str, default=None)
+    parser.add_argument("--audio_stat", type=str, default=None)
+    parser.add_argument("--mesh_model_axis", type=int, default=1)
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a jax platform (e.g. cpu); useful because this "
+             "machine's sitecustomize pre-registers the TPU backend",
+    )
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    overrides = {
+        k: v
+        for k, v in vars(args).items()
+        if v is not None and k not in ("subcommand", "config")
+    }
+    config = load_config(args.config)
+    model, data, tc, audio_stat = build_from_config(config, overrides)
+    audio_stat = args.audio_stat or audio_stat
+    if tc.checkpoint_dir is None:
+        base = os.path.splitext(os.path.basename(args.config))[0]
+        tc.checkpoint_dir = os.path.join("checkpoints", base)
+
+    trainer = Trainer(tc)
+    if args.subcommand == "fit":
+        init_variables = None
+        if audio_stat and os.path.exists(audio_stat):
+            # initialize first so stats merge into fresh variables
+            import jax
+
+            data.setup("fit")
+            loader = data.train_dataloader()
+            from .tasks import make_task
+
+            task = make_task(model)
+            init_variables = task.init(
+                jax.random.PRNGKey(tc.seed), next(iter(loader))
+            )
+            init_variables = dict(init_variables)
+            init_variables = _load_world_stats(init_variables, audio_stat)
+        trainer.fit(
+            model, data,
+            restore_from=args.restore_from,
+            init_variables=init_variables,
+        )
+    else:
+        raise SystemExit(
+            "validate/test require a checkpoint flow; use fit for now"
+        )
+
+
+if __name__ == "__main__":
+    cli_main()

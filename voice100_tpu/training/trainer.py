@@ -1,0 +1,254 @@
+"""Training loop: jitted data-parallel steps, checkpoints, metric logs.
+
+The framework's replacement for PyTorch Lightning's Trainer as the
+reference uses it (voice100/main.py:8-13, train_*.py): Adam (+ optional
+schedule from the task), gradient clipping, periodic + best-val + last
+checkpoints (orbax), and step metric logging.
+
+TPU-first: one generic train step is jitted once per batch bucket shape,
+with the batch sharded over the mesh 'data' axis and parameters placed
+by the TP policy in ``parallel.mesh`` — XLA/GSPMD inserts the gradient
+all-reduce over ICI. Buffers are donated so optimizer state updates in
+place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..parallel.mesh import fit_mesh_for_batch, shard_batch, shard_params
+from .tasks import Task, make_task
+from .checkpoint import save_checkpoint, restore_checkpoint
+
+__all__ = ["Trainer", "TrainerConfig", "TrainState"]
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 1
+    gradient_clip_val: float = 1.0
+    checkpoint_dir: Optional[str] = None
+    monitor: str = "val_loss"
+    every_n_epochs: int = 10
+    save_last: bool = True
+    log_every_n_steps: int = 10
+    seed: int = 1234
+    mesh_model_axis: int = 1
+    log_path: Optional[str] = None
+
+
+@dataclass
+class TrainState:
+    params: Any
+    extra: Dict[str, Any]
+    opt_state: Any
+    step: int = 0
+    epoch: int = 0
+    best_monitor: float = float("inf")
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig) -> None:
+        self.config = config
+        self.mesh = None  # built in fit() once the batch size is known
+        self._log_file = None
+        if config.log_path:
+            os.makedirs(os.path.dirname(config.log_path) or ".", exist_ok=True)
+            self._log_file = open(config.log_path, "a")
+
+    # ------------------------------------------------------------------
+    def _log(self, record: Dict[str, Any]) -> None:
+        msg = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in record.items()
+        )
+        print(f"[trainer] {msg}", flush=True)
+        if self._log_file:
+            self._log_file.write(json.dumps(record) + "\n")
+            self._log_file.flush()
+
+    # ------------------------------------------------------------------
+    def _make_step_fns(self, task: Task, optimizer):
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def train_step(params, extra, opt_state, batch, rng):
+            def loss_fn(p):
+                loss, metrics, new_extra = task.loss(
+                    p, extra, batch, rng, train=True
+                )
+                return loss, (metrics, new_extra)
+
+            grads, (metrics, new_extra) = jax.grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_extra, opt_state, metrics
+
+        @jax.jit
+        def eval_step(params, extra, batch):
+            loss, metrics, _ = task.loss(
+                params, extra, batch, rng=None, train=False
+            )
+            return metrics
+
+        return train_step, eval_step
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        model,
+        datamodule,
+        restore_from: Optional[str] = None,
+        init_variables: Optional[Dict[str, Any]] = None,
+    ) -> TrainState:
+        cfg = self.config
+        task = make_task(model)
+        if self.mesh is None:
+            self.mesh = fit_mesh_for_batch(
+                datamodule.batch_size, model=cfg.mesh_model_axis
+            )
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+        steps_per_epoch = len(train_loader)
+        optimizer = task.make_optimizer(steps_per_epoch)
+        if cfg.gradient_clip_val and cfg.gradient_clip_val > 0:
+            optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.gradient_clip_val), optimizer
+            )
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        first_batch = next(iter(train_loader))
+        if init_variables is None:
+            variables = task.init(init_rng, first_batch)
+        else:
+            variables = init_variables
+        variables = dict(variables)
+        params = variables.pop("params")
+        extra = variables
+        params = shard_params(params, self.mesh)
+        opt_state = optimizer.init(params)
+        state = TrainState(params=params, extra=extra, opt_state=opt_state)
+
+        if restore_from:
+            state = restore_checkpoint(restore_from, state)
+
+        train_step, eval_step = self._make_step_fns(task, optimizer)
+        n_params = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(state.params)
+        )
+        self._log({"event": "fit_start", "params": n_params,
+                   "steps_per_epoch": steps_per_epoch,
+                   "devices": len(jax.devices())})
+
+        for epoch in range(state.epoch, cfg.max_epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            running = None
+            for batch in train_loader:
+                batch = shard_batch(batch, self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                state.params, state.extra, state.opt_state, metrics = (
+                    train_step(
+                        state.params, state.extra, state.opt_state,
+                        batch, step_rng,
+                    )
+                )
+                state.step += 1
+                if state.step % cfg.log_every_n_steps == 0:
+                    metrics = {
+                        k: float(v) for k, v in metrics.items()
+                    }
+                    self._log({"epoch": epoch, "step": state.step,
+                               **{f"train_{k}": v for k, v in metrics.items()}})
+                running = metrics
+            train_time = time.time() - t0
+
+            monitor_value = None
+            val_metrics = {}
+            epoch_record = {
+                "epoch": epoch,
+                "step": state.step,
+                "train_time_s": round(train_time, 2),
+            }
+            if running is not None:
+                epoch_record["train_loss"] = float(running["loss"])
+            if val_loader is not None and len(val_loader) > 0:
+                val_metrics = self.evaluate(eval_step, state, val_loader)
+                epoch_record.update(
+                    {f"val_{k}": v for k, v in val_metrics.items()}
+                )
+            self._log(epoch_record)
+            if cfg.monitor == "val_loss":
+                monitor_value = val_metrics.get("loss")
+            else:
+                monitor_value = (running or {}).get("loss")
+                if monitor_value is not None:
+                    monitor_value = float(monitor_value)
+
+            state.epoch = epoch + 1
+            if cfg.checkpoint_dir:
+                is_best = (
+                    monitor_value is not None
+                    and monitor_value < state.best_monitor
+                )
+                if is_best:
+                    state.best_monitor = monitor_value
+                    save_checkpoint(
+                        os.path.join(cfg.checkpoint_dir, "best"), state
+                    )
+                if cfg.save_last:
+                    save_checkpoint(
+                        os.path.join(cfg.checkpoint_dir, "last"), state
+                    )
+                if (epoch + 1) % cfg.every_n_epochs == 0:
+                    save_checkpoint(
+                        os.path.join(cfg.checkpoint_dir, f"epoch_{epoch + 1}"),
+                        state,
+                    )
+        return state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_step, state: TrainState, loader) -> Dict[str, float]:
+        totals: Dict[str, float] = {}
+        count = 0
+        for batch in loader:
+            batch = shard_batch(batch, self.mesh)
+            metrics = eval_step(state.params, state.extra, batch)
+            bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * bs
+            count += bs
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def run_eval(
+        self, model, datamodule, state: TrainState, stage: str = "test"
+    ) -> Dict[str, float]:
+        """Run the loss over a test/validate stage (reference
+        ``voice100 test/validate`` subcommands)."""
+        task = make_task(model)
+        if self.mesh is None:
+            self.mesh = fit_mesh_for_batch(
+                datamodule.batch_size, model=self.config.mesh_model_axis
+            )
+        datamodule.setup(stage)
+        loader = (
+            datamodule.test_dataloader()
+            if stage == "test"
+            else datamodule.val_dataloader()
+        )
+        _, eval_step = self._make_step_fns(
+            task, task.make_optimizer(1)
+        )
+        return self.evaluate(eval_step, state, loader)
