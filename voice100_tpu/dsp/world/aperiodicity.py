@@ -1,0 +1,116 @@
+"""Band aperiodicity estimation (D4C-equivalent interface).
+
+The reference obtains aperiodicity from pyworld's D4C
+(voice100/vocoder.py:72). This module estimates the same quantity — the
+amplitude ratio of the aperiodic component per coarse frequency band
+(3 kHz spacing, WORLD's codec convention) — via normalized comb
+correlation: for a voiced frame, the band-limited signal's normalized
+autocorrelation r at lag 1/F0 measures periodicity, and the aperiodic
+amplitude ratio is sqrt(max(0, 1 - r)). Unvoiced frames are fully
+aperiodic (ratio 1 - 1e-12, i.e. ~0 dB), matching D4C's convention and
+the downstream voicing masks (codeap < -0.2, voice100/calc_stat.py:45).
+
+This is a principled equivalent, not a line-for-line D4C port; the
+output contract (full [T, fft//2+1] aperiodicity spectrum decoded from
+coarse bands, dB range [-60, 0]) matches what the reference pipeline
+consumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codec import decode_aperiodicity, get_num_aperiodicities
+
+__all__ = ["band_aperiodicity", "d4c"]
+
+_FREQ_INTERVAL = 3000.0
+_FLOOR_DB = -60.0
+_SAFE_MIN = 1e-12
+
+
+def band_aperiodicity(
+    x: np.ndarray,
+    f0: np.ndarray,
+    positions: np.ndarray,
+    fs: int,
+) -> np.ndarray:
+    """Coarse aperiodicity in dB, ``[T, n_bands]`` (bands at 3k, 6k..)."""
+    x = np.asarray(x, dtype=np.float64)
+    n_bands = get_num_aperiodicities(fs)
+    t_frames = f0.shape[0]
+
+    # analysis segment: >= 6 periods of the lowest usable F0; a mild
+    # edge taper limits FFT leakage without modulating the center
+    eff_f0 = np.where(f0 > 0, f0, 200.0)
+    win_len = 1024
+    while win_len < int(6 * fs / 80.0):
+        win_len *= 2
+    offsets = np.arange(win_len) - win_len // 2
+    centers = np.round(positions * fs).astype(np.int64)
+    idx = np.clip(centers[:, None] + offsets[None, :], 0, len(x) - 1)
+    seg = x[idx]
+    edge = win_len // 8
+    taper = np.ones(win_len)
+    ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(edge) / edge)
+    taper[:edge] = ramp
+    taper[-edge:] = ramp[::-1]
+    seg = seg * taper[None, :]
+
+    spec = np.fft.rfft(seg, axis=1)  # [T, win/2+1]
+    freqs = np.arange(spec.shape[1]) * fs / win_len
+
+    # correlate only the untapered central region (+/- 2 periods)
+    lag = fs / eff_f0  # [T] fractional samples
+    central = np.abs(offsets[None, :]) <= (2.0 * lag[:, None])
+
+    coded = np.full((t_frames, n_bands), _FLOOR_DB)
+    for b in range(n_bands):
+        center = _FREQ_INTERVAL * (b + 1)
+        lo, hi = center - _FREQ_INTERVAL, center + _FREQ_INTERVAL
+        mask = (freqs >= lo) & (freqs < hi)
+        band = np.fft.irfft(spec * mask[None, :], n=win_len, axis=1)
+        r = _fractional_autocorr(band, lag, central)
+        ratio = np.sqrt(np.clip(1.0 - r, _SAFE_MIN**2, 1.0))
+        db = 20.0 * np.log10(ratio)
+        coded[:, b] = np.clip(db, _FLOOR_DB, 0.0)
+
+    coded = np.where(
+        (f0 > 0)[:, None], coded, 20.0 * np.log10(1.0 - _SAFE_MIN)
+    )
+    return coded
+
+
+def _fractional_autocorr(
+    band: np.ndarray, lag: np.ndarray, region: np.ndarray
+) -> np.ndarray:
+    """Normalized autocorrelation at a per-row fractional lag, over a
+    per-row boolean ``region`` of positions."""
+    t_frames, width = band.shape
+    base = np.arange(width)
+    li = np.floor(lag).astype(np.int64)
+    frac = (lag - li)[:, None]
+    idx0 = np.clip(base[None, :] + li[:, None], 0, width - 1)
+    idx1 = np.clip(idx0 + 1, 0, width - 1)
+    rows = np.arange(t_frames)[:, None]
+    shifted = band[rows, idx0] * (1 - frac) + band[rows, idx1] * frac
+    valid = region & (base[None, :] + lag[:, None] + 1 < width)
+    a = band * valid
+    b = shifted * valid
+    num = (a * b).sum(axis=1)
+    den = np.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-300
+    return np.clip(num / den, 0.0, 1.0)
+
+
+def d4c(
+    x: np.ndarray,
+    f0: np.ndarray,
+    positions: np.ndarray,
+    fs: int,
+    fft_size: int = 512,
+) -> np.ndarray:
+    """Full aperiodicity spectrum ``[T, fft_size//2+1]`` (amplitude
+    ratio in [0, 1]), decoded from the coarse bands — API parity with
+    pyworld.d4c as used in voice100/vocoder.py:72."""
+    coded = band_aperiodicity(x, f0, positions, fs)
+    return decode_aperiodicity(coded, fs, fft_size)

@@ -50,6 +50,11 @@ def _windowed_frames(
         window.sum(axis=1, keepdims=True), 1e-12
     )
     wave = wave - window * coeff
+    # normalize window energy: the power spectrum then estimates the
+    # per-sample PSD, making analysis->synthesis energy-consistent
+    wave = wave / np.sqrt(
+        np.maximum((window**2).sum(axis=1, keepdims=True), 1e-12)
+    )
     out = np.zeros((t_frames, fft_size))
     out[:, : wave.shape[1]] = wave
     return out

@@ -162,6 +162,12 @@ def dio(
 
     n_fft = int(2 ** np.ceil(np.log2(len(x) + fs)))  # room for kernels
     spectrum = np.fft.rfft(x, n=n_fft)
+    # low-cut below ~f0_floor/2 (WORLD's low-cut filter): DC and drift
+    # would otherwise bias the zero-crossing interval candidates
+    freqs = np.arange(spectrum.shape[0]) * fs / n_fft
+    cutoff = f0_floor * 0.5
+    rolloff = np.clip((freqs - cutoff * 0.5) / (cutoff * 0.5), 0.0, 1.0)
+    spectrum = spectrum * rolloff
 
     all_candidates = np.zeros((n_bands, n_frames))
     all_scores = np.full((n_bands, n_frames), np.inf)
