@@ -236,3 +236,16 @@ def test_ctc_viterbi_matches_reference_algorithm():
         np.testing.assert_array_equal(
             np.asarray(res.labels[b, input_lens[b]:]), 0
         )
+
+
+def test_pallas_logmel_matches_jnp():
+    """Fused Pallas kernel (interpret mode on CPU) vs the jnp path."""
+    from voice100_tpu.ops.melspec import log_mel_spectrogram
+    from voice100_tpu.ops.melspec_pallas import log_mel_spectrogram_pallas
+
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 4800).astype(np.float32))
+    ref = np.asarray(log_mel_spectrogram(wav))
+    got = np.asarray(log_mel_spectrogram_pallas(wav, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

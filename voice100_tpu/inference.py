@@ -1,0 +1,187 @@
+"""Serving pipelines: batched, bucketed ASR and TTS inference.
+
+The reference has no in-repo serving path (inference is delegated to
+exported ONNX models consumed by voice100-runtime; the only end-to-end
+synth flow is update_samples.py). This module is the framework's
+first-class serving surface, designed for TPU batch inference:
+
+* inputs bucket to a small set of padded shapes (one compiled program
+  per bucket, no retrace storms),
+* ASR runs waveform -> log-mel -> encoder -> greedy ids entirely
+  on-device in one jit; token merging happens on host via the tokenizer
+  (same decode flow the reference's runtime uses,
+  /root/reference/tests/test_onnx.py:39-43),
+* TTS runs text -> durations -> aligned text -> WORLD features ->
+  waveform with the duration expansion and vocoder synthesis on-device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models import AudioToAlignText, TextToAlignText, AlignTextToAudio
+from .ops.melspec import log_mel_spectrogram
+from .ops.augment import BLANK_AUDIO
+from .text import get_phonemizer, get_tokenizer
+
+__all__ = ["ASRPipeline", "TTSPipeline"]
+
+
+def _bucket(n: int, sizes: Sequence[int]) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return sizes[-1]
+
+
+class ASRPipeline:
+    """waveforms -> transcripts with the v2 ASR model."""
+
+    def __init__(
+        self,
+        model: AudioToAlignText,
+        variables,
+        language: str = "en",
+        use_phone: bool = False,
+        sample_rate: int = 16000,
+        batch_size: int = 8,
+        buckets_sec: Sequence[float] = (2.0, 5.0, 10.0, 20.0, 40.0),
+    ) -> None:
+        self.model = model
+        self.variables = variables
+        self.tokenizer = get_tokenizer(language, use_phone)
+        self.sample_rate = sample_rate
+        self.batch_size = batch_size
+        self.buckets = [int(s * sample_rate) for s in buckets_sec]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, variables, wav, wav_len):
+        mel = log_mel_spectrogram(wav, sample_rate=self.sample_rate)
+        mel_len = wav_len // 160 + 1
+        # padded waveform tails produce mel frames past mel_len; mask
+        # them to the blank level the model was trained with
+        t = jnp.arange(mel.shape[1])
+        mask = (t[None, :] < mel_len[:, None])[:, :, None]
+        mel = jnp.where(mask, mel, BLANK_AUDIO)
+        ids, out_len = self.model.apply(
+            variables, mel, mel_len,
+            method=AudioToAlignText.greedy_decode,
+        )
+        return ids, out_len
+
+    def transcribe(self, waveforms: List[np.ndarray]) -> List[str]:
+        """Batch transcription; inputs are float32 mono at sample_rate."""
+        order = np.argsort([len(w) for w in waveforms])
+        results: List[Optional[str]] = [None] * len(waveforms)
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start:start + self.batch_size]
+            max_len = _bucket(
+                max(len(waveforms[i]) for i in chunk), self.buckets
+            )
+            batch = np.zeros(
+                (self.batch_size, max_len), np.float32
+            )
+            lengths = np.zeros(self.batch_size, np.int32)
+            for row, i in enumerate(chunk):
+                w = waveforms[i][:max_len]
+                batch[row, : len(w)] = w
+                lengths[row] = len(w)
+            ids, out_len = self._decode(
+                self.variables, jnp.asarray(batch), jnp.asarray(lengths)
+            )
+            ids = np.asarray(ids)
+            out_len = np.asarray(out_len)
+            for row, i in enumerate(chunk):
+                raw = self.tokenizer.decode(ids[row, : out_len[row]])
+                results[i] = self.tokenizer.merge_repeated(raw)
+        return results  # type: ignore[return-value]
+
+
+class TTSPipeline:
+    """texts -> waveforms with the v2 align + audio models."""
+
+    def __init__(
+        self,
+        align_model: TextToAlignText,
+        align_variables,
+        audio_model: AlignTextToAudio,
+        audio_variables,
+        language: str = "en",
+        use_phone: bool = True,
+        sample_rate: int = 16000,
+        text_buckets: Sequence[int] = (64, 128, 256),
+        frame_buckets: Sequence[int] = (256, 512, 1024, 2048),
+    ) -> None:
+        from .dsp.world import WORLDVocoder
+
+        self.align_model = align_model
+        self.align_variables = align_variables
+        self.audio_model = audio_model
+        self.audio_variables = audio_variables
+        self.phonemizer = get_phonemizer(language, use_phone)
+        self.tokenizer = get_tokenizer(language, use_phone)
+        self.sample_rate = sample_rate
+        self.text_buckets = list(text_buckets)
+        self.frame_buckets = list(frame_buckets)
+        self.vocoder = WORLDVocoder(
+            sample_rate=sample_rate,
+            use_mcep=audio_model.logspc_size == 25,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _acoustics(self, variables, aligntext, aligntext_len):
+        return self.audio_model.apply(
+            variables, aligntext, aligntext_len,
+            method=AlignTextToAudio.predict,
+        )
+
+    def synthesize(self, texts: List[str]) -> List[np.ndarray]:
+        encoded = [self.tokenizer(self.phonemizer(t)) for t in texts]
+        text_bucket = _bucket(
+            max(len(e) for e in encoded), self.text_buckets
+        )
+        text = np.zeros((len(texts), text_bucket), np.int32)
+        text_len = np.zeros(len(texts), np.int32)
+        for i, e in enumerate(encoded):
+            e = e[:text_bucket]
+            text[i, : len(e)] = e
+            text_len[i] = len(e)
+
+        # first pass for capacity, then the bucketed expansion
+        durations = self.align_model.apply(
+            self.align_variables, jnp.asarray(text), jnp.asarray(text_len),
+            method=TextToAlignText.predict,
+        )
+        mask = (
+            np.arange(text_bucket)[None, :] < text_len[:, None]
+        )
+        totals = np.asarray(
+            jnp.sum(durations * mask[:, :, None], axis=(1, 2))
+        )
+        need = int(np.max(totals)) + text_bucket + 16
+        out_len = _bucket(need, self.frame_buckets)
+
+        aligntext, aligntext_len = self.align_model.apply(
+            self.align_variables, jnp.asarray(text), durations,
+            jnp.asarray(text_len), out_len,
+            method=TextToAlignText.align,
+        )
+        f0, feat, codeap = self._acoustics(
+            self.audio_variables, aligntext, aligntext_len
+        )
+        f0 = np.asarray(f0)
+        feat = np.asarray(feat)
+        codeap = np.asarray(codeap)
+        aligntext_len = np.asarray(aligntext_len)
+
+        wavs = []
+        for i in range(len(texts)):
+            n = int(aligntext_len[i]) * 2
+            wav = self.vocoder.decode(f0[i, :n], feat[i, :n], codeap[i, :n])
+            wavs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
+        return wavs

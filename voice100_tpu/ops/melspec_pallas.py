@@ -1,0 +1,122 @@
+"""Fused log-mel Pallas kernel for TPU.
+
+The jnp path (ops.melspec) materializes the [frames, n_fft//2+1] power
+spectrum in HBM between matmuls. This kernel keeps one tile of frames
+resident in VMEM through the whole chain —
+
+    frames @ DFT_cos, frames @ DFT_sin  (MXU)
+    re^2 + im^2                          (VPU)
+    power @ mel_fb                       (MXU)
+    log(. + offset)                      (VPU)
+
+— writing only the [tile, n_mels] result, which removes the
+intermediate HBM round trip. Frequency dimensions are zero-padded to a
+lane multiple (128) so the MXU tiles cleanly; padded rows/cols are zero
+and do not change the result.
+
+Numerics match ops.melspec.log_mel_spectrogram (same constants,
+fp32 matmuls) — asserted by tests in interpret mode and on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .melspec import hann_window, mel_filterbank, frame_signal, LOG_OFFSET
+
+__all__ = ["log_mel_spectrogram_pallas"]
+
+_TILE = 128  # frames per grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _constants(n_fft: int, win_length: int, n_mels: int, sample_rate: int):
+    """Padded DFT/mel matrices with the window folded into the DFT."""
+    n_freq = n_fft // 2 + 1
+    n_freq_pad = _round_up(n_freq, 128)
+    t = np.arange(n_fft)[:, None] * np.arange(n_freq)[None, :]
+    ang = 2.0 * np.pi * t / n_fft
+    window = hann_window(win_length, n_fft)[:, None]
+    cos_m = np.zeros((n_fft, n_freq_pad), np.float32)
+    sin_m = np.zeros((n_fft, n_freq_pad), np.float32)
+    cos_m[:, :n_freq] = np.cos(ang) * window
+    sin_m[:, :n_freq] = -np.sin(ang) * window
+    fb = np.zeros((n_freq_pad, n_mels), np.float32)
+    fb[:n_freq] = mel_filterbank(n_freq, n_mels, sample_rate)
+    return cos_m, sin_m, fb
+
+
+def _kernel(frames_ref, cos_ref, sin_ref, fb_ref, out_ref, *, log_offset):
+    frames = frames_ref[:]
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.log(mel + log_offset)
+
+
+def log_mel_spectrogram_pallas(
+    waveform: jnp.ndarray,
+    sample_rate: int = 16000,
+    n_fft: int = 512,
+    win_length: int = 400,
+    hop_length: int = 160,
+    n_mels: int = 64,
+    log_offset: float = LOG_OFFSET,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``[..., T] -> [..., F, n_mels]``, fused on TPU."""
+    frames = frame_signal(
+        waveform.astype(jnp.float32), n_fft, hop_length
+    )  # [..., F, n_fft] (window folded into the DFT constants)
+    lead = frames.shape[:-2]
+    n_frames = frames.shape[-2]
+    rows = int(np.prod(lead, dtype=np.int64)) * n_frames if lead else n_frames
+    flat = frames.reshape(rows, n_fft)
+    rows_pad = _round_up(max(rows, _TILE), _TILE)
+    flat = jnp.pad(flat, ((0, rows_pad - rows), (0, 0)))
+
+    cos_m, sin_m, fb = _constants(n_fft, win_length, n_mels, sample_rate)
+    grid = (rows_pad // _TILE,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, log_offset=log_offset),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, n_mels), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_TILE, n_fft), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                cos_m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                sin_m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                fb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * n_fft * cos_m.shape[1] * 2
+            + 2 * rows_pad * cos_m.shape[1] * n_mels,
+            bytes_accessed=rows_pad * (n_fft + n_mels) * 4,
+            transcendentals=rows_pad * n_mels,
+        ),
+        interpret=interpret,
+    )(flat, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(fb))
+    out = out[:rows]
+    return out.reshape(*lead, n_frames, n_mels)

@@ -190,8 +190,39 @@ def cli_main(argv=None) -> None:
             init_variables=init_variables,
         )
     else:
-        raise SystemExit(
-            "validate/test require a checkpoint flow; use fit for now"
+        ckpt = args.restore_from or os.path.join(tc.checkpoint_dir, "best")
+        if not os.path.isdir(ckpt):
+            ckpt = os.path.join(tc.checkpoint_dir, "last")
+        if not os.path.isdir(ckpt):
+            raise SystemExit(
+                f"no checkpoint found under {tc.checkpoint_dir}; "
+                "pass --restore_from"
+            )
+        from .checkpoint import load_variables
+        from .tasks import make_task
+        from .trainer import TrainState
+
+        variables = dict(load_variables(ckpt))
+        params = variables.pop("params")
+        state = TrainState(params=params, extra=variables, opt_state=None)
+        stage = "test" if args.subcommand == "test" else "fit"
+        if stage == "fit":
+            # validate: run the val split of the fit stage
+            data.setup("fit")
+            loader = data.val_dataloader()
+        else:
+            data.setup("test")
+            loader = data.test_dataloader()
+        task = make_task(model)
+        _, eval_step = trainer._make_step_fns(task, task.make_optimizer(1))
+        if trainer.mesh is None:
+            from ..parallel.mesh import fit_mesh_for_batch
+
+            trainer.mesh = fit_mesh_for_batch(data.batch_size)
+        metrics = trainer.evaluate(eval_step, state, loader)
+        prefix = "test" if args.subcommand == "test" else "val"
+        print(
+            " ".join(f"{prefix}_{k}={v:.4f}" for k, v in metrics.items())
         )
 
 
