@@ -143,6 +143,18 @@ class BiLSTM(nn.Module):
     num_layers: int
     dropout: float = 0.2
 
+    @staticmethod
+    def compute_dtype():
+        """Optional reduced-precision matmuls (f32 state/accumulation).
+
+        Controlled by VOICE100_TPU_MATMUL_DTYPE=bfloat16 — a serving-
+        side speed knob; training and parity tests default to float32.
+        """
+        import os
+
+        name = os.environ.get("VOICE100_TPU_MATMUL_DTYPE", "")
+        return jnp.bfloat16 if name == "bfloat16" else None
+
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True
@@ -176,7 +188,8 @@ class BiLSTM(nn.Module):
         if not deterministic and self.dropout > 0.0:
             rng = self.make_rng("dropout")
         return multilayer_bilstm(
-            params, x, lengths, dropout=self.dropout, dropout_rng=rng
+            params, x, lengths, dropout=self.dropout, dropout_rng=rng,
+            compute_dtype=BiLSTM.compute_dtype(),
         )
 
 

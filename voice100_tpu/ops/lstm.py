@@ -129,11 +129,69 @@ def lstm_direction(
     return jnp.swapaxes(out, 0, 1)  # [B, T, H]
 
 
-def bilstm(layer_params: Dict[str, Params], x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """Bidirectional layer: concat(fwd, bwd) -> ``[B, T, 2H]``."""
-    fwd = lstm_direction(layer_params["fwd"], x, lengths, reverse=False)
-    bwd = lstm_direction(layer_params["bwd"], x, lengths, reverse=True)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+def bilstm(
+    layer_params: Dict[str, Params],
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Bidirectional layer: concat(fwd, bwd) -> ``[B, T, 2H]``.
+
+    Both directions run in ONE ``lax.scan``: the recurrent matmuls of
+    fwd and bwd stack into a single batched GEMM per step
+    (``[2, B, H] x [2, H, 4H]``), halving the sequential scan overhead
+    versus two separate scans — the dominant cost for these small
+    recurrent shapes on TPU.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) casts the matmul operands
+    while keeping the state and accumulation in float32.
+    """
+    batch, time, _ = x.shape
+    fwd, bwd = layer_params["fwd"], layer_params["bwd"]
+    hidden = fwd["w_hh"].shape[1]
+    out_dtype = x.dtype
+    cd = compute_dtype or x.dtype
+
+    def in_proj(p):
+        w = p["w_ih"].T.astype(cd)
+        return (
+            jnp.matmul(x.astype(cd), w, preferred_element_type=out_dtype)
+            + p["b_ih"] + p["b_hh"]
+        )
+
+    xg_f = jnp.swapaxes(in_proj(fwd), 0, 1)          # [T, B, 4H]
+    xg_b = jnp.swapaxes(in_proj(bwd), 0, 1)[::-1]    # reversed time
+    xg = jnp.stack([xg_f, xg_b], axis=1)             # [T, 2, B, 4H]
+    t_fwd = jnp.arange(time)
+    t_idx = jnp.stack([t_fwd, t_fwd[::-1]], axis=1)  # [T, 2]
+
+    w_hh = jnp.stack(
+        [fwd["w_hh"].T, bwd["w_hh"].T], axis=0
+    ).astype(cd)  # [2, H, 4H]
+
+    def step(carry, inp):
+        h_prev, c_prev = carry  # [2, B, H]
+        gates_x, t = inp        # [2, B, 4H], [2]
+        gates = gates_x + jnp.einsum(
+            "dbh,dhg->dbg", h_prev.astype(cd), w_hh,
+            preferred_element_type=out_dtype,
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        valid = (t[:, None] < lengths[None, :])[:, :, None].astype(out_dtype)
+        h = valid * h + (1.0 - valid) * h_prev
+        c = valid * c + (1.0 - valid) * c_prev
+        return (h, c), h * valid
+
+    init = (
+        jnp.zeros((2, batch, hidden), out_dtype),
+        jnp.zeros((2, batch, hidden), out_dtype),
+    )
+    _, out = jax.lax.scan(step, init, (xg, t_idx))  # [T, 2, B, H]
+    out_f = jnp.swapaxes(out[:, 0], 0, 1)
+    out_b = jnp.swapaxes(out[::-1, 1], 0, 1)
+    return jnp.concatenate([out_f, out_b], axis=-1)
 
 
 def multilayer_bilstm(
@@ -142,6 +200,7 @@ def multilayer_bilstm(
     lengths: jnp.ndarray,
     dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Stacked (bi)LSTM with inter-layer dropout (torch convention:
     applied to every layer's output except the last, training only —
@@ -149,7 +208,7 @@ def multilayer_bilstm(
     out = x
     for i, layer in enumerate(params):
         if "bwd" in layer:
-            out = bilstm(layer, out, lengths)
+            out = bilstm(layer, out, lengths, compute_dtype=compute_dtype)
         else:
             out = lstm_direction(layer["fwd"], out, lengths, reverse=False)
         last = i == len(params) - 1

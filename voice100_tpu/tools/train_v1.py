@@ -61,15 +61,6 @@ def _trainer(args, name: str, monitor: str) -> Trainer:
     )
 
 
-def _load_stats_into(variables, path):
-    stats = dict(np.load(path))
-    target = variables["world_norm"]["norm"]
-    for key in list(target):
-        if key in stats:
-            target[key] = stats[key].reshape(np.shape(target[key]))
-    return variables
-
-
 def asr_cli_main(argv=None) -> None:
     """v1 conv-CTC ASR (reference voice100/train_asr.py)."""
     from ..models import AudioToTextCTC
@@ -173,7 +164,9 @@ def _fit_ttsaudio(args, model_cls, name: str, use_target: bool) -> None:
         task = make_task(model)
         batch = next(iter(data.train_dataloader()))
         init_variables = dict(task.init(jax.random.PRNGKey(1234), batch))
-        init_variables = _load_stats_into(init_variables, stat_path)
+        from ..training.checkpoint import merge_world_stats
+
+        init_variables = merge_world_stats(init_variables, stat_path)
     trainer.fit(
         model, data,
         restore_from=args.resume_from_checkpoint,

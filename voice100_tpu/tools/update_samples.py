@@ -53,11 +53,9 @@ def make_samples(
     align_vars = load_variables(align_ckpt_path)
     audio_vars = load_variables(audio_ckpt_path)
     if audio_stat:
-        stats = dict(np.load(audio_stat))
-        target = audio_vars["world_norm"]["norm"]
-        for key in list(target):
-            if key in stats:
-                target[key] = stats[key].reshape(np.shape(target[key]))
+        from ..training.checkpoint import merge_world_stats
+
+        audio_vars = merge_world_stats(audio_vars, audio_stat)
 
     phonemizer = get_phonemizer(language=language, use_phone=use_phone)
     tokenizer = get_tokenizer(language=language, use_phone=use_phone)

@@ -57,6 +57,24 @@ def restore_checkpoint(path: str, state):
     )
 
 
+def merge_world_stats(variables: dict, stat_path: str) -> dict:
+    """Overwrite WORLDNorm statistics in a variables dict from a
+    calc-stat ``.npz`` (keys f0_mean/f0_std/logspc_*/codeap_*) — the
+    analogue of the reference's ``norm.load_state_dict(torch.load(...))``
+    (voice100/models/_tts_v2.py:44-45)."""
+    stats = dict(np.load(stat_path))
+    wn = variables.get("world_norm")
+    if wn is None:
+        return variables
+    target = wn.get("norm", wn)
+    for key in list(target):
+        if key in stats:
+            target[key] = (
+                stats[key].astype(np.float32).reshape(np.shape(target[key]))
+            )
+    return variables
+
+
 def load_variables(path: str) -> dict:
     """Load just the model variables ({'params': ..., **extra}) from a
     checkpoint — the analogue of ``Model.load_from_checkpoint``."""

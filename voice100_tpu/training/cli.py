@@ -111,23 +111,6 @@ def build_from_config(config: Dict[str, Any], overrides: Dict[str, Any]):
     return model, data, tc, audio_stat
 
 
-def _load_world_stats(model_variables, audio_stat_path):
-    """Merge WORLD norm stats from a calc-stat .npz into variables."""
-    import numpy as np
-
-    stats = dict(np.load(audio_stat_path))
-    wn = model_variables.get("world_norm")
-    if wn is None:
-        return model_variables
-    target = wn.get("norm", wn)
-    for key in target:
-        if key in stats:
-            target[key] = stats[key].astype(np.float32).reshape(
-                np.shape(target[key])
-            )
-    return model_variables
-
-
 def cli_main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="voice100-tpu")
     parser.add_argument(
@@ -183,7 +166,9 @@ def cli_main(argv=None) -> None:
                 jax.random.PRNGKey(tc.seed), next(iter(loader))
             )
             init_variables = dict(init_variables)
-            init_variables = _load_world_stats(init_variables, audio_stat)
+            from .checkpoint import merge_world_stats
+
+            init_variables = merge_world_stats(init_variables, audio_stat)
         trainer.fit(
             model, data,
             restore_from=args.restore_from,
