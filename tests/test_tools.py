@@ -201,3 +201,23 @@ def test_world_pipeline_and_update_samples(workdir):
     assert rate == 16000
     assert wav.shape[1] > 1000
     assert np.isfinite(wav).all()
+
+
+def test_export_stablehlo(workdir, tmp_path):
+    """Export the tiny ASR checkpoint as StableHLO and reload-run it."""
+    import jax
+    from jax import export as jax_export
+    from voice100_tpu.tools.export import cli_main as export_main
+
+    cfg = str(workdir / "asr.yaml")
+    ckpt = os.path.join(str(workdir / "asr_ckpt"), "last")
+    out = str(tmp_path / "asr.stablehlo")
+    export_main(["--config", cfg, "--ckpt_path", ckpt, "--output", out])
+    assert os.path.exists(out)
+    assert os.path.exists(out + ".json")
+
+    blob = open(out, "rb").read()
+    exported = jax_export.deserialize(bytearray(blob))
+    audio = np.zeros((1, 512, 64), np.float32)
+    logits, logits_len = exported.call(audio, np.asarray([512], np.int32))
+    assert logits.shape == (1, 256, 29)

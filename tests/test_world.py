@@ -145,3 +145,30 @@ def test_vocoder_mcep_mode():
     y = voc.decode(f0, mcep, codeap)
     assert np.isfinite(y).all()
     assert np.sqrt((y ** 2).mean()) > 1e-4
+
+
+def test_decode_batch_matches_single():
+    """Batched on-device decode ~ per-utterance decode (same features,
+    noise realization differs => compare framewise energy envelopes)."""
+    from voice100_tpu.dsp.world import WORLDVocoder
+
+    x = synth_voice(150.0, seconds=0.5)
+    voc = WORLDVocoder(sample_rate=FS)
+    f0, logspc, codeap = voc.encode(x)
+    single = voc.decode(f0, logspc, codeap)
+    batch = voc.decode_batch(
+        f0[None], logspc[None], codeap[None],
+        np.asarray([len(f0)]),
+    )
+    assert batch.shape[0] == 1
+    n = min(len(single), batch.shape[1])
+
+    def env(w):
+        m = w[: n - n % 160].reshape(-1, 160)
+        return np.sqrt((m**2).mean(axis=1))
+
+    e1, e2 = env(single), env(batch[0])
+    # voiced-region envelopes agree within a few percent
+    mask = e1 > 0.1 * e1.max()
+    ratio = e2[mask] / e1[mask]
+    assert np.median(np.abs(ratio - 1.0)) < 0.25

@@ -129,3 +129,51 @@ class WORLDVocoder:
         return synthesize(
             f0, spc, ap, fs=self.sample_rate, frame_period=self.frame_period
         )
+
+    def decode_batch(
+        self,
+        f0: np.ndarray,
+        logspc_or_mcep: np.ndarray,
+        codeap: np.ndarray,
+        lengths: np.ndarray,
+    ) -> np.ndarray:
+        """Batched synthesis on-device: ``[B, T]``/``[B, T, D]`` padded
+        features -> ``[B, samples]`` waveforms (vmapped over the batch,
+        one compiled program per padded length). Frames at/after
+        ``lengths`` are muted."""
+        import jax
+        import jax.numpy as jnp
+
+        from .synthesis import synthesize_fn
+
+        f0 = jnp.asarray(f0, jnp.float32)
+        feat = jnp.asarray(logspc_or_mcep, jnp.float32)
+        codeap = np.asarray(codeap, dtype=np.float64)
+        if self.use_mcep:
+            logspc = feat @ jnp.asarray(
+                self.mc2sp_matrix.astype(np.float32)
+            )
+        else:
+            logspc = feat
+        spc = jnp.maximum(jnp.exp(logspc) - self.log_offset, 0.0)
+        ap = jnp.asarray(
+            decode_aperiodicity(
+                codeap.reshape(-1, codeap.shape[-1]),
+                self.sample_rate, self.n_fft,
+            ).reshape(codeap.shape[:-1] + (self.n_fft // 2 + 1,)),
+            jnp.float32,
+        )
+        t = jnp.arange(f0.shape[1])
+        frame_ok = t[None, :] < jnp.asarray(lengths)[:, None]
+        f0 = jnp.where(frame_ok, f0, 0.0)
+        spc = jnp.where(frame_ok[:, :, None], spc, 1e-12)
+        keys = jax.random.split(
+            jax.random.PRNGKey(0), f0.shape[0]
+        )
+        wav = jax.vmap(
+            lambda a, b, c, k: synthesize_fn(
+                a, b, c, fs=self.sample_rate,
+                frame_period=self.frame_period, noise_key=k,
+            )
+        )(f0, spc, ap, keys)
+        return np.asarray(wav)

@@ -174,14 +174,15 @@ class TTSPipeline:
         f0, feat, codeap = self._acoustics(
             self.audio_variables, aligntext, aligntext_len
         )
-        f0 = np.asarray(f0)
-        feat = np.asarray(feat)
-        codeap = np.asarray(codeap)
         aligntext_len = np.asarray(aligntext_len)
-
+        audio_lens = np.minimum(aligntext_len * 2, np.asarray(f0).shape[1])
+        batch_wav = self.vocoder.decode_batch(
+            f0, feat, np.asarray(codeap), audio_lens
+        )
+        hop = int(self.sample_rate * self.vocoder.frame_period / 1000)
         wavs = []
         for i in range(len(texts)):
-            n = int(aligntext_len[i]) * 2
-            wav = self.vocoder.decode(f0[i, :n], feat[i, :n], codeap[i, :n])
+            n_samples = max(int(audio_lens[i]) - 1, 1) * hop + 1
+            wav = batch_wav[i, :n_samples]
             wavs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
         return wavs

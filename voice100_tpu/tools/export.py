@@ -27,7 +27,46 @@ __all__ = ["export_model", "cli_main"]
 
 def _predict_fn(model, variables):
     import jax.numpy as jnp
-    from ..models import AudioToAlignText, TextToAlignText, AlignTextToAudio
+    from ..models import (
+        AudioToAlignText,
+        TextToAlignText,
+        AlignTextToAudio,
+        AudioToTextCTC,
+        AudioAlignCTC,
+        TextToAlignTextModel,
+        AlignTextToAudioModel,
+        AlignTextToAudioMultiTaskModel,
+    )
+
+    # v1 family (reference export_onnx_v1.py surfaces)
+    if isinstance(model, AudioToTextCTC):
+        def fn(audio):
+            return model.apply(variables, audio)
+
+        return fn, (np.zeros((1, 512, model.audio_size), np.float32),), "asr_v1"
+    if isinstance(model, AudioAlignCTC):
+        def fn(audio, audio_len):
+            return model.apply(variables, audio, audio_len)
+
+        example = (
+            np.zeros((1, 512, model.audio_size), np.float32),
+            np.asarray([512], np.int32),
+        )
+        return fn, example, "align_ctc_v1"
+    if isinstance(model, TextToAlignTextModel):
+        def fn(text):
+            return model.apply(variables, text)
+
+        return fn, (np.zeros((1, 128), np.int32),), "ttsalign_v1"
+    if isinstance(
+        model, (AlignTextToAudioModel, AlignTextToAudioMultiTaskModel)
+    ):
+        def fn(aligntext):
+            return model.apply(
+                variables, aligntext, method=type(model).predict
+            )
+
+        return fn, (np.zeros((1, 128), np.int32),), "ttsaudio_v1"
 
     if isinstance(model, AudioToAlignText):
         def fn(audio, audio_len):
