@@ -38,6 +38,29 @@ EN_PHONE = [
 ]
 
 
+JA_SENTENCES = [
+    "こんにちは世界",
+    "やっぱりヴォイス",
+    "おんせいにんしきとごうせい",
+    "にほんごのてすとです",
+    "コーヒーをのみます",
+    "あしたははれです",
+    "ねこがすきです",
+    "でんわをかけます",
+]
+
+JA_PHONE = [
+    "k o N n i ch i w a s e k a i",
+    "y a q p a r i b o i s u",
+    "o N s e i n i N sh i k i",
+    "n i h o N g o n o t e s u t o",
+    "k o: h i: o n o m i m a s u",
+    "a sh i t a w a h a r e d e s u",
+    "n e k o g a s u k i d e s u",
+    "d e N w a o k a k e m a s u",
+]
+
+
 def make_dummy_corpus(
     data_dir: str,
     language: str = "en",
@@ -50,6 +73,9 @@ def make_dummy_corpus(
     wavs = os.path.join(root, "wavs")
     os.makedirs(wavs, exist_ok=True)
     rng = np.random.RandomState(seed)
+    sentences = JA_SENTENCES if language == "ja" else EN_SENTENCES
+    phones = JA_PHONE if language == "ja" else EN_PHONE
+    phone_sep = " " if language == "ja" else "/"
 
     lines = []
     for i in range(n_clips):
@@ -67,28 +93,31 @@ def make_dummy_corpus(
             wav.astype(np.float32),
             sample_rate,
         )
-        text = EN_SENTENCES[i % len(EN_SENTENCES)]
+        text = sentences[i % len(sentences)]
         lines.append(f"{clipid}|{text}|{text}")
-    with open(os.path.join(root, "metadata.csv"), "w") as f:
+    with open(os.path.join(root, "metadata.csv"), "w",
+              encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
 
     # text files: dummy_{lang}-train.txt (clipid|normalized text)
     name = f"dummy_{language}"
-    with open(os.path.join(data_dir, f"{name}-train.txt"), "w") as f:
+    with open(os.path.join(data_dir, f"{name}-train.txt"), "w",
+              encoding="utf-8") as f:
         for i in range(n_clips):
-            text = EN_SENTENCES[i % len(EN_SENTENCES)]
+            text = sentences[i % len(sentences)]
             f.write(f"clip{i:04d}|{text}\n")
-    with open(os.path.join(data_dir, f"{name}-phone-train.txt"), "w") as f:
+    with open(os.path.join(data_dir, f"{name}-phone-train.txt"), "w",
+              encoding="utf-8") as f:
         for i in range(n_clips):
-            f.write(f"clip{i:04d}|{EN_PHONE[i % len(EN_PHONE)]}\n")
+            f.write(f"clip{i:04d}|{phones[i % len(phones)]}\n")
 
     # align files: text|aligntext|counts over 2*len(text)+1 slots
     for infix, texts, sep in (
-        ("align", EN_SENTENCES, ""),
-        ("phone-align", EN_PHONE, "/"),
+        ("align", sentences, ""),
+        ("phone-align", phones, phone_sep),
     ):
         path = os.path.join(data_dir, f"{name}-{infix}-train.txt")
-        with open(path, "w") as f:
+        with open(path, "w", encoding="utf-8") as f:
             for i in range(n_clips):
                 text = texts[i % len(texts)]
                 n_tok = len(text.split(sep)) if sep else len(text)

@@ -169,3 +169,65 @@ def test_mcep_matrices_roundtrip():
     np.testing.assert_allclose(
         (const @ sp2mc) @ mc2sp, const, atol=1e-6
     )
+
+
+def test_cache_corruption_recovers(corpus, tmp_path):
+    """A corrupt cache file is ignored and features recompute
+    (reference behavior: voice100/data_modules.py:213-227)."""
+    import glob as _glob
+    from voice100_tpu.data import AudioTextDataModule
+
+    cache_dir = str(tmp_path / "cache_corrupt")
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=corpus,
+        cache_dir=cache_dir, batch_size=4, valid_ratio=0.0,
+    )
+    data.setup("predict")
+    first = data.predict_ds[0]
+    # corrupt every cache file
+    for f in _glob.glob(cache_dir + "/*.npz"):
+        with open(f, "wb") as fh:
+            fh.write(b"not a npz")
+    again = data.predict_ds[0]
+    np.testing.assert_allclose(first[0], again[0])
+
+
+def test_ljspeech_gated(corpus):
+    """Real-corpus test, skipped without ./data/LJSpeech-1.1
+    (reference tests/test_datasets.py:212-219 pattern)."""
+    import os as _os
+    if not _os.path.exists("./data/LJSpeech-1.1"):
+        pytest.skip("LJSpeech not present")
+    from voice100_tpu.data import get_base_dataset
+
+    ds = get_base_dataset("./data", "ljspeech", "train")
+    assert len(ds) > 10000
+
+
+def test_ja_datamodule(tmp_path):
+    """Japanese dummy corpus through the phone pipeline."""
+    from corpus_fixture import make_dummy_corpus
+    from voice100_tpu.data import AudioTextDataModule, AlignTextDataModule
+
+    data_dir = str(tmp_path / "ja")
+    make_dummy_corpus(data_dir, language="ja", n_clips=4)
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_ja", language="ja", use_phone=True,
+        data_dir=data_dir, cache_dir=str(tmp_path / "cache"),
+        batch_size=2, valid_ratio=0.25,
+    )
+    assert data.vocab_size == 44
+    data.setup("fit")
+    (audio, audio_len), (text, text_len) = next(
+        iter(data.train_dataloader())
+    )
+    assert (text_len > 0).all()
+    assert text.max() < 44
+
+    align_dm = AlignTextDataModule(
+        data_dir=data_dir, dataset="dummy_ja", language="ja",
+        use_phone=True, batch_size=2,
+    )
+    align_dm.setup()
+    batches = list(align_dm.train_dataloader())
+    assert batches
