@@ -32,7 +32,10 @@ def _flagship_asr():
     from voice100_tpu.models import AudioToAlignText
 
     model = _make_asr_model()
-    batch = 8
+    # throughput RTF: per-chip audio seconds decoded per wall second at
+    # a serving batch (the CTC models are non-autoregressive; batch 64
+    # fills the MXU where batch 8 is dispatch-bound)
+    batch = 64
     seconds_per_clip = 10.0
     frames = int(seconds_per_clip * 100)  # 10 ms hop
     rng = np.random.RandomState(0)

@@ -249,3 +249,17 @@ def test_pallas_logmel_matches_jnp():
     got = np.asarray(log_mel_spectrogram_pallas(wav, interpret=True))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bilstm_matches_scan():
+    """Pallas grid-over-time LSTM kernel (interpret mode) vs the scan."""
+    from voice100_tpu.ops.lstm import init_lstm_params, bilstm
+    from voice100_tpu.ops.lstm_pallas import bilstm_pallas
+
+    params = init_lstm_params(jax.random.PRNGKey(0), 8, 16, 1)[0]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 12, 8).astype(np.float32))
+    lengths = jnp.asarray([12, 7, 3], jnp.int32)
+    ref = np.asarray(bilstm(params, x, lengths))
+    got = np.asarray(bilstm_pallas(params, x, lengths, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

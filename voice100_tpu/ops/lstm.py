@@ -205,10 +205,20 @@ def multilayer_bilstm(
     """Stacked (bi)LSTM with inter-layer dropout (torch convention:
     applied to every layer's output except the last, training only —
     pass ``dropout_rng=None`` for eval)."""
+    import os
+
+    use_pallas = os.environ.get("VOICE100_TPU_LSTM_KERNEL") == "pallas"
     out = x
     for i, layer in enumerate(params):
         if "bwd" in layer:
-            out = bilstm(layer, out, lengths, compute_dtype=compute_dtype)
+            if use_pallas:
+                from .lstm_pallas import bilstm_pallas
+
+                out = bilstm_pallas(layer, out, lengths)
+            else:
+                out = bilstm(
+                    layer, out, lengths, compute_dtype=compute_dtype
+                )
         else:
             out = lstm_direction(layer["fwd"], out, lengths, reverse=False)
         last = i == len(params) - 1

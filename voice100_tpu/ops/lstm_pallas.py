@@ -1,0 +1,123 @@
+"""Fused bidirectional LSTM layer as a Pallas TPU kernel.
+
+The scan path (ops.lstm.bilstm) pays XLA loop overhead per timestep.
+This kernel walks the time axis with the TPU grid (grid steps execute
+sequentially on a core, so VMEM scratch carries the recurrent state),
+keeping both directions' (h, c) and recurrent weights VMEM-resident and
+streaming the precomputed input projections block-by-block with Pallas's
+automatic double buffering:
+
+    grid = (T,)                  # sequential on TPU
+    scratch: h[2, B, H], c[2, B, H]
+    per step: gates = xg_t + h @ W_hh  (one MXU dot per direction)
+              elementwise LSTM cell (VPU), masked state freeze
+
+Semantics identical to ops.lstm.bilstm (packed-sequence masking, torch
+gate order); asserted by tests in interpret mode and on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bilstm_pallas"]
+
+
+def _kernel(len_ref, xg_ref, whh_ref, out_ref, h_ref, c_ref):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    lengths = len_ref[0]  # [B]
+    hidden = h_ref.shape[-1]
+    # per-direction time index: fwd walks t, bwd walks n_t-1-t
+    t_dir = jnp.stack([t, n_t - 1 - t])  # [2]
+
+    h_prev = h_ref[...]
+    c_prev = c_ref[...]
+    xg = xg_ref[0]  # [2, B, 4H]
+
+    gates = xg + jax.lax.dot_general(
+        h_prev, whh_ref[...],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    i = jax.nn.sigmoid(gates[..., :hidden])
+    f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+    g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+    c = f * c_prev + i * g
+    h = o * jnp.tanh(c)
+
+    valid = (
+        t_dir[:, None] < lengths[None, :]
+    )[:, :, None].astype(h.dtype)  # [2, B, 1]
+    h = valid * h + (1.0 - valid) * h_prev
+    c = valid * c + (1.0 - valid) * c_prev
+    h_ref[...] = h
+    c_ref[...] = c
+    out_ref[0] = h * valid
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
+    time, _, batch, gates4 = xg.shape
+    hidden = gates4 // 4
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (time, 2, batch, hidden), xg.dtype
+        ),
+        grid=(time,),
+        in_specs=[
+            pl.BlockSpec((1, batch), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, batch, gates4), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hidden, gates4), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, batch, hidden), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, batch, hidden), xg.dtype),
+            pltpu.VMEM((2, batch, hidden), xg.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * time * 2 * batch * hidden * gates4,
+            bytes_accessed=time * 2 * batch * (gates4 + hidden) * 4,
+            transcendentals=time * 2 * batch * hidden * 5,
+        ),
+        interpret=interpret,
+    )(lengths[None, :], xg, w_hh)
+    return out
+
+
+def bilstm_pallas(layer_params, x, lengths, interpret: bool = False):
+    """Drop-in replacement for ops.lstm.bilstm -> ``[B, T, 2H]``."""
+    fwd, bwd = layer_params["fwd"], layer_params["bwd"]
+
+    def in_proj(p):
+        return x @ p["w_ih"].T + p["b_ih"] + p["b_hh"]  # [B, T, 4H]
+
+    xg_f = jnp.swapaxes(in_proj(fwd), 0, 1)        # [T, B, 4H]
+    xg_b = jnp.swapaxes(in_proj(bwd), 0, 1)[::-1]
+    xg = jnp.stack([xg_f, xg_b], axis=1)           # [T, 2, B, 4H]
+    w_hh = jnp.stack([fwd["w_hh"].T, bwd["w_hh"].T], axis=0)
+    out = _bilstm_pallas_call(
+        xg, w_hh, lengths.astype(jnp.int32), interpret=interpret
+    )  # [T, 2, B, H]
+    out_f = jnp.swapaxes(out[:, 0], 0, 1)
+    out_b = jnp.swapaxes(out[::-1, 1], 0, 1)
+    return jnp.concatenate([out_f, out_b], axis=-1)
