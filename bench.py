@@ -32,10 +32,10 @@ def _flagship_asr():
     from voice100_tpu.models import AudioToAlignText
 
     model = _make_asr_model()
-    # throughput RTF: per-chip audio seconds decoded per wall second at
-    # a serving batch (the CTC models are non-autoregressive; batch 64
-    # fills the MXU where batch 8 is dispatch-bound)
-    batch = 64
+    # batch 8 measured faster per audio-second than 64 on v5e: the
+    # recurrent scan is HBM-bound (weight+projection restreaming), so
+    # larger batches scale worse than linear
+    batch = 8
     seconds_per_clip = 10.0
     frames = int(seconds_per_clip * 100)  # 10 ms hop
     rng = np.random.RandomState(0)
