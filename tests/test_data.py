@@ -231,3 +231,29 @@ def test_ja_datamodule(tmp_path):
     align_dm.setup()
     batches = list(align_dm.train_dataloader())
     assert batches
+
+
+def test_loader_process_sharding(corpus, tmp_path):
+    """Multi-host DP sharding: per-process strides partition the corpus."""
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.data.loader import DataLoader
+
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=corpus,
+        cache_dir=str(tmp_path / "cache_ps"), batch_size=2,
+        valid_ratio=0.0,
+    )
+    data.setup("fit")
+    seen = []
+    for pi in range(2):
+        loader = DataLoader(
+            data.train_ds, batch_size=2,
+            collate_fn=lambda items: items,
+            shuffle=True, seed=7,
+            process_index=pi, process_count=2, pad_to_full=False,
+        )
+        for items in loader:
+            for audio, text in items:
+                seen.append(tuple(np.asarray(text).tolist()))
+    # both processes together cover all 8 clips exactly once
+    assert len(seen) == 8

@@ -135,12 +135,17 @@ class AudioTextDataModule:
     def _loader(self, ds, shuffle: bool) -> Optional[DataLoader]:
         if ds is None:
             return None
+        import jax
+
         return DataLoader(
             ds,
             batch_size=self.batch_size,
             collate_fn=self.collate_fn,
             shuffle=shuffle,
             seed=self.seed,
+            # multi-host DP: each host loads its stride of the corpus
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
 
     def train_dataloader(self):

@@ -29,6 +29,8 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         pad_to_full: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -41,23 +43,31 @@ class DataLoader:
         # keeps the leading axis static (one compiled program, clean DP
         # sharding) at the cost of a few duplicated samples per epoch.
         self.pad_to_full = pad_to_full
+        # multi-host DP: each process reads its stride of the shuffled
+        # order (same seed everywhere -> consistent epoch permutation)
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count if (
+            self.process_count > 1
+        ) else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
     def _batches(self) -> Iterator:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
+        n = len(order)
         stop = n - n % self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]

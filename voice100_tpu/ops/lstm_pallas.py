@@ -28,20 +28,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["bilstm_pallas"]
 
 
-def _kernel(len_ref, xg_ref, whh_ref, out_ref, h_ref, c_ref):
+def _kernel(valid_ref, xg_ref, whh_ref, out_ref, h_ref, c_ref):
     t = pl.program_id(0)
-    n_t = pl.num_programs(0)
 
     @pl.when(t == 0)
     def _():
         h_ref[...] = jnp.zeros_like(h_ref)
         c_ref[...] = jnp.zeros_like(c_ref)
 
-    lengths = len_ref[0]  # [B]
     hidden = h_ref.shape[-1]
-    # per-direction time index: fwd walks t, bwd walks n_t-1-t
-    t_dir = jnp.stack([t, n_t - 1 - t])  # [2]
-
     h_prev = h_ref[...]
     c_prev = c_ref[...]
     xg = xg_ref[0]  # [2, B, 4H]
@@ -58,9 +53,7 @@ def _kernel(len_ref, xg_ref, whh_ref, out_ref, h_ref, c_ref):
     c = f * c_prev + i * g
     h = o * jnp.tanh(c)
 
-    valid = (
-        t_dir[:, None] < lengths[None, :]
-    )[:, :, None].astype(h.dtype)  # [2, B, 1]
+    valid = valid_ref[0][:, :, None]  # [2, B, 1] float mask
     h = valid * h + (1.0 - valid) * h_prev
     c = valid * c + (1.0 - valid) * c_prev
     h_ref[...] = h
@@ -72,6 +65,11 @@ def _kernel(len_ref, xg_ref, whh_ref, out_ref, h_ref, c_ref):
 def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
     time, _, batch, gates4 = xg.shape
     hidden = gates4 // 4
+    t_fwd = jnp.arange(time)
+    t_dir = jnp.stack([t_fwd, t_fwd[::-1]], axis=1)  # [T, 2]
+    valid = (
+        t_dir[:, :, None] < lengths[None, None, :]
+    ).astype(xg.dtype)  # [T, 2, B]
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -79,8 +77,8 @@ def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
         ),
         grid=(time,),
         in_specs=[
-            pl.BlockSpec((1, batch), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, batch), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, batch, gates4), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hidden, gates4), lambda i: (0, 0, 0),
@@ -100,7 +98,7 @@ def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
             transcendentals=time * 2 * batch * hidden * 5,
         ),
         interpret=interpret,
-    )(lengths[None, :], xg, w_hh)
+    )(valid, xg, w_hh)
     return out
 
 

@@ -44,6 +44,8 @@ class TrainerConfig:
     seed: int = 1234
     mesh_model_axis: int = 1
     log_path: Optional[str] = None
+    # capture a jax.profiler trace of training steps 2..4 into this dir
+    profile_dir: Optional[str] = None
 
 
 @dataclass
@@ -159,6 +161,8 @@ class Trainer:
             for batch in train_loader:
                 batch = shard_batch(batch, self.mesh)
                 rng, step_rng = jax.random.split(rng)
+                if cfg.profile_dir and state.step == 2:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 state.params, state.extra, state.opt_state, metrics = (
                     train_step(
                         state.params, state.extra, state.opt_state,
@@ -166,6 +170,13 @@ class Trainer:
                     )
                 )
                 state.step += 1
+                if cfg.profile_dir and state.step == 5:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics
+                    )
+                    jax.profiler.stop_trace()
+                    self._log({"event": "profile_written",
+                               "dir": cfg.profile_dir})
                 if state.step % cfg.log_every_n_steps == 0:
                     metrics = {
                         k: float(v) for k, v in metrics.items()
