@@ -21,9 +21,23 @@ training data consumed per second at asr_en_base batch 64).
 
 import argparse
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: first-compile of the 500-step recurrent
+# scan takes tens of minutes over the tunneled backend; cached reruns
+# start in seconds.
+os.makedirs("/tmp/voice100_tpu_jax_cache", exist_ok=True)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/voice100_tpu_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
