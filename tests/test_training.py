@@ -194,3 +194,40 @@ def test_cli_fit_smoke(corpus, tmp_path):
         "--checkpoint_dir", str(tmp_path / "ckpt"),
     ])
     assert os.path.isdir(str(tmp_path / "ckpt" / "last"))
+
+
+def test_cli_validate_subcommand(corpus, tmp_path):
+    """validate restores the checkpoint and reports val metrics."""
+    import yaml
+    from voice100_tpu.training.cli import cli_main
+
+    cfg = {
+        "seed_everything": 1234,
+        "trainer": {"max_epochs": 1, "gradient_clip_val": 1.0},
+        "model": {
+            "class_path": "voice100_tpu.models.AudioToAlignText",
+            "init_args": {
+                "vocab_size": 29, "audio_size": 64,
+                "encoder_settings": [[16, False, 3, 2, 1, False]],
+                "decoder_num_layers": 1, "decoder_hidden_size": 16,
+            },
+        },
+        "data": {
+            "class_path": "voice100_tpu.data.AudioTextDataModule",
+            "init_args": {
+                "vocoder": "mel", "dataset": "dummy_en",
+                "language": "en", "batch_size": 4, "valid_ratio": 0.25,
+            },
+        },
+    }
+    cfg_path = str(tmp_path / "v.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    common = [
+        "--config", cfg_path,
+        "--data_dir", corpus,
+        "--cache_dir", str(tmp_path / "cache"),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+    ]
+    cli_main(["fit"] + common)
+    cli_main(["validate"] + common)  # must not raise
