@@ -18,7 +18,7 @@ import hashlib
 import logging
 import os
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

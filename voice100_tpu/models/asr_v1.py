@@ -11,8 +11,6 @@ BatchNorm1d, statistics include padding positions.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

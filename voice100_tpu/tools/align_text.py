@@ -24,7 +24,6 @@ def run_align(model, variables, data, output_path: str) -> int:
     """Write align-text lines for every clip; returns the line count."""
     import jax
     import jax.numpy as jnp
-    from ..models import AudioToAlignText
 
     tokenizer = data.text_transform
 
@@ -61,7 +60,6 @@ def run_align(model, variables, data, output_path: str) -> int:
 
 
 def cli_main(argv=None) -> None:
-    from ..data import AudioTextDataModule
     from ..training.checkpoint import load_variables
     from ..training.cli import load_config, build_from_config
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any
-
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
