@@ -221,3 +221,74 @@ def test_export_stablehlo(workdir, tmp_path):
     audio = np.zeros((1, 512, 64), np.float32)
     logits, logits_len = exported.call(audio, np.asarray([512], np.int32))
     assert logits.shape == (1, 256, 29)
+
+
+def test_ja_phone_tts_pipeline(tmp_path):
+    """Japanese phone-mode TTS end to end on a JA dummy corpus."""
+    from corpus_fixture import make_dummy_corpus
+    from voice100_tpu.tools.calc_stat import cli_main as stat_main
+    from voice100_tpu.training.cli import cli_main as fit_main
+    from voice100_tpu.tools.update_samples import make_samples
+
+    data_dir = str(tmp_path / "data")
+    make_dummy_corpus(data_dir, language="ja", n_clips=4)
+    cache_dir = str(tmp_path / "cache")
+    stat_path = str(tmp_path / "stat.npz")
+    stat_main([
+        "--output", stat_path, "--dataset", "dummy_ja",
+        "--vocoder", "world_mcep", "--language", "ja", "--use_phone",
+        "--data_dir", data_dir, "--cache_dir", cache_dir,
+        "--batch_size", "2",
+    ])
+
+    align_cfg = str(tmp_path / "align.yaml")
+    with open(align_cfg, "w") as f:
+        yaml.safe_dump({
+            "trainer": {"max_epochs": 1},
+            "model": {"class_path": "voice100_tpu.models.TextToAlignText",
+                      "init_args": {"vocab_size": 44, "num_layers": 1,
+                                    "hidden_size": 16}},
+            "data": {"class_path": "voice100_tpu.data.AlignTextDataModule",
+                     "init_args": {"dataset": "dummy_ja", "language": "ja",
+                                   "use_phone": True, "batch_size": 2,
+                                   "data_dir": data_dir}},
+        }, f)
+    fit_main(["fit", "--config", align_cfg,
+              "--checkpoint_dir", str(tmp_path / "align_ckpt")])
+
+    tts_cfg = str(tmp_path / "tts.yaml")
+    with open(tts_cfg, "w") as f:
+        yaml.safe_dump({
+            "trainer": {"max_epochs": 1},
+            "model": {"class_path": "voice100_tpu.models.AlignTextToAudio",
+                      "init_args": {"vocab_size": 44, "logspc_size": 25,
+                                    "codeap_size": 1,
+                                    "encoder_num_layers": 1,
+                                    "encoder_hidden_size": 16,
+                                    "decoder_settings": [
+                                        [16, True, 5, 2, 2, False]]}},
+            "data": {"class_path": "voice100_tpu.data.AudioTextDataModule",
+                     "init_args": {"vocoder": "world_mcep",
+                                   "dataset": "dummy_ja", "language": "ja",
+                                   "use_align": True, "use_phone": True,
+                                   "batch_size": 2, "data_dir": data_dir,
+                                   "cache_dir": cache_dir}},
+        }, f)
+    fit_main(["fit", "--config", tts_cfg,
+              "--checkpoint_dir", str(tmp_path / "tts_ckpt"),
+              "--audio_stat", stat_path])
+
+    paths = make_samples(
+        align_config=align_cfg,
+        align_ckpt_path=str(tmp_path / "align_ckpt" / "last"),
+        audio_config=tts_cfg,
+        audio_ckpt_path=str(tmp_path / "tts_ckpt" / "last"),
+        sample_texts=["こんにちは世界"],
+        language="ja",
+        output_prefix=str(tmp_path / "sample"),
+        audio_stat=stat_path,
+    )
+    from voice100_tpu.dsp.wav import read_wav
+
+    wav, rate = read_wav(paths[0])
+    assert rate == 16000 and np.isfinite(wav).all()
