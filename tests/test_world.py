@@ -172,3 +172,19 @@ def test_decode_batch_matches_single():
     mask = e1 > 0.1 * e1.max()
     ratio = e2[mask] / e1[mask]
     assert np.median(np.abs(ratio - 1.0)) < 0.25
+
+
+def test_cheaptrick_jax_backend_matches_numpy():
+    from voice100_tpu.dsp.world import dio, cheaptrick
+
+    x = synth_voice(150.0, seconds=0.4)
+    f0, pos = dio(x, FS)
+    ref = cheaptrick(x, f0, pos, FS, 512)
+    dev = cheaptrick(x, f0, pos, FS, 512, backend="jax")
+    assert dev.shape == ref.shape
+    # f32 device vs f64 host: compare in log domain over bins that
+    # carry real energy (near-silent edge frames sit at the eps floor)
+    err = np.abs(np.log(dev + 1e-12) - np.log(ref + 1e-12))
+    significant = ref > 1e-6 * ref.max()
+    assert np.median(err) < 0.01, float(np.median(err))
+    assert err[significant].max() < 0.5, float(err[significant].max())
