@@ -188,3 +188,28 @@ def test_cheaptrick_jax_backend_matches_numpy():
     significant = ref > 1e-6 * ref.max()
     assert np.median(err) < 0.01, float(np.median(err))
     assert err[significant].max() < 0.5, float(err[significant].max())
+
+
+def test_aperiodicity_jax_backend_matches_numpy():
+    from voice100_tpu.dsp.world import dio, band_aperiodicity
+
+    x = synth_voice(150.0, seconds=0.4)
+    f0, pos = dio(x, FS)
+    ref = band_aperiodicity(x, f0, pos, FS)
+    dev = band_aperiodicity(x, f0, pos, FS, backend="jax")
+    assert dev.shape == ref.shape
+    # dB-domain agreement on voiced frames (f32 vs f64)
+    voiced = f0 > 0
+    assert np.median(np.abs(dev[voiced] - ref[voiced])) < 0.5
+
+
+def test_vocoder_jax_analysis_backend():
+    from voice100_tpu.dsp.world import WORLDVocoder
+
+    x = synth_voice(140.0, seconds=0.4)
+    ref = WORLDVocoder(sample_rate=FS).encode(x)
+    dev = WORLDVocoder(sample_rate=FS, analysis_backend="jax").encode(x)
+    np.testing.assert_array_equal(ref[0], dev[0])  # same dio f0
+    # envelopes agree in log domain over energetic bins
+    mask = ref[1] > ref[1].max() - 20  # within 20 nats of peak
+    assert np.median(np.abs(dev[1][mask] - ref[1][mask])) < 0.05

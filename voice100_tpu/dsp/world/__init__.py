@@ -55,9 +55,16 @@ class WORLDVocoder:
         n_fft: int = None,
         use_mcep: bool = False,
         log_offset: float = 1e-15,
+        analysis_backend: str = None,
     ) -> None:
+        import os
+
         self.sample_rate = sample_rate
         self.frame_period = frame_period
+        # "numpy" (host, f64) or "jax" (on-device batched FFT analysis)
+        self.analysis_backend = analysis_backend or os.environ.get(
+            "VOICE100_TPU_WORLD_BACKEND", "numpy"
+        )
         if sample_rate == 16000:
             self.mcep_dim, self.mcep_alpha, self.codeap_dim = 24, 0.410, 1
             self.n_fft = n_fft or 512
@@ -97,9 +104,15 @@ class WORLDVocoder:
             x, self.sample_rate, f0_floor=f0_floor, f0_ceil=f0_ceil,
             frame_period=self.frame_period,
         )
-        spc = cheaptrick(x, f0, positions, self.sample_rate, self.n_fft)
+        spc = cheaptrick(
+            x, f0, positions, self.sample_rate, self.n_fft,
+            backend=self.analysis_backend,
+        )
         logspc = np.log(spc + self.log_offset)
-        codeap = band_aperiodicity(x, f0, positions, self.sample_rate)
+        codeap = band_aperiodicity(
+            x, f0, positions, self.sample_rate,
+            backend=self.analysis_backend,
+        )
         if self.use_mcep:
             feat = logspc @ self.sp2mc_matrix
         else:

@@ -34,72 +34,100 @@ def band_aperiodicity(
     f0: np.ndarray,
     positions: np.ndarray,
     fs: int,
+    backend: str = "numpy",
 ) -> np.ndarray:
-    """Coarse aperiodicity in dB, ``[T, n_bands]`` (bands at 3k, 6k..)."""
+    """Coarse aperiodicity in dB, ``[T, n_bands]`` (bands at 3k, 6k..).
+
+    ``backend="jax"`` runs the batched FFT/correlation workload
+    on-device (jit-compiled per padded frame count)."""
+    if backend == "jax":
+        return np.asarray(
+            _band_aperiodicity_jax(
+                np.asarray(x, np.float32), np.asarray(f0, np.float32),
+                np.asarray(positions, np.float32), fs,
+            )
+        )
     x = np.asarray(x, dtype=np.float64)
+    return _band_ap_impl(x, f0, positions, fs, np)
+
+
+def _band_aperiodicity_jax(x, f0, positions, fs):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("fs",))
+    def impl(x, f0, positions, fs):
+        return _band_ap_impl(x, f0, positions, fs, jnp)
+
+    return impl(x, f0, positions, fs)
+
+
+def _band_ap_impl(x, f0, positions, fs, xp):
     n_bands = get_num_aperiodicities(fs)
     t_frames = f0.shape[0]
 
     # analysis segment: >= 6 periods of the lowest usable F0; a mild
     # edge taper limits FFT leakage without modulating the center
-    eff_f0 = np.where(f0 > 0, f0, 200.0)
+    eff_f0 = xp.where(f0 > 0, f0, 200.0)
     win_len = 1024
     while win_len < int(6 * fs / 80.0):
         win_len *= 2
-    offsets = np.arange(win_len) - win_len // 2
-    centers = np.round(positions * fs).astype(np.int64)
-    idx = np.clip(centers[:, None] + offsets[None, :], 0, len(x) - 1)
+    offsets = xp.arange(win_len) - win_len // 2
+    centers = xp.round(positions * fs).astype(xp.int32)
+    idx = xp.clip(centers[:, None] + offsets[None, :], 0, x.shape[0] - 1)
     seg = x[idx]
     edge = win_len // 8
-    taper = np.ones(win_len)
-    ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(edge) / edge)
-    taper[:edge] = ramp
-    taper[-edge:] = ramp[::-1]
+    ramp = 0.5 - 0.5 * xp.cos(xp.pi * xp.arange(edge) / edge)
+    taper = xp.concatenate(
+        [ramp, xp.ones(win_len - 2 * edge), ramp[::-1]]
+    )
     seg = seg * taper[None, :]
 
-    spec = np.fft.rfft(seg, axis=1)  # [T, win/2+1]
-    freqs = np.arange(spec.shape[1]) * fs / win_len
+    spec = xp.fft.rfft(seg, axis=1)  # [T, win/2+1]
+    freqs = xp.arange(spec.shape[1]) * fs / win_len
 
     # correlate only the untapered central region (+/- 2 periods)
     lag = fs / eff_f0  # [T] fractional samples
-    central = np.abs(offsets[None, :]) <= (2.0 * lag[:, None])
+    central = xp.abs(offsets[None, :]) <= (2.0 * lag[:, None])
 
-    coded = np.full((t_frames, n_bands), _FLOOR_DB)
+    cols = []
     for b in range(n_bands):
         center = _FREQ_INTERVAL * (b + 1)
         lo, hi = center - _FREQ_INTERVAL, center + _FREQ_INTERVAL
         mask = (freqs >= lo) & (freqs < hi)
-        band = np.fft.irfft(spec * mask[None, :], n=win_len, axis=1)
-        r = _fractional_autocorr(band, lag, central)
-        ratio = np.sqrt(np.clip(1.0 - r, _SAFE_MIN**2, 1.0))
-        db = 20.0 * np.log10(ratio)
-        coded[:, b] = np.clip(db, _FLOOR_DB, 0.0)
+        band = xp.fft.irfft(spec * mask[None, :], n=win_len, axis=1)
+        r = _fractional_autocorr(band, lag, central, xp)
+        ratio = xp.sqrt(xp.clip(1.0 - r, _SAFE_MIN**2, 1.0))
+        db = 20.0 * xp.log10(ratio)
+        cols.append(xp.clip(db, _FLOOR_DB, 0.0))
 
-    coded = np.where(
+    coded = xp.stack(cols, axis=1)
+    return xp.where(
         (f0 > 0)[:, None], coded, 20.0 * np.log10(1.0 - _SAFE_MIN)
     )
-    return coded
 
 
-def _fractional_autocorr(
-    band: np.ndarray, lag: np.ndarray, region: np.ndarray
-) -> np.ndarray:
+def _fractional_autocorr(band, lag, region, xp=np):
     """Normalized autocorrelation at a per-row fractional lag, over a
     per-row boolean ``region`` of positions."""
     t_frames, width = band.shape
-    base = np.arange(width)
-    li = np.floor(lag).astype(np.int64)
+    base = xp.arange(width)
+    li = xp.floor(lag).astype(xp.int32)
     frac = (lag - li)[:, None]
-    idx0 = np.clip(base[None, :] + li[:, None], 0, width - 1)
-    idx1 = np.clip(idx0 + 1, 0, width - 1)
-    rows = np.arange(t_frames)[:, None]
+    idx0 = xp.clip(base[None, :] + li[:, None], 0, width - 1)
+    idx1 = xp.clip(idx0 + 1, 0, width - 1)
+    rows = xp.arange(t_frames)[:, None]
     shifted = band[rows, idx0] * (1 - frac) + band[rows, idx1] * frac
     valid = region & (base[None, :] + lag[:, None] + 1 < width)
     a = band * valid
     b = shifted * valid
     num = (a * b).sum(axis=1)
-    den = np.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-300
-    return np.clip(num / den, 0.0, 1.0)
+    den = xp.sqrt(
+        (a * a).sum(axis=1) * (b * b).sum(axis=1)
+    ) + xp.finfo(band.dtype).tiny
+    return xp.clip(num / den, 0.0, 1.0)
 
 
 def d4c(
