@@ -263,3 +263,26 @@ def test_pallas_bilstm_matches_scan():
     ref = np.asarray(bilstm(params, x, lengths))
     got = np.asarray(bilstm_pallas(params, x, lengths, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_bilstm_gradient_matches_scan():
+    """custom-VJP gradients of the Pallas path equal scan gradients."""
+    from voice100_tpu.ops.lstm import init_lstm_params, bilstm
+    from voice100_tpu.ops.lstm_pallas import bilstm_pallas
+
+    params = init_lstm_params(jax.random.PRNGKey(0), 4, 8, 1)[0]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 4).astype(np.float32))
+    lengths = jnp.asarray([10, 6], jnp.int32)
+
+    g_scan = jax.grad(
+        lambda p, xx: jnp.sum(bilstm(p, xx, lengths) ** 2)
+    )(params, x)
+    g_pal = jax.grad(
+        lambda p, xx: jnp.sum(bilstm_pallas(p, xx, lengths) ** 2)
+    )(params, x)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_scan),
+        jax.tree_util.tree_leaves(g_pal),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

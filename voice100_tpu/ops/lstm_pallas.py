@@ -115,8 +115,7 @@ def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
     return out[:time]
 
 
-def bilstm_pallas(layer_params, x, lengths, interpret: bool = False):
-    """Drop-in replacement for ops.lstm.bilstm -> ``[B, T, 2H]``."""
+def _bilstm_pallas_impl(layer_params, x, lengths, interpret: bool = False):
     fwd, bwd = layer_params["fwd"], layer_params["bwd"]
 
     def in_proj(p):
@@ -132,3 +131,45 @@ def bilstm_pallas(layer_params, x, lengths, interpret: bool = False):
     out_f = jnp.swapaxes(out[:, 0], 0, 1)
     out_b = jnp.swapaxes(out[::-1, 1], 0, 1)
     return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+@jax.custom_vjp
+def _bilstm_op(layer_params, x, lengths):
+    # CPU can only interpret Pallas; real backends compile it
+    interpret = jax.default_backend() == "cpu"
+    return _bilstm_pallas_impl(layer_params, x, lengths, interpret=interpret)
+
+
+def _bilstm_op_fwd(layer_params, x, lengths):
+    return _bilstm_op(layer_params, x, lengths), (layer_params, x, lengths)
+
+
+def _bilstm_op_bwd(residuals, g):
+    # backward recomputes through the differentiable scan path — the
+    # kernel itself has no VJP, and gradients rarely hit this (training
+    # uses the scan), so the recompute cost is acceptable.
+    from .lstm import bilstm
+
+    layer_params, x, lengths = residuals
+    _, vjp = jax.vjp(lambda p, xx: bilstm(p, xx, lengths), layer_params, x)
+    d_params, d_x = vjp(g)
+    import numpy as np
+
+    d_len = np.zeros(lengths.shape, jax.dtypes.float0)
+    return d_params, d_x, d_len
+
+
+_bilstm_op.defvjp(_bilstm_op_fwd, _bilstm_op_bwd)
+
+
+def bilstm_pallas(layer_params, x, lengths, interpret: bool = False):
+    """Drop-in replacement for ops.lstm.bilstm -> ``[B, T, 2H]``.
+
+    Differentiable: forward runs the Pallas kernel; gradients fall back
+    to the scan implementation via a custom VJP.
+    """
+    if interpret:
+        return _bilstm_pallas_impl(
+            layer_params, x, lengths, interpret=True
+        )
+    return _bilstm_op(layer_params, x, lengths)
