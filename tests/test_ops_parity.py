@@ -251,8 +251,9 @@ def test_pallas_logmel_matches_jnp():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_bilstm_matches_scan():
-    """Pallas grid-over-time LSTM kernel (interpret mode) vs the scan."""
+def test_pallas_bilstm_matches_scan(monkeypatch):
+    """Pallas grid-over-time LSTM kernel (interpret mode) vs the scan:
+    exact in f32 streaming mode, close in the default bf16 mode."""
     from voice100_tpu.ops.lstm import init_lstm_params, bilstm
     from voice100_tpu.ops.lstm_pallas import bilstm_pallas
 
@@ -261,12 +262,20 @@ def test_pallas_bilstm_matches_scan():
     x = jnp.asarray(rng.randn(3, 12, 8).astype(np.float32))
     lengths = jnp.asarray([12, 7, 3], jnp.int32)
     ref = np.asarray(bilstm(params, x, lengths))
+
+    monkeypatch.setenv("VOICE100_TPU_LSTM_XG_DTYPE", "float32")
     got = np.asarray(bilstm_pallas(params, x, lengths, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
+    monkeypatch.setenv("VOICE100_TPU_LSTM_XG_DTYPE", "bfloat16")
+    got16 = np.asarray(bilstm_pallas(params, x, lengths, interpret=True))
+    np.testing.assert_allclose(got16, ref, atol=5e-3)
 
-def test_pallas_bilstm_gradient_matches_scan():
-    """custom-VJP gradients of the Pallas path equal scan gradients."""
+
+def test_pallas_bilstm_gradient_matches_scan(monkeypatch):
+    """custom-VJP gradients of the Pallas path equal scan gradients
+    (f32 streaming so the forward cotangents match exactly)."""
+    monkeypatch.setenv("VOICE100_TPU_LSTM_XG_DTYPE", "float32")
     from voice100_tpu.ops.lstm import init_lstm_params, bilstm
     from voice100_tpu.ops.lstm_pallas import bilstm_pallas
 

@@ -47,7 +47,9 @@ def _kernel(valid_ref, xg_ref, whh_ref, out_ref, h_ref, c_ref):
     for k in range(xg_ref.shape[0]):  # unrolled over the time block
         h_prev = h_ref[...]
         c_prev = c_ref[...]
-        gates = xg_ref[k] + jax.lax.dot_general(
+        # xg may stream as bf16 (halves the dominant HBM traffic);
+        # accumulate in f32
+        gates = xg_ref[k].astype(jnp.float32) + jax.lax.dot_general(
             h_prev, whh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -80,12 +82,12 @@ def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
     valid = (
         (orig >= 0)[:, :, None]
         & (orig[:, :, None] < lengths[None, None, :])
-    ).astype(xg.dtype)  # [Tpad, 2, B]
+    ).astype(jnp.float32)  # [Tpad, 2, B]
 
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (pad_t, 2, batch, hidden), xg.dtype
+            (pad_t, 2, batch, hidden), jnp.float32
         ),
         grid=(pad_t // BLOCK_T,),
         in_specs=[
@@ -102,8 +104,8 @@ def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, batch, hidden), xg.dtype),
-            pltpu.VMEM((2, batch, hidden), xg.dtype),
+            pltpu.VMEM((2, batch, hidden), jnp.float32),
+            pltpu.VMEM((2, batch, hidden), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * pad_t * 2 * batch * hidden * gates4,
@@ -124,6 +126,13 @@ def _bilstm_pallas_impl(layer_params, x, lengths, interpret: bool = False):
     xg_f = jnp.swapaxes(in_proj(fwd), 0, 1)        # [T, B, 4H]
     xg_b = jnp.swapaxes(in_proj(bwd), 0, 1)[::-1]
     xg = jnp.stack([xg_f, xg_b], axis=1)           # [T, 2, B, 4H]
+    # Stream the gate projections in bf16: they dominate HBM traffic
+    # (T x 2 x B x 4H), recurrence and states stay f32. Disable with
+    # VOICE100_TPU_LSTM_XG_DTYPE=float32.
+    import os
+
+    if os.environ.get("VOICE100_TPU_LSTM_XG_DTYPE", "bfloat16") == "bfloat16":
+        xg = xg.astype(jnp.bfloat16)
     w_hh = jnp.stack([fwd["w_hh"].T, bwd["w_hh"].T], axis=0)
     out = _bilstm_pallas_call(
         xg, w_hh, lengths.astype(jnp.int32), interpret=interpret
