@@ -63,7 +63,7 @@ _LEXICON: Dict[str, str] = {
     "water": "W AO1 T ER0", "first": "F ER1 S T", "time": "T AY1 M",
     "year": "Y IH1 R", "day": "D EY1", "good": "G UH1 D",
     "great": "G R EY1 T", "little": "L IH1 T AH0 L",
-    "own": "OW1 N", "say": "S EY1 ", "says": "S EH1 Z",
+    "own": "OW1 N", "say": "S EY1", "says": "S EH1 Z",
     "mr": "M IH1 S T ER0", "mrs": "M IH1 S IH0 Z",
     "new": "N UW1", "old": "OW1 L D", "see": "S IY1",
     "way": "W EY1", "may": "M EY1", "come": "K AH1 M",
@@ -92,6 +92,116 @@ _LEXICON: Dict[str, str] = {
     "knew": "N UW1",
     "excessive": "IH0 K S EH1 S IH0 V",
     "affection": "AH0 F EH1 K SH AH0 N",
+    # numbers (feeds the digit expansion)
+    "zero": "Z IH1 R OW0", "three": "TH R IY1", "four": "F AO1 R",
+    "five": "F AY1 V", "six": "S IH1 K S", "seven": "S EH1 V AH0 N",
+    "eight": "EY1 T", "nine": "N AY1 N", "ten": "T EH1 N",
+    "eleven": "IH0 L EH1 V AH0 N", "twelve": "T W EH1 L V",
+    "thirteen": "TH ER1 T IY1 N", "fourteen": "F AO1 R T IY1 N",
+    "fifteen": "F IH1 F T IY1 N", "sixteen": "S IH0 K S T IY1 N",
+    "seventeen": "S EH1 V AH0 N T IY1 N",
+    "eighteen": "EY0 T IY1 N", "nineteen": "N AY1 N T IY1 N",
+    "twenty": "T W EH1 N T IY0", "thirty": "TH ER1 T IY0",
+    "forty": "F AO1 R T IY0", "fifty": "F IH1 F T IY0",
+    "sixty": "S IH1 K S T IY0", "seventy": "S EH1 V AH0 N T IY0",
+    "eighty": "EY1 T IY0", "ninety": "N AY1 N T IY0",
+    "hundred": "HH AH1 N D R AH0 D",
+    "thousand": "TH AW1 Z AH0 N D",
+    "million": "M IH1 L Y AH0 N",
+    # common verbs/nouns/adjectives
+    "make": "M EY1 K", "made": "M EY1 D", "take": "T EY1 K",
+    "took": "T UH1 K", "get": "G EH1 T", "got": "G AA1 T",
+    "go": "G OW1", "went": "W EH1 N T", "gone": "G AO1 N",
+    "know": "N OW1", "known": "N OW1 N", "think": "TH IH1 NG K",
+    "thought": "TH AO1 T", "come": "K AH1 M", "came": "K EY1 M",
+    "look": "L UH1 K", "want": "W AA1 N T", "give": "G IH1 V",
+    "gave": "G EY1 V", "find": "F AY1 N D", "found": "F AW1 N D",
+    "tell": "T EH1 L", "told": "T OW1 L D", "ask": "AE1 S K",
+    "seem": "S IY1 M", "feel": "F IY1 L", "felt": "F EH1 L T",
+    "leave": "L IY1 V", "left": "L EH1 F T", "call": "K AO1 L",
+    "put": "P UH1 T", "mean": "M IY1 N", "keep": "K IY1 P",
+    "kept": "K EH1 P T", "let": "L EH1 T", "begin": "B IH0 G IH1 N",
+    "began": "B IH0 G AE1 N", "show": "SH OW1", "hear": "HH IY1 R",
+    "heard": "HH ER1 D", "play": "P L EY1", "run": "R AH1 N",
+    "move": "M UW1 V", "like": "L AY1 K", "believe": "B IH0 L IY1 V",
+    "hold": "HH OW1 L D", "held": "HH EH1 L D", "bring": "B R IH1 NG",
+    "brought": "B R AO1 T", "happen": "HH AE1 P AH0 N",
+    "write": "R AY1 T", "written": "R IH1 T AH0 N",
+    "wrote": "R OW1 T", "read": "R IY1 D", "sit": "S IH1 T",
+    "sat": "S AE1 T", "stand": "S T AE1 N D", "stood": "S T UH1 D",
+    "lose": "L UW1 Z", "lost": "L AO1 S T", "pay": "P EY1",
+    "meet": "M IY1 T", "met": "M EH1 T",
+    "include": "IH0 N K L UW1 D", "continue": "K AH0 N T IH1 N Y UW0",
+    "set": "S EH1 T", "learn": "L ER1 N", "change": "CH EY1 N JH",
+    "lead": "L IY1 D", "understand": "AH2 N D ER0 S T AE1 N D",
+    "watch": "W AA1 CH", "follow": "F AA1 L OW0",
+    "stop": "S T AA1 P", "create": "K R IY0 EY1 T",
+    "speak": "S P IY1 K", "spoke": "S P OW1 K",
+    "spend": "S P EH1 N D", "spent": "S P EH1 N T",
+    "grow": "G R OW1", "grew": "G R UW1", "open": "OW1 P AH0 N",
+    "walk": "W AO1 K", "win": "W IH1 N", "won": "W AH1 N",
+    "offer": "AO1 F ER0", "remember": "R IH0 M EH1 M B ER0",
+    "love": "L AH1 V", "consider": "K AH0 N S IH1 D ER0",
+    "appear": "AH0 P IH1 R", "buy": "B AY1", "bought": "B AO1 T",
+    "wait": "W EY1 T", "serve": "S ER1 V", "die": "D AY1",
+    "send": "S EH1 N D", "sent": "S EH1 N T", "expect": "IH0 K S P EH1 K T",
+    "build": "B IH1 L D", "built": "B IH1 L T", "stay": "S T EY1",
+    "fall": "F AO1 L", "fell": "F EH1 L", "cut": "K AH1 T",
+    "reach": "R IY1 CH", "kill": "K IH1 L", "remain": "R IH0 M EY1 N",
+    "man": "M AE1 N", "men": "M EH1 N", "woman": "W UH1 M AH0 N",
+    "women": "W IH1 M AH0 N", "child": "CH AY1 L D",
+    "children": "CH IH1 L D R AH0 N", "life": "L AY1 F",
+    "hand": "HH AE1 N D", "part": "P AA1 R T", "eye": "AY1",
+    "eyes": "AY1 Z", "place": "P L EY1 S", "case": "K EY1 S",
+    "week": "W IY1 K", "company": "K AH1 M P AH0 N IY0",
+    "system": "S IH1 S T AH0 M", "program": "P R OW1 G R AE2 M",
+    "question": "K W EH1 S CH AH0 N", "government": "G AH1 V ER0 M AH0 N T",
+    "number": "N AH1 M B ER0", "night": "N AY1 T", "point": "P OY1 N T",
+    "home": "HH OW1 M", "room": "R UW1 M", "mother": "M AH1 DH ER0",
+    "father": "F AA1 DH ER0", "money": "M AH1 N IY0", "story": "S T AO1 R IY0",
+    "fact": "F AE1 K T", "month": "M AH1 N TH", "lot": "L AA1 T",
+    "right": "R AY1 T", "study": "S T AH1 D IY0", "book": "B UH1 K",
+    "word": "W ER1 D", "business": "B IH1 Z N AH0 S",
+    "issue": "IH1 SH UW0", "side": "S AY1 D", "kind": "K AY1 N D",
+    "head": "HH EH1 D", "house": "HH AW1 S", "friend": "F R EH1 N D",
+    "hour": "AW1 ER0", "game": "G EY1 M", "line": "L AY1 N",
+    "end": "EH1 N D", "member": "M EH1 M B ER0", "law": "L AO1",
+    "car": "K AA1 R", "city": "S IH1 T IY0", "name": "N EY1 M",
+    "team": "T IY1 M", "minute": "M IH1 N AH0 T", "idea": "AY0 D IY1 AH0",
+    "body": "B AA1 D IY0", "face": "F EY1 S", "others": "AH1 DH ER0 Z",
+    "level": "L EH1 V AH0 L", "door": "D AO1 R", "health": "HH EH1 L TH",
+    "person": "P ER1 S AH0 N", "art": "AA1 R T", "war": "W AO1 R",
+    "history": "HH IH1 S T ER0 IY0", "party": "P AA1 R T IY0",
+    "result": "R IH0 Z AH1 L T", "morning": "M AO1 R N IH0 NG",
+    "reason": "R IY1 Z AH0 N", "research": "R IY1 S ER0 CH",
+    "moment": "M OW1 M AH0 N T", "air": "EH1 R", "force": "F AO1 R S",
+    "state": "S T EY1 T", "area": "EH1 R IY0 AH0",
+    "music": "M Y UW1 Z IH0 K", "mind": "M AY1 N D",
+    "good": "G UH1 D", "high": "HH AY1", "small": "S M AO1 L",
+    "large": "L AA1 R JH", "big": "B IH1 G", "long": "L AO1 NG",
+    "young": "Y AH1 NG", "different": "D IH1 F ER0 AH0 N T",
+    "important": "IH0 M P AO1 R T AH0 N T", "few": "F Y UW1",
+    "public": "P AH1 B L IH0 K", "bad": "B AE1 D",
+    "same": "S EY1 M", "able": "EY1 B AH0 L", "last": "L AE1 S T",
+    "early": "ER1 L IY0", "possible": "P AA1 S AH0 B AH0 L",
+    "late": "L EY1 T", "hard": "HH AA1 R D", "far": "F AA1 R",
+    "real": "R IY1 L", "best": "B EH1 S T", "sure": "SH UH1 R",
+    "better": "B EH1 T ER0", "true": "T R UW1", "whole": "HH OW1 L",
+    "certain": "S ER1 T AH0 N", "free": "F R IY1", "full": "F UH1 L",
+    "special": "S P EH1 SH AH0 L", "easy": "IY1 Z IY0",
+    "clear": "K L IH1 R", "strong": "S T R AO1 NG",
+    "never": "N EH1 V ER0", "here": "HH IY1 R", "still": "S T IH1 L",
+    "well": "W EH1 L", "just": "JH AH1 S T", "even": "IY1 V AH0 N",
+    "back": "B AE1 K", "much": "M AH1 CH", "today": "T AH0 D EY1",
+    "however": "HH AW2 EH1 V ER0", "almost": "AO1 L M OW2 S T",
+    "enough": "IH0 N AH1 F", "both": "B OW1 TH",
+    "between": "B IH0 T W IY1 N", "under": "AH1 N D ER0",
+    "against": "AH0 G EH1 N S T", "during": "D UH1 R IH0 NG",
+    "without": "W IH0 TH AW1 T", "around": "ER0 AW1 N D",
+    "among": "AH0 M AH1 NG", "within": "W IH0 DH IH1 N",
+    "upon": "AH0 P AA1 N", "toward": "T AH0 W AO1 R D",
+    "voice": "V OY1 S", "sound": "S AW1 N D", "speech": "S P IY1 CH",
+    "language": "L AE1 NG G W AH0 JH",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
