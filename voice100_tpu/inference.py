@@ -61,7 +61,16 @@ class ASRPipeline:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode(self, variables, wav, wav_len):
-        mel = log_mel_spectrogram(wav, sample_rate=self.sample_rate)
+        import os
+
+        if os.environ.get("VOICE100_TPU_MEL_KERNEL") == "pallas":
+            from .ops.melspec_pallas import log_mel_spectrogram_pallas
+
+            mel = log_mel_spectrogram_pallas(
+                wav, sample_rate=self.sample_rate
+            )
+        else:
+            mel = log_mel_spectrogram(wav, sample_rate=self.sample_rate)
         mel_len = wav_len // 160 + 1
         # padded waveform tails produce mel frames past mel_len; mask
         # them to the blank level the model was trained with
@@ -75,7 +84,11 @@ class ASRPipeline:
         return ids, out_len
 
     def transcribe(self, waveforms: List[np.ndarray]) -> List[str]:
-        """Batch transcription; inputs are float32 mono at sample_rate."""
+        """Batch transcription; inputs are float32 mono at sample_rate.
+
+        Inputs longer than the largest bucket are truncated to it (pass
+        larger ``buckets_sec`` for long-form audio).
+        """
         order = np.argsort([len(w) for w in waveforms])
         results: List[Optional[str]] = [None] * len(waveforms)
         for start in range(0, len(order), self.batch_size):
