@@ -129,3 +129,40 @@ def test_greedy_merge_flow():
     raw = tok.decode(ids)
     assert raw == "gg_d__kkk_"
     assert tok.merge_repeated(raw) == "gdk"
+
+
+def test_ctc_viterbi_long_sequence():
+    """Larger randomized forced alignment: path validity invariants."""
+    from voice100_tpu.ops.ctc import ctc_viterbi_align
+
+    rng = np.random.RandomState(7)
+    batch, time, vocab, L = 4, 120, 12, 30
+    logits = rng.randn(batch, time, vocab).astype(np.float32)
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = rng.randint(1, vocab, size=(batch, L)).astype(np.int32)
+    label_lens = np.asarray([30, 22, 11, 30], np.int32)
+    input_lens = np.asarray([120, 100, 64, 120], np.int32)
+    labels_arr = labels.copy()
+    for b in range(batch):
+        labels_arr[b, label_lens[b]:] = 0
+
+    res = ctc_viterbi_align(
+        log_probs, jnp.asarray(labels_arr), jnp.asarray(input_lens),
+        jnp.asarray(label_lens),
+    )
+    path = np.asarray(res.path)
+    out_labels = np.asarray(res.labels)
+    for b in range(batch):
+        p = path[b, : input_lens[b]]
+        # monotone non-decreasing, steps of 0..2, ends at last slots
+        d = np.diff(p)
+        assert (d >= 0).all() and (d <= 2).all()
+        assert p[0] in (0, 1)
+        assert p[-1] in (2 * label_lens[b], 2 * label_lens[b] - 1)
+        # emitted labels match lattice content
+        z = np.zeros(2 * label_lens[b] + 1, np.int32)
+        z[1::2] = labels_arr[b, : label_lens[b]]
+        np.testing.assert_array_equal(out_labels[b, : input_lens[b]], z[p])
+        # every real label visited (CTC path must consume all labels)
+        visited = set(p[p % 2 == 1].tolist())
+        assert len(visited) == label_lens[b]
