@@ -14,8 +14,13 @@ intermediate HBM round trip. Frequency dimensions are zero-padded to a
 lane multiple (128) so the MXU tiles cleanly; padded rows/cols are zero
 and do not change the result.
 
-Numerics match ops.melspec.log_mel_spectrogram (same constants,
-fp32 matmuls) — asserted by tests in interpret mode and on hardware.
+Numerics match ops.melspec.log_mel_spectrogram in interpret mode; on
+TPU hardware the MXU runs the DFT matmuls with bf16 inputs (f32
+accumulate), measured at ~0.17 max log-mel deviation vs the
+HIGHEST-precision jnp path and ~14% faster (2.60 vs 3.01 ms for
+8 x 10 s at batch). The jnp path therefore remains the default for
+feature extraction/training; this kernel is the serving-side option
+(VOICE100_TPU_MEL_KERNEL=pallas in ASRPipeline).
 """
 
 from __future__ import annotations
