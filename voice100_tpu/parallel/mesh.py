@@ -56,6 +56,7 @@ def fit_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
     devices; surplus devices stay out of the mesh (models this small
     prefer a clean DP layout over padding games).
     """
+    import logging
     import math
 
     n = len(jax.devices())
@@ -66,7 +67,16 @@ def fit_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
         if batch_size % d == 0:
             data = d
             break
-    return make_mesh(jax.devices()[: data * model], data=data, model=model)
+    used = data * model
+    if used < n:
+        logging.getLogger(__name__).warning(
+            "fit_mesh_for_batch: batch_size=%d is not divisible by the "
+            "%d available devices (model=%d); using a %dx%d mesh and "
+            "leaving %d device(s) idle. Pick a batch size divisible by "
+            "the device count to use the full fleet.",
+            batch_size, n, model, data, model, n - used,
+        )
+    return make_mesh(jax.devices()[:used], data=data, model=model)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
