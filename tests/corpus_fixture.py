@@ -127,3 +127,46 @@ def make_dummy_corpus(
                     f"{text}|{aligntext}|{' '.join(map(str, counts))}\n"
                 )
     return root
+
+
+def make_cv_corpus(
+    data_dir: str,
+    n_clips: int = 8,
+    sample_rate: int = 24000,
+    seed: int = 0,
+) -> str:
+    """Create a CommonVoice-layout JA corpus with mp3 clips.
+
+    Matches the ``cv_ja`` registry entry (reference
+    voice100/data_modules.py:386-390): root
+    ``cv-corpus-12.0-2022-12-07/ja``, tab-separated ``validated.tsv``
+    with a header whose column 1 is the clip filename (with .mp3
+    extension) and column 2 the sentence, audio under ``clips/``.
+    Requires libmp3lame (see mp3_fixture.lame_available).
+    """
+    from mp3_fixture import write_mp3
+
+    root = os.path.join(data_dir, "cv-corpus-12.0-2022-12-07", "ja")
+    clips = os.path.join(root, "clips")
+    os.makedirs(clips, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    lines = ["client_id\tpath\tsentence\tup_votes\tdown_votes"]
+    for i in range(n_clips):
+        fname = f"common_voice_ja_{30000000 + i}.mp3"
+        dur = rng.uniform(0.4, 1.2)
+        t = np.arange(int(dur * sample_rate)) / sample_rate
+        wav = np.zeros_like(t, dtype=np.float64)
+        for _ in range(3):
+            freq = rng.uniform(100, 2000)
+            wav += rng.uniform(0.05, 0.3) * np.sin(
+                2 * np.pi * freq * t + rng.uniform(0, 2 * np.pi)
+            )
+        write_mp3(
+            os.path.join(clips, fname), wav.astype(np.float32), sample_rate
+        )
+        text = JA_SENTENCES[i % len(JA_SENTENCES)]
+        lines.append(f"speaker{i:02d}\t{fname}\t{text}\t2\t0")
+    with open(os.path.join(root, "validated.tsv"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return root

@@ -34,6 +34,18 @@ def _read_any(path: str):
                 f"FLAC decoding requires the native extension "
                 f"(voice100_tpu.native): {e}"
             ) from e
+    if ext == ".mp3":
+        # CommonVoice (cv_ja) clips; reference decodes them through
+        # torchaudio/sox (voice100/data_modules.py:303-314)
+        try:
+            from ..native import mp3
+
+            return mp3.read_mp3(path)
+        except ImportError as e:
+            raise RuntimeError(
+                f"MP3 decoding requires the native extension "
+                f"(voice100_tpu.native): {e}"
+            ) from e
     raise ValueError(f"Unsupported audio format: {path}")
 
 

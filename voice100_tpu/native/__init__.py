@@ -25,7 +25,7 @@ class NativeUnavailable(ImportError):
 
 
 def _build(src: str, out: str) -> None:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", out, src]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", out, src, "-ldl"]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise NativeUnavailable(
@@ -70,6 +70,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_long),
         ]
+        lib.v100_read_mp3.restype = ctypes.c_int
+        lib.v100_read_mp3.argtypes = list(lib.v100_read_flac.argtypes)
+        lib.v100_mp3_available.restype = ctypes.c_int
+        lib.v100_mp3_available.argtypes = []
         lib.v100_free.restype = None
         lib.v100_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         _LIB = lib

@@ -20,6 +20,8 @@
 #include <cmath>
 #include <vector>
 
+#include <dlfcn.h>
+
 namespace {
 
 struct BitReader {
@@ -387,5 +389,149 @@ int v100_resample(const float* in, long n, int from_rate, int to_rate,
 }
 
 void v100_free(float* p) { free(p); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MP3 decode via the system MPEG audio decoder (libmpg123), loaded with
+// dlopen so this library builds and loads even where it is absent. The
+// reference plays CommonVoice mp3 clips through torchaudio's sox backend
+// (voice100/data_modules.py:303-314); this is the framework's native
+// equivalent for the cv_ja corpus. Only the handful of entry points we
+// use are declared (the mpg123 C ABI is stable and documented).
+
+namespace {
+
+typedef void mpg123_handle;
+
+struct Mpg123Api {
+  void* dso = nullptr;
+  int (*init)() = nullptr;  // optional (no-op in modern versions)
+  mpg123_handle* (*make)(const char*, int*) = nullptr;
+  int (*param)(mpg123_handle*, int, long, double) = nullptr;
+  int (*open)(mpg123_handle*, const char*) = nullptr;
+  int (*getformat)(mpg123_handle*, long*, int*, int*) = nullptr;
+  int (*format_none)(mpg123_handle*) = nullptr;
+  int (*format)(mpg123_handle*, long, int, int) = nullptr;
+  int (*read)(mpg123_handle*, unsigned char*, size_t, size_t*) = nullptr;
+  int (*close)(mpg123_handle*) = nullptr;
+  void (*destroy)(mpg123_handle*) = nullptr;
+  bool ok = false;
+};
+
+// mpg123 public constants (mpg123.h)
+const int kMpg123Ok = 0;
+const int kMpg123Done = -12;
+const int kMpg123NewFormat = -11;
+const int kMpg123Flags = 1;            // enum mpg123_parms: MPG123_FLAGS
+const long kMpg123Quiet = 0x20;        // MPG123_QUIET
+const long kMpg123ForceFloat = 0x400;  // MPG123_FORCE_FLOAT
+const int kMpg123EncFloat32 = 0x200;   // MPG123_ENC_FLOAT_32
+
+Mpg123Api& mpg123_api() {
+  static Mpg123Api api = [] {
+    Mpg123Api a;
+    const char* names[] = {"libmpg123.so.0", "libmpg123.so"};
+    for (const char* name : names) {
+      a.dso = dlopen(name, RTLD_NOW | RTLD_LOCAL);
+      if (a.dso) break;
+    }
+    if (!a.dso) return a;
+    a.init = (int (*)())dlsym(a.dso, "mpg123_init");
+    a.make =
+        (mpg123_handle * (*)(const char*, int*)) dlsym(a.dso, "mpg123_new");
+    a.param = (int (*)(mpg123_handle*, int, long, double))dlsym(
+        a.dso, "mpg123_param");
+    a.open = (int (*)(mpg123_handle*, const char*))dlsym(a.dso,
+                                                         "mpg123_open");
+    a.getformat = (int (*)(mpg123_handle*, long*, int*, int*))dlsym(
+        a.dso, "mpg123_getformat");
+    a.format_none =
+        (int (*)(mpg123_handle*))dlsym(a.dso, "mpg123_format_none");
+    a.format = (int (*)(mpg123_handle*, long, int, int))dlsym(
+        a.dso, "mpg123_format");
+    a.read = (int (*)(mpg123_handle*, unsigned char*, size_t,
+                      size_t*))dlsym(a.dso, "mpg123_read");
+    a.close = (int (*)(mpg123_handle*))dlsym(a.dso, "mpg123_close");
+    a.destroy = (void (*)(mpg123_handle*))dlsym(a.dso, "mpg123_delete");
+    a.ok = a.make && a.param && a.open && a.getformat && a.format_none &&
+           a.format && a.read && a.close && a.destroy;
+    if (a.ok && a.init) a.init();
+    return a;
+  }();
+  return api;
+}
+
+}  // namespace
+
+extern "C" {
+
+// 1 if mp3 decoding is available on this system.
+int v100_mp3_available() { return mpg123_api().ok ? 1 : 0; }
+
+// Decode an MP3 file to planar float [channels][samples].
+// Returns 0 on success; caller frees *out with v100_free.
+int v100_read_mp3(const char* path, float** out, int* out_channels,
+                  long* out_samples, int* out_rate) {
+  Mpg123Api& api = mpg123_api();
+  if (!api.ok) return 100;  // decoder library unavailable
+  int err = 0;
+  mpg123_handle* h = api.make(nullptr, &err);
+  if (!h) return 101;
+  api.param(h, kMpg123Flags, kMpg123Quiet | kMpg123ForceFloat, 0.0);
+  if (api.open(h, path) != kMpg123Ok) {
+    api.destroy(h);
+    return 102;
+  }
+  long rate = 0;
+  int channels = 0, encoding = 0;
+  if (api.getformat(h, &rate, &channels, &encoding) != kMpg123Ok ||
+      channels <= 0 || rate <= 0) {
+    api.close(h);
+    api.destroy(h);
+    return 103;
+  }
+  // Lock the output format to float32 at the stream's native layout so
+  // mid-stream format changes surface as errors instead of surprises.
+  api.format_none(h);
+  if (api.format(h, rate, channels, kMpg123EncFloat32) != kMpg123Ok) {
+    api.close(h);
+    api.destroy(h);
+    return 104;
+  }
+
+  std::vector<float> interleaved;
+  std::vector<unsigned char> buf(1 << 16);
+  for (;;) {
+    size_t done = 0;
+    int rc = api.read(h, buf.data(), buf.size(), &done);
+    if (done > 0) {
+      const float* f = (const float*)buf.data();
+      interleaved.insert(interleaved.end(), f, f + done / sizeof(float));
+    }
+    if (rc == kMpg123Done) break;
+    if (rc == kMpg123NewFormat) continue;  // format locked above
+    if (rc != kMpg123Ok) {
+      api.close(h);
+      api.destroy(h);
+      return 105;
+    }
+  }
+  api.close(h);
+  api.destroy(h);
+
+  long n = (long)(interleaved.size() / channels);
+  if (n <= 0) return 106;
+  float* result = (float*)malloc(sizeof(float) * channels * n);
+  if (!result) return 107;
+  for (int c = 0; c < channels; c++)
+    for (long i = 0; i < n; i++)
+      result[c * n + i] = interleaved[i * channels + c];
+  *out = result;
+  *out_channels = channels;
+  *out_samples = n;
+  *out_rate = (int)rate;
+  return 0;
+}
 
 }  // extern "C"

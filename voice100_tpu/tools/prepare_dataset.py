@@ -21,11 +21,15 @@ def convert_phone_kokoro(
     use_phone: bool, output_file: str,
 ) -> None:
     if split != "train":
-        raise ValueError("Unknown split")
+        raise ValueError(f"kokoro has no {split!r} split (train only)")
     if not use_phone:
-        raise ValueError("Dataset doesn't support `use_phone=False'")
+        raise ValueError(
+            "kokoro transcripts are phone strings; pass --use_phone"
+        )
     if language != "ja":
-        raise ValueError(f"Dataset doesn't support `language={language}'")
+        raise ValueError(
+            f"kokoro is a Japanese corpus; got language={language!r}"
+        )
     ds = get_base_dataset(data_dir, dataset, split)
     with open(output_file, "wt", encoding="utf-8") as outf:
         for clipid, _, phone_text in ds:
