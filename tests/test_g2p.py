@@ -1,0 +1,96 @@
+"""G2P rule-engine quality tests.
+
+The reference delegates to g2p_en (CMUdict + neural OOV model,
+voice100/text.py:59-71); this environment has neither, so the
+framework's G2P is lexicon + NRL-style letter-to-sound rules
+(voice100_tpu/text/lts_rules.py). These tests pin the rule engine's
+accuracy against the embedded gold lexicon so rule edits can't
+silently regress it, and check the morphological suffix layer's
+voicing behavior.
+"""
+
+import difflib
+
+from voice100_tpu.text.g2p import G2P, _LEXICON
+
+
+def _bare_engine() -> G2P:
+    g = G2P.__new__(G2P)
+    g._lexicon = {}
+    g._g2p_en = None
+    return g
+
+
+def _strip(phones):
+    return [p.rstrip("012") for p in phones]
+
+
+def test_lts_accuracy_vs_gold_lexicon():
+    """The embedded lexicon holds gold CMUdict pronunciations; the rule
+    engine alone must stay above these floors on it (the lexicon skews
+    toward irregular words, so this is a hard set)."""
+    g = _bare_engine()
+    exact = total = match = denom = 0
+    for word, gold in _LEXICON.items():
+        if not word.isalpha():
+            continue
+        pred = _strip(g._lts(word))
+        goldp = _strip(gold.split())
+        total += 1
+        exact += int(pred == goldp)
+        sm = difflib.SequenceMatcher(a=goldp, b=pred)
+        match += sum(b.size for b in sm.get_matching_blocks())
+        denom += max(len(goldp), len(pred))
+    # the dominant residual error class is unstressed-vowel reduction
+    # (full vowel vs schwa), inherent to stress-free LTS
+    assert exact / total > 0.50, f"word-exact {exact}/{total}"
+    assert match / denom > 0.80, f"phone accuracy {match / denom:.3f}"
+
+
+def test_lts_regular_words():
+    g = _bare_engine()
+    cases = {
+        "station": "S T EY SH AH N",
+        "baked": "B EY K T",
+        "worked": "W ER K T",
+        "trees": "T R IY Z",
+        "printer": "P R IH N T ER",
+        "lighting": "L AY T IH NG",
+        "thing": "TH IH NG",
+        "check": "CH EH K",
+        "phone": "F OW N",
+        "knight": "N AY T",
+    }
+    for word, want in cases.items():
+        assert _strip(g._lts(word)) == want.split(), word
+
+
+def test_suffix_voicing():
+    g = G2P()
+    # /s/ after voiceless, /z/ after voiced, /IH0 Z/ after sibilant
+    assert g._word_phones("books")[-1] == "S"
+    assert g._word_phones("dogs")[-1] == "Z"
+    assert g._word_phones("places")[-2:] == ["IH0", "Z"]
+    # /t/ after voiceless, /d/ after voiced, /IH0 D/ after t,d
+    assert g._word_phones("helped")[-1] == "T"
+    assert g._word_phones("played")[-1] == "D"
+
+
+def test_external_lexicon_hook(tmp_path):
+    path = tmp_path / "cmudict.txt"
+    path.write_text(
+        ";;; comment\nZORBLATT  Z AO1 R B L AE0 T\n"
+        "ZORBLATT(1)  Z ER0 B L AE1 T\n"
+    )
+    g = G2P(lexicon_path=str(path))
+    assert g._word_phones("zorblatt") == ["Z", "AO1", "R", "B", "L",
+                                          "AE0", "T"]
+
+
+def test_stress_always_assigned():
+    g = _bare_engine()
+    for word in ["hypothetical", "zyzzyva", "qwerty", "brunch"]:
+        phones = g._lts(word)
+        stresses = [p[-1] for p in phones if p[-1].isdigit()]
+        assert stresses.count("1") <= 1
+        assert all(s in "012" for s in stresses)

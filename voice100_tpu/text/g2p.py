@@ -202,6 +202,269 @@ _LEXICON: Dict[str, str] = {
     "upon": "AH0 P AA1 N", "toward": "T AH0 W AO1 R D",
     "voice": "V OY1 S", "sound": "S AW1 N D", "speech": "S P IY1 CH",
     "language": "L AE1 NG G W AH0 JH",
+    # frequent words whose spelling-to-sound is irregular (rule engine
+    # gets these systematically wrong)
+    "one": "W AH1 N", "ones": "W AH1 N Z", "once": "W AH1 N S",
+    "busy": "B IH1 Z IY0", "business": "B IH1 Z N AH0 S",
+    "pretty": "P R IH1 T IY0", "women": "W IH1 M AH0 N",
+    "woman": "W UH1 M AH0 N", "island": "AY1 L AH0 N D",
+    "islands": "AY1 L AH0 N D Z", "iron": "AY1 ER0 N",
+    "answer": "AE1 N S ER0", "answered": "AE1 N S ER0 D",
+    "sword": "S AO1 R D", "listen": "L IH1 S AH0 N",
+    "listened": "L IH1 S AH0 N D", "often": "AO1 F AH0 N",
+    "castle": "K AE1 S AH0 L", "whistle": "W IH1 S AH0 L",
+    "christmas": "K R IH1 S M AH0 S", "colonel": "K ER1 N AH0 L",
+    "stomach": "S T AH1 M AH0 K", "ache": "EY1 K",
+    "heart": "HH AA1 R T", "hearts": "HH AA1 R T S",
+    "heard": "HH ER1 D", "earth": "ER1 TH", "early": "ER1 L IY0",
+    "learn": "L ER1 N", "learned": "L ER1 N D",
+    "search": "S ER1 CH", "heaven": "HH EH1 V AH0 N",
+    "heavy": "HH EH1 V IY0", "weather": "W EH1 DH ER0",
+    "measure": "M EH1 ZH ER0", "pleasure": "P L EH1 ZH ER0",
+    "treasure": "T R EH1 ZH ER0", "leather": "L EH1 DH ER0",
+    "instead": "IH0 N S T EH1 D", "already": "AO0 L R EH1 D IY0",
+    "ready": "R EH1 D IY0", "dead": "D EH1 D", "death": "D EH1 TH",
+    "breath": "B R EH1 TH", "breast": "B R EH1 S T",
+    "bread": "B R EH1 D", "meant": "M EH1 N T",
+    "pleasant": "P L EH1 Z AH0 N T", "peasant": "P EH1 Z AH0 N T",
+    "jealous": "JH EH1 L AH0 S", "zealous": "Z EH1 L AH0 S",
+    "realm": "R EH1 L M", "dealt": "D EH1 L T", "sweat": "S W EH1 T",
+    "threat": "TH R EH1 T", "wealth": "W EH1 L TH",
+    "touch": "T AH1 CH", "touched": "T AH1 CH T",
+    "trouble": "T R AH1 B AH0 L", "country": "K AH1 N T R IY0",
+    "countries": "K AH1 N T R IY0 Z", "cousin": "K AH1 Z AH0 N",
+    "couple": "K AH1 P AH0 L", "courage": "K ER1 IH0 JH",
+    "journey": "JH ER1 N IY0", "course": "K AO1 R S",
+    "court": "K AO1 R T", "four": "F AO1 R", "pour": "P AO1 R",
+    "soul": "S OW1 L", "shoulder": "SH OW1 L D ER0",
+    "though": "DH OW1", "although": "AO0 L DH OW1",
+    "thorough": "TH ER1 OW0", "thought": "TH AO1 T",
+    "throughout": "TH R UW0 AW1 T", "brought": "B R AO1 T",
+    "bought": "B AO1 T", "fought": "F AO1 T", "sought": "S AO1 T",
+    "caught": "K AO1 T", "taught": "T AO1 T", "daughter": "D AO1 T ER0",
+    "laugh": "L AE1 F", "laughed": "L AE1 F T",
+    "laughter": "L AE1 F T ER0", "draught": "D R AE1 F T",
+    "enough": "IH0 N AH1 F", "rough": "R AH1 F", "tough": "T AH1 F",
+    "cough": "K AO1 F", "dough": "D OW1",
+    "neighbor": "N EY1 B ER0", "neighbour": "N EY1 B ER0",
+    "weigh": "W EY1", "weight": "W EY1 T", "height": "HH AY1 T",
+    "eight": "EY1 T", "eighth": "EY1 T TH", "straight": "S T R EY1 T",
+    "foreign": "F AO1 R AH0 N", "reign": "R EY1 N",
+    "friend": "F R EH1 N D", "friends": "F R EH1 N D Z",
+    "guest": "G EH1 S T", "guess": "G EH1 S", "guard": "G AA1 R D",
+    "guide": "G AY1 D", "guilty": "G IH1 L T IY0",
+    "build": "B IH1 L D", "built": "B IH1 L T",
+    "biscuit": "B IH1 S K AH0 T", "circuit": "S ER1 K AH0 T",
+    "blood": "B L AH1 D", "flood": "F L AH1 D",
+    "door": "D AO1 R", "floor": "F L AO1 R", "poor": "P UH1 R",
+    "sugar": "SH UH1 G ER0", "sure": "SH UH1 R",
+    "surely": "SH UH1 R L IY0", "machine": "M AH0 SH IY1 N",
+    "machines": "M AH0 SH IY1 N Z", "police": "P AH0 L IY1 S",
+    "unique": "Y UW0 N IY1 K", "antique": "AE0 N T IY1 K",
+    "bureau": "B Y UH1 R OW0", "beautiful": "B Y UW1 T AH0 F AH0 L",
+    "beauty": "B Y UW1 T IY0", "europe": "Y UH1 R AH0 P",
+    "european": "Y UH2 R AH0 P IY1 AH0 N",
+    "ocean": "OW1 SH AH0 N", "soldier": "S OW1 L JH ER0",
+    "soldiers": "S OW1 L JH ER0 Z", "shoe": "SH UW1",
+    "shoes": "SH UW1 Z", "canoe": "K AH0 N UW1", "does": "D AH1 Z",
+    "done": "D AH1 N", "none": "N AH1 N", "gone": "G AO1 N",
+    "move": "M UW1 V", "moved": "M UW1 V D", "prove": "P R UW1 V",
+    "proved": "P R UW1 V D", "lose": "L UW1 Z", "whose": "HH UW1 Z",
+    "whom": "HH UW1 M", "tomb": "T UW1 M", "womb": "W UW1 M",
+    "comb": "K OW1 M", "climb": "K L AY1 M", "limb": "L IH1 M",
+    "thumb": "TH AH1 M", "numb": "N AH1 M", "debt": "D EH1 T",
+    "doubt": "D AW1 T", "doubtless": "D AW1 T L AH0 S",
+    "subtle": "S AH1 T AH0 L", "receipt": "R IH0 S IY1 T",
+    "honest": "AA1 N AH0 S T", "honor": "AA1 N ER0",
+    "honour": "AA1 N ER0", "heir": "EH1 R", "ghost": "G OW1 S T",
+    "echo": "EH1 K OW0", "chorus": "K AO1 R AH0 S",
+    "character": "K EH1 R IH0 K T ER0",
+    "characters": "K EH1 R IH0 K T ER0 Z",
+    "chemist": "K EH1 M IH0 S T", "chemistry": "K EH1 M AH0 S T R IY0",
+    "school": "S K UW1 L", "schools": "S K UW1 L Z",
+    "scholar": "S K AA1 L ER0", "christian": "K R IH1 S CH AH0 N",
+    "anchor": "AE1 NG K ER0", "architect": "AA1 R K AH0 T EH2 K T",
+    "monarch": "M AA1 N AA0 R K", "epoch": "EH1 P AH0 K",
+    "orchestra": "AO1 R K AH0 S T R AH0",
+    "technical": "T EH1 K N IH0 K AH0 L",
+    "stopped": "S T AA1 P T", "wanted": "W AA1 N T IH0 D",
+    "asked": "AE1 S K T", "looked": "L UH1 K T",
+    "island": "AY1 L AH0 N D", "aisle": "AY1 L",
+    "quite": "K W AY1 T", "quiet": "K W AY1 AH0 T",
+    "mind": "M AY1 N D", "find": "F AY1 N D", "kind": "K AY1 N D",
+    "behind": "B IH0 HH AY1 N D", "blind": "B L AY1 N D",
+    "wild": "W AY1 L D", "child": "CH AY1 L D",
+    "children": "CH IH1 L D R AH0 N",
+    "sign": "S AY1 N", "signs": "S AY1 N Z", "design": "D IH0 Z AY1 N",
+    "signed": "S AY1 N D", "resign": "R IH0 Z AY1 N",
+    "signal": "S IH1 G N AH0 L", "signature": "S IH1 G N AH0 CH ER0",
+    "half": "HH AE1 F", "calf": "K AE1 F", "talk": "T AO1 K",
+    "walk": "W AO1 K", "walked": "W AO1 K T", "chalk": "CH AO1 K",
+    "folk": "F OW1 K", "yolk": "Y OW1 K", "salmon": "S AE1 M AH0 N",
+    "calm": "K AA1 M", "palm": "P AA1 M", "psalm": "S AA1 M",
+    "could": "K UH1 D", "should": "SH UH1 D", "would": "W UH1 D",
+    "shall": "SH AE1 L", "wants": "W AA1 N T S",
+    "watch": "W AA1 CH", "watched": "W AA1 CH T",
+    "wash": "W AA1 SH", "wander": "W AA1 N D ER0",
+    "quality": "K W AA1 L AH0 T IY0", "quantity": "K W AA1 N T AH0 T IY0",
+    "quarrel": "K W AO1 R AH0 L", "squad": "S K W AA1 D",
+    "war": "W AO1 R", "warm": "W AO1 R M", "warn": "W AO1 R N",
+    "toward": "T AH0 W AO1 R D", "towards": "T AH0 W AO1 R D Z",
+    "reward": "R IH0 W AO1 R D", "dwarf": "D W AO1 R F",
+    "swan": "S W AA1 N", "swap": "S W AA1 P",
+    "word": "W ER1 D", "words": "W ER1 D Z", "work": "W ER1 K",
+    "worked": "W ER1 K T", "worker": "W ER1 K ER0",
+    "workers": "W ER1 K ER0 Z", "worse": "W ER1 S",
+    "worst": "W ER1 S T", "worth": "W ER1 TH", "worthy": "W ER1 DH IY0",
+    "worship": "W ER1 SH AH0 P", "worm": "W ER1 M",
+    "front": "F R AH1 N T", "month": "M AH1 N TH",
+    "months": "M AH1 N TH S", "monday": "M AH1 N D EY2",
+    "monkey": "M AH1 NG K IY0", "money": "M AH1 N IY0",
+    "honey": "HH AH1 N IY0", "stomach": "S T AH1 M AH0 K",
+    "among": "AH0 M AH1 NG", "amongst": "AH0 M AH1 NG S T",
+    "son": "S AH1 N", "sons": "S AH1 N Z", "ton": "T AH1 N",
+    "won": "W AH1 N", "wonder": "W AH1 N D ER0",
+    "wonderful": "W AH1 N D ER0 F AH0 L",
+    "nothing": "N AH1 TH IH0 NG", "mother": "M AH1 DH ER0",
+    "brother": "B R AH1 DH ER0", "other": "AH1 DH ER0",
+    "another": "AH0 N AH1 DH ER0", "others": "AH1 DH ER0 Z",
+    "glove": "G L AH1 V", "gloves": "G L AH1 V Z",
+    "above": "AH0 B AH1 V", "love": "L AH1 V", "loved": "L AH1 V D",
+    "dove": "D AH1 V", "oven": "AH1 V AH0 N", "cover": "K AH1 V ER0",
+    "covered": "K AH1 V ER0 D", "govern": "G AH1 V ER0 N",
+    "government": "G AH1 V ER0 M AH0 N T",
+    "company": "K AH1 M P AH0 N IY0", "color": "K AH1 L ER0",
+    "colour": "K AH1 L ER0", "comfort": "K AH1 M F ER0 T",
+    "common": "K AA1 M AH0 N", "compass": "K AH1 M P AH0 S",
+    "onion": "AH1 N Y AH0 N", "london": "L AH1 N D AH0 N",
+    "among": "AH0 M AH1 NG", "dozen": "D AH1 Z AH0 N",
+    "become": "B IH0 K AH1 M", "became": "B IH0 K EY1 M",
+    "welcome": "W EH1 L K AH0 M", "income": "IH1 N K AH2 M",
+    "somebody": "S AH1 M B AA2 D IY0",
+    "something": "S AH1 M TH IH0 NG", "sometimes": "S AH0 M T AY1 M Z",
+    "somewhat": "S AH1 M W AH2 T", "somewhere": "S AH1 M W EH2 R",
+    "stone": "S T OW1 N", "stones": "S T OW1 N Z",
+    "alone": "AH0 L OW1 N", "bone": "B OW1 N", "tone": "T OW1 N",
+    "scene": "S IY1 N", "scent": "S EH1 N T",
+    "science": "S AY1 AH0 N S", "scissors": "S IH1 Z ER0 Z",
+    "muscle": "M AH1 S AH0 L", "fasten": "F AE1 S AH0 N",
+    "soften": "S AO1 F AH0 N", "hasten": "HH EY1 S AH0 N",
+    "wednesday": "W EH1 N Z D EY2", "february": "F EH1 B Y AH0 W EH2 R IY0",
+    "january": "JH AE1 N Y UW0 EH2 R IY0",
+    "library": "L AY1 B R EH2 R IY0",
+    "necessary": "N EH1 S AH0 S EH2 R IY0",
+    "secretary": "S EH1 K R AH0 T EH2 R IY0",
+    "interesting": "IH1 N T R AH0 S T IH0 NG",
+    "interest": "IH1 N T R AH0 S T",
+    "different": "D IH1 F ER0 AH0 N T",
+    "evening": "IY1 V N IH0 NG", "every": "EH1 V ER0 IY0",
+    "everything": "EH1 V R IY0 TH IH2 NG",
+    "everyone": "EH1 V R IY0 W AH2 N",
+    "several": "S EH1 V R AH0 L", "general": "JH EH1 N ER0 AH0 L",
+    "camera": "K AE1 M ER0 AH0", "family": "F AE1 M AH0 L IY0",
+    "favorite": "F EY1 V ER0 IH0 T", "favourite": "F EY1 V ER0 IH0 T",
+    "temperature": "T EH1 M P R AH0 CH ER0",
+    "restaurant": "R EH1 S T ER0 AA2 N T",
+    "chocolate": "CH AO1 K L AH0 T",
+    "vegetable": "V EH1 JH T AH0 B AH0 L",
+    "miniature": "M IH1 N IY0 AH0 CH ER0",
+    "comfortable": "K AH1 M F ER0 T AH0 B AH0 L",
+    "suit": "S UW1 T", "fruit": "F R UW1 T", "juice": "JH UW1 S",
+    "bruise": "B R UW1 Z", "cruise": "K R UW1 Z",
+    "nuisance": "N UW1 S AH0 N S", "pursuit": "P ER0 S UW1 T",
+    "minute": "M IH1 N AH0 T", "minutes": "M IH1 N AH0 T S",
+    "lettuce": "L EH1 T AH0 S", "purpose": "P ER1 P AH0 S",
+    "promise": "P R AA1 M AH0 S", "surface": "S ER1 F AH0 S",
+    "palace": "P AE1 L AH0 S", "village": "V IH1 L AH0 JH",
+    "image": "IH1 M AH0 JH", "damage": "D AE1 M AH0 JH",
+    "courage": "K ER1 IH0 JH", "marriage": "M EH1 R IH0 JH",
+    "carriage": "K AE1 R IH0 JH", "knowledge": "N AA1 L AH0 JH",
+    "college": "K AA1 L IH0 JH", "orange": "AO1 R AH0 N JH",
+    "porridge": "P AO1 R IH0 JH", "message": "M EH1 S AH0 JH",
+    "passage": "P AE1 S AH0 JH", "garbage": "G AA1 R B IH0 JH",
+    "usage": "Y UW1 S AH0 JH", "luggage": "L AH1 G AH0 JH",
+    "average": "AE1 V ER0 IH0 JH", "savage": "S AE1 V AH0 JH",
+    "cottage": "K AA1 T AH0 JH", "cabbage": "K AE1 B AH0 JH",
+    "captain": "K AE1 P T AH0 N", "certain": "S ER1 T AH0 N",
+    "certainly": "S ER1 T AH0 N L IY0", "curtain": "K ER1 T AH0 N",
+    "fountain": "F AW1 N T AH0 N", "mountain": "M AW1 N T AH0 N",
+    "mountains": "M AW1 N T AH0 N Z", "bargain": "B AA1 R G AH0 N",
+    "villain": "V IH1 L AH0 N", "britain": "B R IH1 T AH0 N",
+    "ancient": "EY1 N CH AH0 N T", "patient": "P EY1 SH AH0 N T",
+    "patience": "P EY1 SH AH0 N S", "anxious": "AE1 NG K SH AH0 S",
+    "anxiety": "AE0 NG Z AY1 AH0 T IY0",
+    "luxury": "L AH1 G ZH ER0 IY0", "exact": "IH0 G Z AE1 K T",
+    "exactly": "IH0 G Z AE1 K T L IY0",
+    "example": "IH0 G Z AE1 M P AH0 L",
+    "examine": "IH0 G Z AE1 M AH0 N", "exist": "IH0 G Z IH1 S T",
+    "exhaust": "IH0 G Z AO1 S T", "exhibit": "IH0 G Z IH1 B IH0 T",
+    "exert": "IH0 G Z ER1 T", "executive": "IH0 G Z EH1 K Y AH0 T IH0 V",
+    "anger": "AE1 NG G ER0", "angry": "AE1 NG G R IY0",
+    "hunger": "HH AH1 NG G ER0", "hungry": "HH AH1 NG G R IY0",
+    "finger": "F IH1 NG G ER0", "fingers": "F IH1 NG G ER0 Z",
+    "longer": "L AO1 NG G ER0", "stronger": "S T R AO1 NG G ER0",
+    "younger": "Y AH1 NG G ER0", "single": "S IH1 NG G AH0 L",
+    "england": "IH1 NG G L AH0 N D", "english": "IH1 NG G L IH0 SH",
+    "singer": "S IH1 NG ER0", "danger": "D EY1 N JH ER0",
+    "dangerous": "D EY1 N JH ER0 AH0 S", "stranger": "S T R EY1 N JH ER0",
+    "strange": "S T R EY1 N JH", "angel": "EY1 N JH AH0 L",
+    "ginger": "JH IH1 N JH ER0", "engine": "EH1 N JH AH0 N",
+    "engineer": "EH2 N JH AH0 N IH1 R",
+    "suggest": "S AH0 G JH EH1 S T",
+    "area": "EH1 R IY0 AH0", "idea": "AY0 D IY1 AH0",
+    "ideas": "AY0 D IY1 AH0 Z", "real": "R IY1 L",
+    "really": "R IH1 L IY0", "create": "K R IY0 EY1 T",
+    "created": "K R IY0 EY1 T IH0 D", "theater": "TH IY1 AH0 T ER0",
+    "theatre": "TH IY1 AH0 T ER0", "react": "R IY0 AE1 K T",
+    "ahead": "AH0 HH EH1 D", "apart": "AH0 P AA1 R T",
+    "away": "AH0 W EY1", "across": "AH0 K R AO1 S",
+    "along": "AH0 L AO1 NG", "amount": "AH0 M AW1 N T",
+    "appear": "AH0 P IH1 R", "appeared": "AH0 P IH1 R D",
+    "attack": "AH0 T AE1 K", "attempt": "AH0 T EH1 M P T",
+    "attention": "AH0 T EH1 N SH AH0 N",
+    "arrive": "ER0 AY1 V", "arrived": "ER0 AY1 V D",
+    "allow": "AH0 L AW1", "allowed": "AH0 L AW1 D",
+    "agree": "AH0 G R IY1", "agreed": "AH0 G R IY1 D",
+    "afraid": "AH0 F R EY1 D", "ago": "AH0 G OW1",
+    "asleep": "AH0 S L IY1 P", "awake": "AH0 W EY1 K",
+    "alive": "AH0 L AY1 V", "alike": "AH0 L AY1 K",
+    "abroad": "AH0 B R AO1 D", "aboard": "AH0 B AO1 R D",
+    "account": "AH0 K AW1 N T", "accept": "AE0 K S EH1 P T",
+    "accident": "AE1 K S AH0 D AH0 N T",
+    "success": "S AH0 K S EH1 S", "succeed": "S AH0 K S IY1 D",
+    "access": "AE1 K S EH2 S", "occasion": "AH0 K EY1 ZH AH0 N",
+    "o'clock": "AH0 K L AA1 K", "gentleman": "JH EH1 N T AH0 L M AH0 N",
+    "gentlemen": "JH EH1 N T AH0 L M IH0 N",
+    "perhaps": "P ER0 HH AE1 P S", "position": "P AH0 Z IH1 SH AH0 N",
+    "present": "P R EH1 Z AH0 N T", "presence": "P R EH1 Z AH0 N S",
+    "prison": "P R IH1 Z AH0 N", "prisoner": "P R IH1 Z AH0 N ER0",
+    "reason": "R IY1 Z AH0 N", "season": "S IY1 Z AH0 N",
+    "result": "R IH0 Z AH1 L T", "resemble": "R IH0 Z EH1 M B AH0 L",
+    "deserve": "D IH0 Z ER1 V", "desire": "D IH0 Z AY1 ER0",
+    "observe": "AH0 B Z ER1 V", "observed": "AH0 B Z ER1 V D",
+    "visit": "V IH1 Z AH0 T", "visited": "V IH1 Z AH0 T IH0 D",
+    "usual": "Y UW1 ZH AH0 W AH0 L",
+    "usually": "Y UW1 ZH AH0 W AH0 L IY0",
+    "pleasure": "P L EH1 ZH ER0", "vision": "V IH1 ZH AH0 N",
+    "division": "D IH0 V IH1 ZH AH0 N",
+    "decision": "D IH0 S IH1 ZH AH0 N",
+    "occasionally": "AH0 K EY1 ZH AH0 N AH0 L IY0",
+    "million": "M IH1 L Y AH0 N", "billion": "B IH1 L Y AH0 N",
+    "familiar": "F AH0 M IH1 L Y ER0", "opinion": "AH0 P IH1 N Y AH0 N",
+    "companion": "K AH0 M P AE1 N Y AH0 N",
+    "behavior": "B IH0 HH EY1 V Y ER0",
+    "behaviour": "B IH0 HH EY1 V Y ER0",
+    "brilliant": "B R IH1 L Y AH0 N T",
+    "william": "W IH1 L Y AH0 M", "junior": "JH UW1 N Y ER0",
+    "senior": "S IY1 N Y ER0", "union": "Y UW1 N Y AH0 N",
+    # "ow" as /AW/ (the ow->OW rule default misses these)
+    "brown": "B R AW1 N", "town": "T AW1 N", "towns": "T AW1 N Z",
+    "gown": "G AW1 N", "crown": "K R AW1 N", "drown": "D R AW1 N",
+    "clown": "K L AW1 N", "frown": "F R AW1 N", "crowd": "K R AW1 D",
+    "owl": "AW1 L", "vowel": "V AW1 AH0 L", "towel": "T AW1 AH0 L",
+    "flower": "F L AW1 ER0", "tower": "T AW1 ER0",
+    "shower": "SH AW1 ER0", "coward": "K AW1 ER0 D",
+    "brow": "B R AW1", "plow": "P L AW1", "allowance": "AH0 L AW1 AH0 N S",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -210,54 +473,11 @@ _TEENS = ("ten eleven twelve thirteen fourteen fifteen sixteen "
 _TENS = ("twenty thirty forty fifty sixty seventy eighty ninety").split()
 
 _VOWELS = set("aeiouy")
-
-# Letter-to-sound rules. Each entry: (grapheme, condition, phones).
-# Conditions: "" always; "V" next letter is a vowel letter; "C" next is a
-# consonant/end; "^" word start; "$" word end; "eI" next letter in e/i/y.
-# Rules are tried longest-grapheme-first at each position.
-_LTS_RULES = [
-    # multi-letter consonants
-    ("tch", "", "CH"), ("sch", "", "S K"), ("dge", "", "JH"),
-    ("ough", "$", "OW"), ("augh", "", "AO"), ("eigh", "", "EY"),
-    ("igh", "", "AY"),
-    ("tion", "", "SH AH0 N"), ("sion", "", "ZH AH0 N"),
-    ("cial", "", "SH AH0 L"), ("tial", "", "SH AH0 L"),
-    ("ture", "$", "CH ER0"), ("sure", "$", "ZH ER0"),
-    ("ph", "", "F"), ("gh", "^", "G"), ("gh", "", ""),
-    ("ch", "", "CH"), ("sh", "", "SH"), ("th", "", "TH"),
-    ("wh", "^", "W"), ("ck", "", "K"), ("ng", "$", "NG"),
-    ("ng", "", "NG G"), ("qu", "", "K W"), ("wr", "^", "R"),
-    ("kn", "^", "N"), ("gn", "^", "N"), ("ps", "^", "S"),
-    ("mb", "$", "M"), ("sc", "eI", "S"),
-    # vowel teams
-    ("eau", "", "OW"), ("iou", "", "IY AH0"),
-    ("ee", "", "IY"), ("ea", "", "IY"), ("ai", "", "EY"), ("ay", "", "EY"),
-    ("oa", "", "OW"), ("oo", "", "UW"), ("ou", "", "AW"), ("ow", "$", "OW"),
-    ("ow", "", "AW"), ("au", "", "AO"), ("aw", "", "AO"), ("oi", "", "OY"),
-    ("oy", "", "OY"), ("ie", "$", "AY"), ("ie", "", "IY"), ("ei", "", "IY"),
-    ("ey", "", "IY"), ("ue", "", "UW"), ("ui", "", "UW"), ("eu", "", "UW"),
-    ("ew", "", "UW"),
-    # r-controlled vowels
-    ("air", "", "EH R"), ("are", "$", "EH R"), ("ear", "", "IH R"),
-    ("eer", "", "IH R"), ("ar", "", "AA R"), ("er", "$", "ER0"),
-    ("er", "", "ER"), ("ir", "", "ER"), ("or", "", "AO R"),
-    ("ur", "", "ER"), ("yr", "", "ER"),
-    # single vowels (short defaults; magic-e handled by caller)
-    ("a", "", "AE"), ("e", "$", ""), ("e", "", "EH"), ("i", "", "IH"),
-    ("o", "", "AA"), ("u", "", "AH"), ("y", "^", "Y"), ("y", "$", "IY"),
-    ("y", "", "IH"),
-    # consonants
-    ("b", "", "B"), ("c", "eI", "S"), ("c", "", "K"), ("d", "", "D"),
-    ("f", "", "F"), ("g", "eI", "JH"), ("g", "", "G"), ("h", "", "HH"),
-    ("j", "", "JH"), ("k", "", "K"), ("l", "", "L"), ("m", "", "M"),
-    ("n", "", "N"), ("p", "", "P"), ("r", "", "R"), ("s", "", "S"),
-    ("t", "", "T"), ("v", "", "V"), ("w", "", "W"), ("x", "", "K S"),
-    ("z", "", "Z"), ("'", "", ""),
-]
-
-# Long (magic-e) vowel values used when a vowel is followed by a single
-# consonant + "e" at the end of the word.
-_LONG_VOWEL = {"a": "EY", "e": "IY", "i": "AY", "o": "OW", "u": "Y UW"}
+_CONSONANTS = set("bcdfghjklmnpqrstvwxz")
+_VOICED = set("bdvgjlmnrwz")
+_FRONT = set("eiy")
+_SIBILANT = set("scgzxj")
+_LONG_U = set("tsrdlzn")
 
 _STRESSABLE = {
     "AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
@@ -356,60 +576,102 @@ class G2P:
     def _word_phones(self, word: str) -> List[str]:
         if word in self._lexicon:
             return self._lexicon[word].split()
-        # strip simple suffixes and retry the lexicon
-        for suffix, extra in (("'s", ["Z"]), ("s", ["Z"]), ("ing", ["IH0", "NG"]),
-                              ("ed", ["D"]), ("ly", ["L", "IY0"])):
-            if word.endswith(suffix) and word[: -len(suffix)] in self._lexicon:
-                return self._lexicon[word[: -len(suffix)]].split() + extra
+        # strip morphological suffixes and retry the lexicon, voicing the
+        # affix phone by the stem's final sound like g2p_en's dictionary
+        # layer would return
+        stripped = self._strip_suffix(word)
+        if stripped is not None:
+            return stripped
         return self._lts(word)
 
-    def _lts(self, word: str) -> List[str]:
-        phones: List[str] = []
-        i, n = 0, len(word)
-        while i < n:
-            # magic-e: vowel + single consonant + final e
-            ch = word[i]
+    _VOICELESS_FINAL = {"P", "T", "K", "F", "TH"}
+    _SIBILANT_FINAL = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+    def _strip_suffix(self, word: str) -> Optional[List[str]]:
+        def plural(stem_phones: List[str]) -> List[str]:
+            last = stem_phones[-1].rstrip("012")
+            if last in self._SIBILANT_FINAL:
+                return stem_phones + ["IH0", "Z"]
+            if last in self._VOICELESS_FINAL:
+                return stem_phones + ["S"]
+            return stem_phones + ["Z"]
+
+        def past(stem_phones: List[str]) -> List[str]:
+            last = stem_phones[-1].rstrip("012")
+            if last in ("T", "D"):
+                return stem_phones + ["IH0", "D"]
+            if last in self._VOICELESS_FINAL or last in ("S", "SH", "CH"):
+                return stem_phones + ["T"]
+            return stem_phones + ["D"]
+
+        candidates = (
+            ("'s", plural), ("s'", plural), ("es", plural), ("s", plural),
+            ("ed", past),
+            ("ing", lambda p: p + ["IH0", "NG"]),
+            ("ly", lambda p: p + ["L", "IY0"]),
+            ("ness", lambda p: p + ["N", "AH0", "S"]),
+            ("ment", lambda p: p + ["M", "AH0", "N", "T"]),
+            ("er", lambda p: p + ["ER0"]),
+            ("est", lambda p: p + ["AH0", "S", "T"]),
+        )
+        for suffix, attach in candidates:
+            if not word.endswith(suffix) or len(word) <= len(suffix):
+                continue
+            stem = word[: -len(suffix)]
+            for variant in (stem, stem + "e"):
+                if variant in self._lexicon:
+                    return attach(self._lexicon[variant].split())
+            # consonant doubling: "stopped" -> stop + p + ed
             if (
-                ch in _LONG_VOWEL
-                and i + 2 < n
-                and word[i + 1] not in _VOWELS
-                and word[i + 2] == "e"
-                and i + 3 == n
+                len(stem) >= 2 and stem[-1] == stem[-2]
+                and stem[:-1] in self._lexicon
             ):
-                phones.extend(_LONG_VOWEL[ch].split())
+                return attach(self._lexicon[stem[:-1]].split())
+        return None
+
+    def _lts(self, word: str) -> List[str]:
+        """Context-sensitive letter-to-sound (NRL-style ruleset in
+        lts_rules.py), then heuristic stress assignment."""
+        from .lts_rules import RULES
+
+        text = f" {word} "
+        phones: List[str] = []
+        i = 1
+        n = len(text) - 1
+        while i < n:
+            ch = text[i]
+            bucket = RULES.get(ch)
+            if bucket is None:
                 i += 1
                 continue
-            matched = False
-            for g, cond, ph in _LTS_RULES:
-                if not word.startswith(g, i):
+            advanced = False
+            for left, grapheme, right, out in bucket:
+                j = i + len(grapheme)
+                if text[i:j] != grapheme:
                     continue
-                j = i + len(g)
-                if cond == "^" and i != 0:
+                if not _match_left(text, i - 1, left):
                     continue
-                if cond == "$" and j != n:
+                if not _match_right(text, j, right):
                     continue
-                if cond == "V" and (j >= n or word[j] not in _VOWELS):
-                    continue
-                if cond == "C" and j < n and word[j] in _VOWELS:
-                    continue
-                if cond == "eI" and (j >= n or word[j] not in "eiy"):
-                    continue
-                if ph:
-                    phones.extend(ph.split())
+                if out:
+                    phones.extend(out.split())
                 i = j
-                matched = True
+                advanced = True
                 break
-            if not matched:
+            if not advanced:
                 i += 1
         return self._apply_stress(phones)
 
     @staticmethod
     def _apply_stress(phones: List[str]) -> List[str]:
-        """Primary stress on the first vowel, no stress elsewhere."""
+        """Heuristic stress: primary on the first full vowel; ``AX``
+        (rule-engine schwa) is never stressed and becomes AH0."""
         out: List[str] = []
         stressed = False
         for p in phones:
-            if p in _STRESSABLE:
+            if p == "AX":
+                out.append("AH0")
+            elif p in _STRESSABLE:
                 out.append(p + ("1" if not stressed else "0"))
                 stressed = True
             elif p and p[-1] in "012":
@@ -419,3 +681,141 @@ class G2P:
             else:
                 out.append(p)
         return out
+
+
+def _match_left(text: str, pos: int, pattern: str) -> bool:
+    """Match a rule's left context right-to-left ending at ``pos``.
+
+    ``:`` (zero or more consonants) backtracks: all consumption counts
+    are tried so patterns like ``#^:e`` match both "baked" and
+    "worked" — an improvement over the classic greedy matcher.
+    """
+    i = len(pattern) - 1
+    p = pos
+    while i >= 0:
+        c = pattern[i]
+        if c.isalpha() or c == "'":
+            if p < 0 or text[p] != c:
+                return False
+            p -= 1
+        elif c == " ":
+            if p >= 0 and (text[p].isalpha() or text[p] == "'"):
+                return False
+            p -= 1
+        elif c == "#":  # one or more vowels
+            if p < 0 or text[p] not in _VOWELS:
+                return False
+            while p >= 0 and text[p] in _VOWELS:
+                p -= 1
+        elif c == ":":  # zero or more consonants, with backtracking
+            rest = pattern[:i]
+            q = p
+            while True:
+                if _match_left(text, q, rest):
+                    return True
+                if q < 0 or text[q] not in _CONSONANTS:
+                    return False
+                q -= 1
+        elif c == "^":  # one consonant
+            if p < 0 or text[p] not in _CONSONANTS:
+                return False
+            p -= 1
+        elif c == ".":  # one voiced consonant
+            if p < 0 or text[p] not in _VOICED:
+                return False
+            p -= 1
+        elif c == "+":  # one front vowel
+            if p < 0 or text[p] not in _FRONT:
+                return False
+            p -= 1
+        elif c == "&":  # sibilant (incl. ch/sh digraphs)
+            if p >= 1 and text[p] == "h" and text[p - 1] in ("c", "s"):
+                p -= 2
+            elif p >= 0 and text[p] in _SIBILANT:
+                p -= 1
+            else:
+                return False
+        elif c == "@":  # consonant after which long u loses its glide
+            if p >= 1 and text[p] == "h" and text[p - 1] in ("t", "c", "s"):
+                p -= 2
+            elif p >= 0 and text[p] in _LONG_U:
+                p -= 1
+            else:
+                return False
+        else:
+            return False
+        i -= 1
+    return True
+
+
+def _match_right(text: str, pos: int, pattern: str) -> bool:
+    """Match a rule's right context left-to-right starting at ``pos``."""
+    i = 0
+    p = pos
+    n = len(text)
+    while i < len(pattern):
+        c = pattern[i]
+        if c.isalpha() or c == "'":
+            if p >= n or text[p] != c:
+                return False
+            p += 1
+        elif c == " ":
+            if p < n and (text[p].isalpha() or text[p] == "'"):
+                return False
+            p += 1
+        elif c == "#":
+            if p >= n or text[p] not in _VOWELS:
+                return False
+            while p < n and text[p] in _VOWELS:
+                p += 1
+        elif c == ":":  # zero or more consonants, with backtracking
+            rest = pattern[i + 1:]
+            q = p
+            while True:
+                if _match_right(text, q, rest):
+                    return True
+                if q >= n or text[q] not in _CONSONANTS:
+                    return False
+                q += 1
+        elif c == "^":
+            if p >= n or text[p] not in _CONSONANTS:
+                return False
+            p += 1
+        elif c == ".":
+            if p >= n or text[p] not in _VOICED:
+                return False
+            p += 1
+        elif c == "+":
+            if p >= n or text[p] not in _FRONT:
+                return False
+            p += 1
+        elif c == "&":
+            if p + 1 < n and text[p] in ("c", "s") and text[p + 1] == "h":
+                p += 2
+            elif p < n and text[p] in _SIBILANT:
+                p += 1
+            else:
+                return False
+        elif c == "@":
+            if p + 1 < n and text[p] in ("t", "c", "s") and text[p + 1] == "h":
+                p += 2
+            elif p < n and text[p] in _LONG_U:
+                p += 1
+            else:
+                return False
+        elif c == "%":  # suffix: e / er / es / ed / ely / ing
+            if text.startswith("ing", p):
+                p += 3
+            elif text[p:p + 1] == "e":
+                if text.startswith("ely", p):
+                    p += 3
+                elif text[p + 1:p + 2] in ("r", "s", "d"):
+                    p += 2
+                else:
+                    p += 1
+            else:
+                return False
+        else:
+            return False
+        i += 1
+    return True
