@@ -1,0 +1,176 @@
+"""ONNX export + runtime round-trip tests.
+
+The emitted .onnx files (voice100_tpu/onnx/export.py, opset 13,
+dynamic axes — the reference's serving artifact format,
+voice100/export_onnx.py:12-161) are parsed back and executed with the
+in-repo NumPy runtime; outputs must match the JAX predict surfaces.
+When onnxruntime is importable the same files are also validated
+against it.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from voice100_tpu.models import (
+    AudioToAlignText,
+    TextToAlignText,
+    AlignTextToAudio,
+)
+from voice100_tpu.onnx import export_onnx
+from voice100_tpu.onnx.runtime import load_model
+
+
+def _rand_audio(rng, batch=2, time=37, size=64):
+    audio = rng.randn(batch, time, size).astype(np.float32)
+    audio_len = np.asarray([time, time - 9], np.int32)
+    return audio, audio_len
+
+
+def _rand_text(rng, batch=2, length=13, vocab=29):
+    text = rng.randint(1, vocab, size=(batch, length)).astype(np.int32)
+    text_len = np.asarray([length, length - 4], np.int32)
+    return text, text_len
+
+
+def test_asr_onnx_roundtrip(tmp_path):
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((24, False, 5, 2, 2, False),
+                          (24, False, 5, 1, 2, False)),
+        decoder_num_layers=2, decoder_hidden_size=16,
+    )
+    rng = np.random.RandomState(0)
+    audio, audio_len = _rand_audio(rng)
+    variables = model.init(jax.random.PRNGKey(0), audio, audio_len)
+    want_logits, want_len = model.apply(variables, audio, audio_len)
+
+    path = str(tmp_path / "asr.onnx")
+    export_onnx(model, variables, path)
+    run = load_model(path)
+    assert run.input_names == ["audio", "audio_len"]
+    got_logits, got_len = run(audio, audio_len)
+    np.testing.assert_array_equal(np.asarray(want_len), got_len)
+    # padded frames are zero on both sides; compare valid regions
+    for i, n in enumerate(np.asarray(want_len)):
+        np.testing.assert_allclose(
+            got_logits[i, :n], np.asarray(want_logits)[i, :n],
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_align_onnx_roundtrip(tmp_path):
+    model = TextToAlignText(vocab_size=29, num_layers=2, hidden_size=16)
+    rng = np.random.RandomState(1)
+    text, text_len = _rand_text(rng)
+    variables = model.init(jax.random.PRNGKey(0), text, text_len)
+    want = np.asarray(model.apply(
+        variables, text, text_len, method=TextToAlignText.predict))
+
+    path = str(tmp_path / "align.onnx")
+    export_onnx(model, variables, path)
+    run = load_model(path)
+    (got,) = run(text, text_len)
+    for i, n in enumerate(text_len):
+        np.testing.assert_allclose(got[i, :n], want[i, :n],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def _tts_model_and_vars(logspc_size):
+    model = AlignTextToAudio(
+        vocab_size=29, logspc_size=logspc_size, codeap_size=1,
+        encoder_num_layers=1, encoder_hidden_size=16,
+        decoder_settings=((16, False, 5, 1, 2, False),
+                          (16, True, 5, 2, 2, False),
+                          (16, False, 5, 1, 2, False)),
+    )
+    rng = np.random.RandomState(2)
+    text, text_len = _rand_text(rng)
+    variables = model.init(jax.random.PRNGKey(0), text, text_len)
+    # non-trivial norm stats so unnormalization is actually exercised
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    norm = dict(variables["world_norm"]["norm"])
+    norm["f0_mean"] = np.asarray([120.0], np.float32)
+    norm["f0_std"] = np.asarray([35.0], np.float32)
+    norm["logspc_mean"] = rng.randn(logspc_size).astype(np.float32)
+    norm["logspc_std"] = (1 + rng.rand(logspc_size)).astype(np.float32)
+    norm["codeap_mean"] = np.asarray([-1.0], np.float32)
+    norm["codeap_std"] = np.asarray([0.5], np.float32)
+    variables = {"params": variables["params"],
+                 "world_norm": {"norm": norm}}
+    return model, variables, text, text_len
+
+
+@pytest.mark.parametrize("logspc_size", [25, 17])
+def test_tts_onnx_roundtrip(tmp_path, logspc_size):
+    model, variables, text, text_len = _tts_model_and_vars(logspc_size)
+    f0_w, logspc_w, codeap_w = (
+        np.asarray(v) for v in model.apply(
+            variables, text, text_len, method=AlignTextToAudio.predict)
+    )
+    if logspc_size == 25:  # graph folds mc2sp; fold on the JAX side too
+        from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+
+        mc2sp = create_mc2sp_matrix(512, 24, 0.410).astype(np.float32)
+        logspc_w = logspc_w @ mc2sp
+
+    path = str(tmp_path / "tts.onnx")
+    export_onnx(model, variables, path)
+    run = load_model(path)
+    f0_g, logspc_g, codeap_g = run(text, text_len)
+    out_len = np.asarray(model.output_length(text_len))
+    for i, n in enumerate(out_len):
+        np.testing.assert_allclose(f0_g[i, :n], f0_w[i, :n],
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(logspc_g[i, :n], logspc_w[i, :n],
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(codeap_g[i, :n], codeap_w[i, :n],
+                                   rtol=1e-3, atol=1e-3)
+    # mcep form expands to n_fft/2+1 = 257 spectrum bins
+    assert logspc_g.shape[-1] == (257 if logspc_size == 25 else logspc_size)
+
+
+def test_onnx_file_is_wire_valid(tmp_path):
+    """The emitted bytes parse as a well-formed ModelProto with the
+    expected opset and graph topology (every node input resolvable)."""
+    model = TextToAlignText(vocab_size=29, num_layers=1, hidden_size=8)
+    text = np.zeros((1, 4), np.int32)
+    text_len = np.asarray([4], np.int32)
+    variables = model.init(jax.random.PRNGKey(0), text, text_len)
+    path = str(tmp_path / "align.onnx")
+    export_onnx(model, variables, path)
+
+    from voice100_tpu.onnx.schema import get_pb
+
+    proto = get_pb().ModelProto()
+    proto.ParseFromString(open(path, "rb").read())
+    assert proto.ir_version == 7
+    assert proto.opset_import[0].version == 13
+    g = proto.graph
+    known = {t.name for t in g.initializer} | {vi.name for vi in g.input}
+    for node in g.node:
+        for name in node.input:
+            assert not name or name in known, (node.op_type, name)
+        known.update(node.output)
+    for vi in g.output:
+        assert vi.name in known
+    # dynamic axes are declared as named dims
+    dim0 = g.input[0].type.tensor_type.shape.dim[0]
+    assert dim0.dim_param == "batch"
+
+
+def test_onnxruntime_if_available(tmp_path):
+    ort = pytest.importorskip("onnxruntime")
+    model = TextToAlignText(vocab_size=29, num_layers=2, hidden_size=16)
+    rng = np.random.RandomState(3)
+    text, text_len = _rand_text(rng)
+    variables = model.init(jax.random.PRNGKey(0), text, text_len)
+    want = np.asarray(model.apply(
+        variables, text, text_len, method=TextToAlignText.predict))
+    path = str(tmp_path / "align.onnx")
+    export_onnx(model, variables, path)
+    sess = ort.InferenceSession(path)
+    (got,) = sess.run(None, {"text": text, "text_len": text_len})
+    for i, n in enumerate(text_len):
+        np.testing.assert_allclose(got[i, :n], want[i, :n],
+                                   rtol=1e-4, atol=1e-4)

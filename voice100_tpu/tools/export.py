@@ -1,11 +1,14 @@
-"""Model export for serving: StableHLO (jax.export) + optional ONNX.
+"""Model export for serving: StableHLO (jax.export) + ONNX.
 
 The reference exports ONNX graphs of the predict functions with dynamic
 batch/time axes (voice100/export_onnx.py:12-161), folding the mc2sp
 matrix into the TTS graph. Here the first-class artifact is a serialized
 StableHLO module (the TPU/XLA-native equivalent, reloadable with
-jax.export and runnable on any XLA backend); ONNX export is attempted
-when the onnx package is available and skipped with a notice otherwise.
+jax.export and runnable on any XLA backend); the three v2 predict
+surfaces additionally emit real .onnx files via the self-contained
+emitter in ``voice100_tpu.onnx`` (opset 13, dynamic axes, mc2sp folded
+— no onnx package required), runnable with onnxruntime or the in-repo
+NumPy runtime.
 
 Exported predict surfaces (matching the reference's wrappers):
   asr:   (audio, audio_len)        -> (logits, logits_len)
@@ -132,30 +135,22 @@ def export_model(model, variables, output_path: str) -> str:
     }
     with open(output_path + ".json", "w") as f:
         json.dump(manifest, f, indent=2)
-    _maybe_export_onnx(fn, example, output_path)
+    _export_onnx(model, variables, output_path)
     return output_path
 
 
-def _maybe_export_onnx(fn, example, output_path: str) -> None:
-    try:
-        import onnx  # noqa: F401
-    except ImportError:
-        print(
-            "[export] onnx package not available; wrote StableHLO only "
-            "(install onnx + a jax->onnx bridge for .onnx artifacts)"
-        )
-        return
-    # When onnx is present, serialize via jax2onnx if importable.
-    try:
-        from jax2onnx import convert  # type: ignore
+def _export_onnx(model, variables, output_path: str) -> None:
+    """Emit the .onnx serving artifact for v2 models (self-contained
+    emitter; v1 surfaces are StableHLO-only)."""
+    from ..onnx import export_onnx
 
-        model_proto = convert(fn, example)
-        onnx_path = os.path.splitext(output_path)[0] + ".onnx"
-        with open(onnx_path, "wb") as f:
-            f.write(model_proto.SerializeToString())
-        print(f"[export] wrote {onnx_path}")
-    except Exception as e:  # pragma: no cover
-        print(f"[export] onnx export unavailable: {e}")
+    onnx_path = os.path.splitext(output_path)[0] + ".onnx"
+    try:
+        export_onnx(model, variables, onnx_path)
+    except ValueError as e:
+        print(f"[export] skipped onnx: {e}")
+        return
+    print(f"[export] wrote {onnx_path}")
 
 
 def cli_main(argv=None) -> None:
