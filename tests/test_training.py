@@ -231,3 +231,42 @@ def test_cli_validate_subcommand(corpus, tmp_path):
     ]
     cli_main(["fit"] + common)
     cli_main(["validate"] + common)  # must not raise
+
+
+def test_val_metrics_pad_invariant_and_cer(corpus, tmp_path):
+    """val_loss must not change with pad_to_full duplication, and the
+    trainer logs a greedy-decode val_cer for CTC models."""
+    import json
+
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    # 8 clips, valid_ratio 0.375 -> 3 val samples; batch 2 -> final
+    # val batch has 1 real + 1 duplicate row
+    data = AudioTextDataModule(
+        vocoder="mel",
+        dataset="dummy_en",
+        data_dir=corpus,
+        cache_dir=str(tmp_path / "cache"),
+        batch_size=2,
+        valid_ratio=0.375,
+    )
+    log_path = str(tmp_path / "log.jsonl")
+    trainer = Trainer(TrainerConfig(max_epochs=1, log_path=log_path))
+    model = _tiny_asr()
+    state = trainer.fit(model, data)
+
+    records = [json.loads(line) for line in open(log_path)]
+    epoch_rec = [r for r in records if "val_loss" in r][-1]
+    assert "val_cer" in epoch_rec
+    assert 0.0 <= epoch_rec["val_cer"] <= 2.0
+
+    # recompute val loss without duplicate padding; must match exactly
+    from voice100_tpu.training.tasks import make_task
+
+    task = make_task(model)
+    _, eval_step = trainer._make_step_fns(task, task.make_optimizer(1))
+    loader = data.val_dataloader()
+    loader.pad_to_full = False
+    ragged = trainer.evaluate(eval_step, state, loader)
+    assert abs(ragged["loss"] - epoch_rec["val_loss"]) < 1e-4

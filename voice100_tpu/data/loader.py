@@ -60,7 +60,7 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _batches(self) -> Iterator:
+    def _batches(self, with_counts: bool = False) -> Iterator:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -72,10 +72,18 @@ class DataLoader:
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]
             items = [self.dataset[int(i)] for i in idx]
+            n_real = len(items)
             if self.pad_to_full and len(items) < self.batch_size:
                 reps = -(-self.batch_size // len(items))
                 items = (items * reps)[: self.batch_size]
-            yield self.collate_fn(items)
+            batch = self.collate_fn(items)
+            yield (batch, n_real) if with_counts else batch
+
+    def iter_with_counts(self) -> Iterator:
+        """Yield ``(batch, n_real)`` where the first ``n_real`` rows are
+        real samples and the rest are pad duplicates (evaluation uses
+        this to keep metrics invariant to ``pad_to_full``)."""
+        yield from self._batches(with_counts=True)
 
     def __iter__(self) -> Iterator:
         if self.prefetch <= 0:

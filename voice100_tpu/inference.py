@@ -51,19 +51,28 @@ class ASRPipeline:
         sample_rate: int = 16000,
         batch_size: int = 8,
         buckets_sec: Sequence[float] = (2.0, 5.0, 10.0, 20.0, 40.0),
+        mel_kernel: Optional[str] = None,
     ) -> None:
+        import os
+
         self.model = model
         self.variables = variables
         self.tokenizer = get_tokenizer(language, use_phone)
         self.sample_rate = sample_rate
         self.batch_size = batch_size
         self.buckets = [int(s * sample_rate) for s in buckets_sec]
+        # mel frontend selection is fixed at construction ("pallas" or
+        # "xla"); the env var is only a default, so flipping it after
+        # the first jitted call cannot silently do nothing
+        self.mel_kernel = (
+            mel_kernel
+            if mel_kernel is not None
+            else os.environ.get("VOICE100_TPU_MEL_KERNEL", "xla")
+        )
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode(self, variables, wav, wav_len):
-        import os
-
-        if os.environ.get("VOICE100_TPU_MEL_KERNEL") == "pallas":
+        if self.mel_kernel == "pallas":
             from .ops.melspec_pallas import log_mel_spectrogram_pallas
 
             mel = log_mel_spectrogram_pallas(

@@ -197,6 +197,9 @@ class Trainer:
                 epoch_record["train_loss"] = float(running["loss"])
             if val_loader is not None and len(val_loader) > 0:
                 val_metrics = self.evaluate(eval_step, state, val_loader)
+                cer = self._val_cer(model, datamodule, state, val_loader)
+                if cer is not None:
+                    val_metrics["cer"] = cer
                 epoch_record.update(
                     {f"val_{k}": v for k, v in val_metrics.items()}
                 )
@@ -232,16 +235,71 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, eval_step, state: TrainState, loader) -> Dict[str, float]:
+        """Loss metrics over a loader, invariant to ``pad_to_full``:
+        duplicated pad rows in the final batch are sliced off before the
+        step runs (the partial shape compiles once, eval-only)."""
         totals: Dict[str, float] = {}
         count = 0
-        for batch in loader:
-            batch = shard_batch(batch, self.mesh)
-            metrics = eval_step(state.params, state.extra, batch)
+        data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        for batch, n_real in self._iter_counted(loader):
             bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if n_real < bs:
+                batch = jax.tree_util.tree_map(
+                    lambda x: x[:n_real], batch
+                )
+            elif bs % data_axis == 0:
+                batch = shard_batch(batch, self.mesh)
+            metrics = eval_step(state.params, state.extra, batch)
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * bs
-            count += bs
+                totals[k] = totals.get(k, 0.0) + float(v) * n_real
+            count += n_real
         return {k: v / max(count, 1) for k, v in totals.items()}
+
+    @staticmethod
+    def _iter_counted(loader):
+        if hasattr(loader, "iter_with_counts"):
+            yield from loader.iter_with_counts()
+        else:
+            for batch in loader:
+                yield batch, jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+    # ------------------------------------------------------------------
+    def _val_cer(self, model, datamodule, state: TrainState,
+                 loader) -> Optional[float]:
+        """Greedy-decode character error rate on the validation split
+        (CTC models only; decode flow: argmax -> tokenizer.decode ->
+        merge_repeated, as in the reference runtime,
+        /root/reference/tests/test_onnx.py:39-43)."""
+        tokenizer = getattr(datamodule, "text_transform", None)
+        if tokenizer is None or not hasattr(type(model), "greedy_decode"):
+            return None
+        from ..ops.metrics import error_rate
+
+        @jax.jit
+        def decode(params, extra, audio, audio_len):
+            return model.apply(
+                {"params": params, **extra}, audio, audio_len,
+                method=type(model).greedy_decode,
+            )
+
+        edits = total = 0
+        for batch, n_real in self._iter_counted(loader):
+            (audio, audio_len), (text, text_len) = batch
+            ids, out_len = decode(state.params, state.extra,
+                                  audio, audio_len)
+            ids, out_len = np.asarray(ids), np.asarray(out_len)
+            refs, hyps = [], []
+            for i in range(n_real):
+                ref = tokenizer.decode(text[i, : int(text_len[i])])
+                hyp = tokenizer.merge_repeated(
+                    tokenizer.decode(ids[i, : int(out_len[i])])
+                )
+                refs.append(ref)
+                hyps.append(hyp)
+            e, t = error_rate(refs, hyps)
+            edits += e
+            total += t
+        return edits / max(total, 1)
 
     def run_eval(
         self, model, datamodule, state: TrainState, stage: str = "test"
