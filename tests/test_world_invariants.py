@@ -1,0 +1,130 @@
+"""WORLD analysis->synthesis->re-analysis invariant metrics.
+
+No pyworld exists in this environment, so numerical parity against it
+is unverifiable; these tests replace that claim with measurable
+invariants on synthetic multi-pitch stimuli (the honest version of
+BASELINE.md's WORLD target). Ground-truth (f0, envelope, aperiodicity)
+features are synthesized to a waveform with this framework's WORLD
+synthesizer, then re-analyzed with DIO/CheapTrick/D4C-band; the
+recovered features must stay within the thresholds pinned here and
+documented in docs/world_metrics.md.
+
+Reference behavior being modeled: pyworld dio/cheaptrick/d4c as driven
+by voice100/vocoder.py:61-102.
+"""
+
+import numpy as np
+import pytest
+
+from voice100_tpu.dsp.world import WORLDVocoder
+from voice100_tpu.dsp.world.synthesis import synthesize
+from voice100_tpu.dsp.world.aperiodicity import decode_aperiodicity
+
+FS = 16000
+FRAME_PERIOD = 10.0
+N_FFT = 512
+
+
+def _formant_envelope(n_frames: int, formants=(500.0, 1500.0, 2500.0)):
+    """A static vowel-like spectral envelope [T, n_fft/2+1] (linear)."""
+    freqs = np.arange(N_FFT // 2 + 1) * FS / N_FFT
+    env = np.full_like(freqs, 1e-7)
+    for k, fc in enumerate(formants):
+        env = env + (0.5 ** k) * np.exp(-0.5 * ((freqs - fc) / 180.0) ** 2)
+    env = env / env.max()
+    return np.tile(env[None, :], (n_frames, 1))
+
+
+def _ground_truth(pitch: float, seconds: float = 1.2, vibrato: float = 0.02):
+    """(f0, spc, ap) with a voiced-unvoiced-voiced structure."""
+    n_frames = int(seconds * 1000 / FRAME_PERIOD) + 1
+    t = np.arange(n_frames) * FRAME_PERIOD / 1000.0
+    f0 = pitch * (1.0 + vibrato * np.sin(2 * np.pi * 4.0 * t))
+    third = n_frames // 3
+    f0[third:third + third // 2] = 0.0  # unvoiced gap
+    spc = _formant_envelope(n_frames)
+    codeap = np.where(f0 > 0, -8.0, -0.01)[:, None]
+    ap = decode_aperiodicity(codeap, FS, N_FFT)
+    return f0, spc, ap
+
+
+def _analyze(wav):
+    vocoder = WORLDVocoder(sample_rate=FS, frame_period=FRAME_PERIOD)
+    f0, logspc, codeap = vocoder.encode(wav)
+    return f0.astype(np.float64), logspc, codeap
+
+
+def _metrics(pitch: float):
+    f0_true, spc_true, ap_true = _ground_truth(pitch)
+    wav = synthesize(f0_true, spc_true, ap_true, fs=FS,
+                     frame_period=FRAME_PERIOD)
+    f0_est, logspc_est, _ = _analyze(np.asarray(wav))
+
+    n = min(len(f0_true), len(f0_est))
+    f0_true, f0_est = f0_true[:n], f0_est[:n]
+    # exclude +-3 frames around voicing boundaries and the edges (all
+    # trackers smear there; WORLD itself does too)
+    voiced_true = f0_true > 0
+    guard = np.ones(n, bool)
+    edges = np.flatnonzero(np.diff(voiced_true.astype(np.int8)))
+    for e in edges:
+        guard[max(0, e - 3):e + 4] = False
+    guard[:5] = guard[-5:] = False
+
+    both = voiced_true & (f0_est > 0) & guard
+    rel_err = np.abs(f0_est[both] - f0_true[both]) / f0_true[both]
+    f0_rmse_rel = float(np.sqrt(np.mean(rel_err ** 2)))
+    voicing_acc = float(
+        np.mean((f0_est > 0)[guard] == voiced_true[guard])
+    )
+    # octave errors: fraction of voiced frames off by >20%
+    octave_rate = float(np.mean(rel_err > 0.2)) if both.any() else 1.0
+
+    # spectral convergence on commonly-voiced frames (dB RMSE of the
+    # log envelope over 100 Hz..5 kHz, mean-level normalized)
+    lo, hi = int(100 * N_FFT / FS), int(5000 * N_FFT / FS)
+    log_true = np.log(spc_true[:n, lo:hi] + 1e-15)
+    log_est = logspc_est[:n, lo:hi].astype(np.float64)
+    log_true = log_true - log_true.mean(axis=1, keepdims=True)
+    log_est = log_est - log_est.mean(axis=1, keepdims=True)
+    sc_db = float(
+        np.sqrt(np.mean((log_true[both] - log_est[both]) ** 2))
+        * 20.0 / np.log(10.0)
+    )
+    return {
+        "pitch": pitch,
+        "f0_rmse_rel": f0_rmse_rel,
+        "voicing_acc": voicing_acc,
+        "octave_rate": octave_rate,
+        "envelope_rmse_db": sc_db,
+        "n_voiced": int(both.sum()),
+    }
+
+
+@pytest.mark.parametrize("pitch", [110.0, 160.0, 220.0, 320.0])
+def test_world_reanalysis_invariants(pitch):
+    """Thresholds documented in docs/world_metrics.md."""
+    m = _metrics(pitch)
+    assert m["n_voiced"] > 30
+    assert m["f0_rmse_rel"] < 0.01, m
+    assert m["octave_rate"] < 0.01, m
+    assert m["voicing_acc"] > 0.97, m
+    assert m["envelope_rmse_db"] < 8.0, m
+
+
+def test_dio_no_octave_jumps_within_vibrato():
+    """A clean vibrato tone must produce a continuous contour: the
+    frame-to-frame relative step stays under 5% (FixStep1 semantics)."""
+    from voice100_tpu.dsp.world.dio import dio
+
+    t = np.arange(int(1.0 * FS)) / FS
+    f_inst = 200.0 * (1.0 + 0.03 * np.sin(2 * np.pi * 5.0 * t))
+    phase = 2 * np.pi * np.cumsum(f_inst) / FS
+    wav = np.sin(phase) + 0.3 * np.sin(2 * phase) + 0.1 * np.sin(3 * phase)
+    f0, _ = dio(wav, FS)
+    voiced = f0[10:-10]
+    voiced = voiced[voiced > 0]
+    assert len(voiced) > 50
+    steps = np.abs(np.diff(voiced)) / voiced[:-1]
+    assert float(steps.max()) < 0.05
+    assert abs(np.median(voiced) - 200.0) / 200.0 < 0.02

@@ -87,52 +87,113 @@ def _four_candidates(filtered: np.ndarray, fs: int, positions: np.ndarray):
     return out
 
 
+def _select_best_f0(
+    current_f0: float,
+    past_f0: float,
+    candidates: np.ndarray,
+    frame: int,
+    allowed_range: float,
+) -> float:
+    """WORLD's SelectBestF0 (dio.cpp): pick the band candidate closest
+    to the half-step linear extrapolation; reject if the relative error
+    exceeds allowed_range."""
+    reference = (current_f0 * 3.0 - past_f0) / 2.0
+    if reference <= 0.0:
+        return 0.0
+    cands = candidates[:, frame]
+    best = cands[np.argmin(np.abs(reference - cands))]
+    if abs(1.0 - best / reference) > allowed_range:
+        return 0.0
+    return float(best)
+
+
+def _voiced_sections(f0: np.ndarray):
+    """(starts, ends): first voiced frame of each section, last voiced
+    frame of each section (WORLD's GetNumberOfVoicedSections)."""
+    voiced = (f0 > 0).astype(np.int8)
+    d = np.diff(voiced)
+    starts = list(np.flatnonzero(d == 1) + 1)
+    ends = list(np.flatnonzero(d == -1))
+    if voiced[0]:
+        starts.insert(0, 0)
+    if voiced[-1]:
+        ends.append(len(f0) - 1)
+    return starts, ends
+
+
 def _fix_contour(
     f0: np.ndarray,
     candidates: np.ndarray,
-    scores: np.ndarray,
     allowed_range: float,
-    min_segment: int,
+    voice_range_minimum: int,
 ) -> np.ndarray:
-    """Contour fixing: kill octave jumps, prune too-short voiced runs,
-    then re-pick band candidates consistent with their neighborhood."""
-    out = f0.copy()
-    # step 1: relative jumps beyond allowed_range break voicing
-    prev = np.concatenate([[0.0], out[:-1]])
-    jump = np.abs(out - prev) > allowed_range * np.maximum(out, 1e-9)
-    out = np.where(jump & (prev > 0), 0.0, out)
+    """WORLD's FixF0Contour (dio.cpp FixStep1-4).
 
-    # step 2: prune voiced segments shorter than min_segment frames
-    voiced = out > 0
-    boundaries = np.flatnonzero(np.diff(voiced.astype(np.int8)))
-    starts = np.concatenate([[0], boundaries + 1])
-    ends = np.concatenate([boundaries + 1, [len(out)]])
-    for s, e in zip(starts, ends):
-        if voiced[s] and (e - s) < min_segment:
-            out[s:e] = 0.0
+    Step 1 zeroes frames whose relative F0 jump exceeds allowed_range;
+    step 2 prunes voiced runs shorter than voice_range_minimum with a
+    sliding all-voiced window; steps 3/4 then re-grow the conservative
+    contour forward from each section end and backward from each
+    section start, selecting per-band candidates consistent with the
+    local linear extrapolation (SelectBestF0).
+    """
+    n = len(f0)
 
-    # step 3: where voiced, re-pick the band candidate closest to the
-    # local median (reduces residual octave errors)
-    if np.any(out > 0):
-        med = _running_median(out, 5)
-        dist = np.abs(candidates - med[None, :])
-        dist = np.where(candidates > 0, dist, np.inf)
-        best = np.argmin(dist, axis=0)
-        cand = candidates[best, np.arange(len(out))]
-        take = (out > 0) & (cand > 0) & (
-            np.abs(cand - med) < np.abs(out - med)
+    # FixStep1: suppress unnatural frame-to-frame change
+    step1 = np.zeros_like(f0)
+    for i in range(voice_range_minimum, n):
+        if f0[i] == 0.0:
+            continue
+        if abs((f0[i] - f0[i - 1]) / (1e-10 + f0[i])) < allowed_range:
+            step1[i] = f0[i]
+
+    # FixStep2: a frame survives only if its whole window is voiced
+    step2 = step1.copy()
+    center = (voice_range_minimum - 1) // 2
+    if center > 0 and n > 2 * center:
+        voiced = step1 > 0
+        window_ok = np.lib.stride_tricks.sliding_window_view(
+            voiced, 2 * center + 1
+        ).all(axis=1)
+        step2[center:n - center] = np.where(
+            window_ok, step1[center:n - center], 0.0
         )
-        out = np.where(take, cand, out)
-    return out
 
+    if not np.any(step2 > 0):
+        return step2
 
-def _running_median(x: np.ndarray, width: int) -> np.ndarray:
-    pad = width // 2
-    padded = np.pad(x, (pad, pad), mode="edge")
-    windows = np.lib.stride_tricks.sliding_window_view(padded, width)
-    # median over the voiced values only would be nicer; plain median of
-    # the window is adequate for re-selection guidance
-    return np.median(windows, axis=1)
+    starts, ends = _voiced_sections(step2)
+
+    # FixStep3: extend each voiced section forward from its end
+    step3 = step2.copy()
+    for k, end in enumerate(ends):
+        limit = (starts[k + 1] - 1) if k + 1 < len(starts) else n - 1
+        j = end
+        while j < limit:
+            nxt = _select_best_f0(
+                step3[j], step3[j - 1] if j > 0 else step3[j],
+                candidates, j + 1, allowed_range,
+            )
+            step3[j + 1] = nxt
+            if nxt == 0.0:
+                break
+            j += 1
+
+    # FixStep4: extend each voiced section backward from its start
+    step4 = step3.copy()
+    for k in range(len(starts) - 1, -1, -1):
+        start = starts[k]
+        limit = (ends[k - 1] + 1) if k > 0 else 0
+        j = start
+        while j > limit:
+            prev = _select_best_f0(
+                step4[j], step4[j + 1] if j + 1 < n else step4[j],
+                candidates, j - 1, allowed_range,
+            )
+            step4[j - 1] = prev
+            if prev == 0.0:
+                break
+            j -= 1
+    return step4
 
 
 def dio(
@@ -194,8 +255,11 @@ def dio(
     # reject unstable candidates (interval estimates disagree)
     f0 = np.where(best_score < 0.15, f0, 0.0)
 
-    min_segment = max(3, int(np.round(1000.0 / frame_period / f0_floor * 4)))
+    # WORLD's voice_range_minimum (dio.cpp FixF0Contour)
+    voice_range_minimum = (
+        int(0.5 + 1000.0 / frame_period / f0_floor) * 2 + 1
+    )
     f0 = _fix_contour(
-        f0, all_candidates, all_scores, allowed_range, min_segment
+        f0, all_candidates, allowed_range, voice_range_minimum
     )
     return f0, positions
