@@ -270,3 +270,41 @@ def test_val_metrics_pad_invariant_and_cer(corpus, tmp_path):
     loader.pad_to_full = False
     ragged = trainer.evaluate(eval_step, state, loader)
     assert abs(ragged["loss"] - epoch_rec["val_loss"]) < 1e-4
+
+
+def test_cli_predict_subcommand(corpus, tmp_path):
+    """`predict` runs greedy transcription over the predict loader and
+    writes one line per clip (reference LightningCLI predict surface,
+    voice100/main.py:8-13)."""
+    import yaml
+
+    from voice100_tpu.training.cli import cli_main
+
+    cfg = {
+        "seed_everything": 1234,
+        "trainer": {"max_epochs": 1},
+        "model": {
+            "class_path": "voice100_tpu.models.AudioToAlignText",
+            "init_args": {
+                "vocab_size": 29, "audio_size": 64,
+                "encoder_settings": [list(s) for s in TINY_ENC],
+                "decoder_num_layers": 1, "decoder_hidden_size": 32,
+            },
+        },
+        "data": {
+            "class_path": "voice100_tpu.data.AudioTextDataModule",
+            "init_args": {"vocoder": "mel", "dataset": "dummy_en",
+                          "language": "en", "batch_size": 4},
+        },
+    }
+    cfg_path = str(tmp_path / "asr.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    common = ["--config", cfg_path, "--data_dir", corpus,
+              "--cache_dir", str(tmp_path / "cache"),
+              "--checkpoint_dir", str(tmp_path / "ckpt")]
+    cli_main(["fit"] + common)
+    out = str(tmp_path / "hyps.txt")
+    cli_main(["predict"] + common + ["--output", out])
+    lines = open(out).read().splitlines()
+    assert len(lines) == 8  # every corpus clip, no pad duplicates

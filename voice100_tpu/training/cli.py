@@ -111,12 +111,131 @@ def build_from_config(config: Dict[str, Any], overrides: Dict[str, Any]):
     return model, data, tc, audio_stat
 
 
+def _run_predict(model, variables, data, loader, output: str) -> None:
+    """``predict`` subcommand (reference LightningCLI surface,
+    voice100/main.py:8-13): run the model's predict surface over the
+    predict dataloader and write the results.
+
+    CTC models write greedy transcripts (one line per clip); the
+    duration model writes per-token durations; the TTS acoustic models
+    write WORLD features. Padding rows from the final batch are
+    excluded via the loader's real counts.
+    """
+    import jax
+    import numpy as np
+
+    from ..models import (
+        TextToAlignText, TextToAlignTextModel,
+        AlignTextToAudio, AlignTextToAudioModel,
+        AlignTextToAudioMultiTaskModel,
+    )
+    from .trainer import Trainer
+
+    if hasattr(type(model), "greedy_decode"):
+        tokenizer = data.text_transform
+
+        @jax.jit
+        def step(audio, audio_len):
+            return model.apply(
+                variables, audio, audio_len,
+                method=type(model).greedy_decode,
+            )
+
+        path = output if output.endswith(".txt") else output + ".txt"
+        n = 0
+        with open(path, "w", encoding="utf-8") as f:
+            for batch, n_real in Trainer._iter_counted(loader):
+                (audio, audio_len), _ = batch
+                ids, out_len = step(audio, audio_len)
+                ids, out_len = np.asarray(ids), np.asarray(out_len)
+                for i in range(n_real):
+                    hyp = tokenizer.merge_repeated(
+                        tokenizer.decode(ids[i, : int(out_len[i])])
+                    )
+                    f.write(hyp + "\n")
+                    n += 1
+        print(f"[predict] wrote {n} transcripts to {path}")
+        return
+
+    path = output if output.endswith(".npz") else output + ".npz"
+    if isinstance(model, (TextToAlignText, TextToAlignTextModel)):
+
+        @jax.jit
+        def step(text, text_len):
+            if isinstance(model, TextToAlignText):
+                return model.apply(
+                    variables, text, text_len,
+                    method=TextToAlignText.predict,
+                )
+            y = model.apply(variables, text, True)
+            return jax.numpy.exp(y) - 1.0
+
+        durations = []
+        for batch, n_real in Trainer._iter_counted(loader):
+            (text, text_len), *_ = batch
+            pred = np.asarray(step(text, text_len))
+            for i in range(n_real):
+                durations.append(pred[i, : int(text_len[i])])
+        np.savez(path, durations=np.asarray(durations, dtype=object),
+                 allow_pickle=True)
+        print(f"[predict] wrote durations for {len(durations)} texts "
+              f"to {path}")
+        return
+
+    if isinstance(model, (AlignTextToAudio, AlignTextToAudioModel,
+                          AlignTextToAudioMultiTaskModel)):
+
+        @jax.jit
+        def step(aligntext, aligntext_len):
+            if isinstance(model, AlignTextToAudio):
+                return model.apply(
+                    variables, aligntext, aligntext_len,
+                    method=AlignTextToAudio.predict,
+                )
+            out = model.apply(
+                variables, aligntext, method=type(model).predict
+            )
+            return out[:3]
+
+        f0s, logspcs, codeaps = [], [], []
+        for batch, n_real in Trainer._iter_counted(loader):
+            aligntext, aligntext_len = batch[-1]
+            f0, logspc, codeap = (
+                np.asarray(v) for v in step(aligntext, aligntext_len)
+            )
+            out_len = np.asarray(model.output_length(aligntext_len)) if (
+                hasattr(model, "output_length")
+            ) else 2 * np.asarray(aligntext_len)
+            for i in range(n_real):
+                m = int(out_len[i])
+                f0s.append(f0[i, :m])
+                logspcs.append(logspc[i, :m])
+                codeaps.append(codeap[i, :m])
+        np.savez(
+            path,
+            f0=np.asarray(f0s, dtype=object),
+            logspc=np.asarray(logspcs, dtype=object),
+            codeap=np.asarray(codeaps, dtype=object),
+            allow_pickle=True,
+        )
+        print(f"[predict] wrote WORLD features for {len(f0s)} clips "
+              f"to {path}")
+        return
+
+    raise SystemExit(f"predict is not supported for {type(model).__name__}")
+
+
 def cli_main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="voice100-tpu")
     parser.add_argument(
-        "subcommand", choices=["fit", "validate", "test"],
+        "subcommand", choices=["fit", "validate", "test", "predict"],
     )
     parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--output", type=str, default=None,
+        help="predict: output path (.txt for CTC transcripts, .npz for "
+             "duration/TTS features)",
+    )
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--data_dir", type=str, default=None)
     parser.add_argument("--cache_dir", type=str, default=None)
@@ -190,6 +309,15 @@ def cli_main(argv=None) -> None:
         variables = dict(load_variables(ckpt))
         params = variables.pop("params")
         state = TrainState(params=params, extra=variables, opt_state=None)
+        if args.subcommand == "predict":
+            data.setup("predict")
+            loader = data.predict_dataloader()
+            base = os.path.splitext(os.path.basename(args.config))[0]
+            _run_predict(
+                model, {"params": state.params, **state.extra},
+                data, loader, args.output or f"{base}-predictions",
+            )
+            return
         stage = "test" if args.subcommand == "test" else "fit"
         if stage == "fit":
             # validate: run the val split of the fit stage
