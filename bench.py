@@ -43,82 +43,147 @@ import numpy as np
 
 
 def _flagship_asr():
-    from voice100_tpu.models import AudioToAlignText
+    """Serving-honest ASR RTF: waveform in -> transcripts out through
+    the real ASRPipeline (mel frontend, encoder, greedy ids on device;
+    tokenizer decode on host). Reports batch-8 latency RTF as the
+    headline plus batch-64 throughput RTF."""
+    from voice100_tpu.inference import ASRPipeline
 
     model = _make_asr_model()
-    # batch 8 measured faster per audio-second than 64 on v5e: the
-    # recurrent scan is HBM-bound (weight+projection restreaming), so
-    # larger batches scale worse than linear
-    batch = 8
     seconds_per_clip = 10.0
-    frames = int(seconds_per_clip * 100)  # 10 ms hop
+    n_samples = int(seconds_per_clip * 16000)
     rng = np.random.RandomState(0)
-    audio = jnp.asarray(
-        rng.randn(batch, frames, 64).astype(np.float32)
+    # speech-shaped noise (pink-ish) so mel/log paths see realistic
+    # dynamic range; compute cost is input-independent
+    wav = rng.randn(n_samples).astype(np.float32)
+    wav = np.cumsum(wav)
+    wav = (wav - wav.mean()) / (np.abs(wav).max() + 1e-6)
+    clips8 = [wav.copy() for _ in range(8 * 4)]
+    clips64 = [wav.copy() for _ in range(64 * 2)]
+
+    mel0 = jnp.zeros((1, 16, 64), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), mel0, jnp.asarray([16], jnp.int32)
     )
-    audio_len = jnp.full((batch,), frames, jnp.int32)
 
-    variables = model.init(jax.random.PRNGKey(0), audio, audio_len)
+    def measure(batch_size, clips, repeats=3):
+        pipe = ASRPipeline(model, variables, batch_size=batch_size)
+        pipe.transcribe(clips[:batch_size])  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            texts = pipe.transcribe(clips)
+            elapsed = time.perf_counter() - t0
+            assert len(texts) == len(clips)
+            best = min(best, elapsed)
+        return len(clips) * seconds_per_clip / best
 
-    @jax.jit
-    def decode(variables, audio, audio_len):
-        return model.apply(
-            variables, audio, audio_len,
-            method=AudioToAlignText.greedy_decode,
-        )
-
-    # warmup/compile; a host fetch is the only reliable sync on the
-    # tunneled TPU backend (block_until_ready returns early there)
-    ids, out_len = decode(variables, audio, audio_len)
-    _ = np.asarray(ids[0, :1])
-
-    def timed(iters: int) -> float:
-        t0 = time.perf_counter()
-        last = None
-        for _ in range(iters):
-            last, _ = decode(variables, audio, audio_len)
-        _ = np.asarray(last[0, :1])  # force completion
-        return time.perf_counter() - t0
-
-    # subtract the dispatch+fetch overhead measured at 1 iteration so
-    # the number reflects steady-state per-batch compute
-    iters = 50
-    elapsed_n = timed(iters)
-    elapsed_1 = min(timed(1), timed(1))
-    elapsed = max(elapsed_n - elapsed_1, 1e-6) / (iters - 1) * iters
-
-    audio_seconds = batch * seconds_per_clip * iters
-    rtf = audio_seconds / elapsed
+    rtf8 = measure(8, clips8)
+    rtf64 = measure(64, clips64)
     return {
-        "metric": "asr_en_base_rtf_per_chip",
-        "value": round(rtf, 2),
+        "metric": "asr_en_base_serving_rtf_per_chip",
+        "value": round(rtf8, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(rtf / 100.0, 3),
+        "vs_baseline": round(rtf8 / 100.0, 3),
+        "throughput_rtf_batch64": round(rtf64, 2),
+        "note": "waveform-in to transcript-out via ASRPipeline "
+                "(mel frontend + host token decode included)",
     }
 
 
-def _tts_bench():
-    """TTS serving RTF: durations + aligned text + WORLD features +
-    synthesis for a batch of ~6.4 s utterances."""
+def _tts_ckpts(workdir: str):
+    """Overfit-train the v2 TTS pair on a synthetic corpus (cached in
+    ``workdir``) so the benched durations and voicing gates are real
+    model behavior, not random-init artifacts."""
+    import sys
+
     from voice100_tpu.models import TextToAlignText, AlignTextToAudio
+    from voice100_tpu.training import Trainer, TrainerConfig
+    from voice100_tpu.training.checkpoint import (
+        load_variables, save_checkpoint,
+    )
+    from voice100_tpu.training.trainer import TrainState
+
+    align_model = TextToAlignText(vocab_size=29, hidden_size=256)
+    audio_model = AlignTextToAudio(vocab_size=29)
+    align_ckpt = os.path.join(workdir, "align")
+    audio_ckpt = os.path.join(workdir, "audio")
+    if os.path.isdir(align_ckpt) and os.path.isdir(audio_ckpt):
+        return (
+            align_model, dict(load_variables(align_ckpt)),
+            audio_model, dict(load_variables(audio_ckpt)),
+        )
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from corpus_fixture import make_dummy_corpus
+
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    make_dummy_corpus(data_dir, n_clips=8)
+
+    from voice100_tpu.data import AudioTextDataModule, AlignTextDataModule
+
+    align_data = AlignTextDataModule(
+        data_dir=data_dir, dataset="dummy_en", batch_size=8,
+        valid_ratio=0.0,
+    )
+    trainer = Trainer(TrainerConfig(max_epochs=60, monitor="train_loss"))
+    state = trainer.fit(align_model, align_data)
+    save_checkpoint(align_ckpt, state)
+
+    audio_data = AudioTextDataModule(
+        vocoder="world_mcep", dataset="dummy_en", use_align=True,
+        data_dir=data_dir, cache_dir=os.path.join(workdir, "cache"),
+        batch_size=8, valid_ratio=0.0,
+    )
+    trainer = Trainer(TrainerConfig(max_epochs=60, monitor="train_loss"))
+    state = trainer.fit(audio_model, audio_data)
+    save_checkpoint(audio_ckpt, state)
+    return (
+        align_model, dict(load_variables(align_ckpt)),
+        audio_model, dict(load_variables(audio_ckpt)),
+    )
+
+
+def _tts_bench():
+    """TTS serving RTF with overfit-trained weights: text -> durations
+    -> aligned text -> WORLD features -> waveform, all on-device.
+    Durations, F0, and voicing gates come from trained checkpoints."""
     from voice100_tpu.ops.duration import expand_alignment_batch
     from voice100_tpu.dsp.world.synthesis import synthesize_fn
     from voice100_tpu.dsp.world.codec import decode_aperiodicity
     from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+    from voice100_tpu.text import get_tokenizer
+    from voice100_tpu.models import TextToAlignText, AlignTextToAudio
+
+    workdir = os.environ.get(
+        "VOICE100_TPU_BENCH_TTS_DIR", "/tmp/voice100_tpu_bench_tts"
+    )
+    os.makedirs(workdir, exist_ok=True)
+    align, align_vars, audio, audio_vars = _tts_ckpts(workdir)
+    # checkpoint loads return host arrays; pin them on device once so
+    # the timed loop doesn't re-upload parameters every call
+    align_vars = jax.device_put(align_vars)
+    audio_vars = jax.device_put(audio_vars)
 
     batch, text_len_v, out_frames = 8, 128, 512  # 20ms tokens, 10ms frames
-    align = TextToAlignText(vocab_size=71, num_layers=2, hidden_size=256)
-    audio = AlignTextToAudio(vocab_size=71)
-    rng = np.random.RandomState(0)
-    text = jnp.asarray(
-        rng.randint(1, 71, size=(batch, text_len_v)).astype(np.int32)
-    )
-    text_len = jnp.full((batch,), text_len_v, jnp.int32)
-    align_vars = align.init(jax.random.PRNGKey(0), text, text_len)
-    aligntext0 = jnp.zeros((batch, out_frames), jnp.int32)
-    audio_vars = audio.init(
-        jax.random.PRNGKey(1), aligntext0, text_len
-    )
+    tokenizer = get_tokenizer("en", use_phone=False)
+    sentences = [
+        "the quick brown fox jumps over the lazy dog",
+        "speech synthesis on tensor processing units",
+        "a small corpus of random sines",
+        "hello world this is a benchmark",
+    ]
+    text_np = np.zeros((batch, text_len_v), np.int32)
+    text_lens = np.zeros((batch,), np.int32)
+    for i in range(batch):
+        ids = tokenizer.encode(sentences[i % len(sentences)])
+        reps = -(-text_len_v // len(ids))
+        ids = np.tile(ids, reps)[:text_len_v]
+        text_np[i] = ids
+        text_lens[i] = text_len_v
+    text = jnp.asarray(text_np)
+    text_len = jnp.asarray(text_lens)
     mc2sp = jnp.asarray(
         create_mc2sp_matrix(512, 24, 0.410).astype(np.float32)
     )
@@ -140,7 +205,7 @@ def _tts_bench():
             audio_vars, aligntext, aligntext_len,
             method=AlignTextToAudio.predict,
         )
-        f0 = jnp.clip(jnp.abs(f0) * 50 + 120, 0, 400)  # plausible range
+        f0 = jnp.clip(f0, 0.0, 400.0)  # synthesis-safe range only
         spc = jnp.exp(jnp.clip(mcep @ mc2sp, -30, 5))
         ap = jnp.broadcast_to(
             ap_row[None, None, :], spc.shape

@@ -134,7 +134,12 @@ class Task:
                 lr, transition_steps=max(steps_per_epoch, 1),
                 decay_rate=0.98, staircase=True,
             )
+            # exposed so the trainer can log the LR each epoch (the
+            # reference uses Lightning's LearningRateMonitor,
+            # voice100/train_asr.py:34)
+            self.lr_schedule = schedule
             return optax.adamw(schedule, weight_decay=self.model.weight_decay)
+        self.lr_schedule = lambda step: lr
         return optax.adam(lr)
 
 

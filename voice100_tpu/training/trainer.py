@@ -193,6 +193,9 @@ class Trainer:
                 "step": state.step,
                 "train_time_s": round(train_time, 2),
             }
+            lr_schedule = getattr(task, "lr_schedule", None)
+            if lr_schedule is not None:
+                epoch_record["lr"] = float(lr_schedule(state.step))
             if running is not None:
                 epoch_record["train_loss"] = float(running["loss"])
             if val_loader is not None and len(val_loader) > 0:
