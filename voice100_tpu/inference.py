@@ -97,9 +97,15 @@ class ASRPipeline:
 
         Inputs longer than the largest bucket are truncated to it (pass
         larger ``buckets_sec`` for long-form audio).
+
+        Two-phase: every batch is dispatched before any result is
+        fetched, so host→device uploads and device compute for batch
+        k+1 overlap the fetch + token decode of batch k (JAX dispatch
+        is asynchronous; the blocking point is the host fetch).
         """
         order = np.argsort([len(w) for w in waveforms])
         results: List[Optional[str]] = [None] * len(waveforms)
+        pending = []
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
             max_len = _bucket(
@@ -116,6 +122,8 @@ class ASRPipeline:
             ids, out_len = self._decode(
                 self.variables, jnp.asarray(batch), jnp.asarray(lengths)
             )
+            pending.append((chunk, ids, out_len))
+        for chunk, ids, out_len in pending:
             ids = np.asarray(ids)
             out_len = np.asarray(out_len)
             for row, i in enumerate(chunk):
