@@ -308,3 +308,46 @@ def test_cli_predict_subcommand(corpus, tmp_path):
     cli_main(["predict"] + common + ["--output", out])
     lines = open(out).read().splitlines()
     assert len(lines) == 8  # every corpus clip, no pad duplicates
+
+
+def test_bf16_precision_training(corpus, tmp_path):
+    """precision=16 (bf16 recurrent matmuls, f32 master weights) must
+    train to a loss close to the f32 run on the same data/seed."""
+    import jax.numpy as jnp
+
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.ops.lstm import set_default_compute_dtype
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    def run(precision):
+        data = AudioTextDataModule(
+            vocoder="mel", dataset="dummy_en", data_dir=corpus,
+            cache_dir=str(tmp_path / "cache"), batch_size=4,
+            valid_ratio=0.25,
+        )
+        trainer = Trainer(TrainerConfig(max_epochs=2, precision=precision))
+        model = _tiny_asr()
+        state = trainer.fit(model, data)
+        task_loss = trainer.evaluate(
+            trainer._make_step_fns(
+                __import__("voice100_tpu.training.tasks",
+                           fromlist=["make_task"]).make_task(model),
+                __import__("optax").adam(1e-3),
+            )[1],
+            state, data.val_dataloader(),
+        )["loss"]
+        return float(task_loss), state
+
+    try:
+        loss16, state16 = run("16")
+        from voice100_tpu.ops.lstm import default_compute_dtype
+
+        assert default_compute_dtype() == jnp.bfloat16
+        set_default_compute_dtype(None)
+        loss32, _ = run("32")
+    finally:
+        set_default_compute_dtype(None)
+    assert np.isfinite(loss16)
+    # bf16 compute tracks the f32 run on this tiny problem
+    assert abs(loss16 - loss32) / max(abs(loss32), 1e-6) < 0.1, (
+        loss16, loss32)

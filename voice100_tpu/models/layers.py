@@ -147,13 +147,14 @@ class BiLSTM(nn.Module):
     def compute_dtype():
         """Optional reduced-precision matmuls (f32 state/accumulation).
 
-        Controlled by VOICE100_TPU_MATMUL_DTYPE=bfloat16 — a serving-
-        side speed knob; training and parity tests default to float32.
+        Resolution order: the process default set by
+        ``ops.lstm.set_default_compute_dtype`` (used by the trainer's
+        ``precision`` config), then the VOICE100_TPU_MATMUL_DTYPE env
+        var (serving-side knob). Defaults to the input dtype.
         """
-        import os
+        from ..ops.lstm import default_compute_dtype
 
-        name = os.environ.get("VOICE100_TPU_MATMUL_DTYPE", "")
-        return jnp.bfloat16 if name == "bfloat16" else None
+        return default_compute_dtype()
 
     @nn.compact
     def __call__(

@@ -30,9 +30,36 @@ __all__ = [
     "lstm_direction",
     "bilstm",
     "multilayer_bilstm",
+    "set_default_compute_dtype",
+    "default_compute_dtype",
 ]
 
 Params = Dict[str, jnp.ndarray]
+
+# Process-wide default for the recurrent matmul compute dtype (None =
+# input dtype). Set by Trainer for mixed-precision training BEFORE the
+# step functions are traced; the env var VOICE100_TPU_MATMUL_DTYPE is
+# the fallback for serving paths.
+_DEFAULT_COMPUTE_DTYPE = None
+
+
+def set_default_compute_dtype(dtype) -> None:
+    """Set the process default LSTM matmul dtype (e.g. jnp.bfloat16).
+
+    Trace-time setting: applies to programs compiled after the call.
+    Pass None to restore input-dtype compute.
+    """
+    global _DEFAULT_COMPUTE_DTYPE
+    _DEFAULT_COMPUTE_DTYPE = dtype
+
+
+def default_compute_dtype():
+    import os
+
+    if _DEFAULT_COMPUTE_DTYPE is not None:
+        return _DEFAULT_COMPUTE_DTYPE
+    name = os.environ.get("VOICE100_TPU_MATMUL_DTYPE", "")
+    return jnp.bfloat16 if name == "bfloat16" else None
 
 
 def init_lstm_params(

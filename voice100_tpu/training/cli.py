@@ -107,6 +107,10 @@ def build_from_config(config: Dict[str, Any], overrides: Dict[str, Any]):
         checkpoint_dir=overrides.get("checkpoint_dir"),
         log_path=overrides.get("log_path"),
         mesh_model_axis=int(overrides.get("mesh_model_axis", 1)),
+        precision=str(
+            overrides.get("precision")
+            or trainer_cfg.get("precision", "32")
+        ),
     )
     return model, data, tc, audio_stat
 
@@ -245,6 +249,11 @@ def cli_main(argv=None) -> None:
     parser.add_argument("--log_path", type=str, default=None)
     parser.add_argument("--audio_stat", type=str, default=None)
     parser.add_argument("--mesh_model_axis", type=int, default=1)
+    parser.add_argument(
+        "--precision", type=str, default=None,
+        help="32 (default) or 16/bf16: bfloat16 recurrent matmuls with "
+             "f32 master weights (reference --trainer.precision 16)",
+    )
     parser.add_argument(
         "--platform", type=str, default=None,
         help="force a jax platform (e.g. cpu); useful because this "

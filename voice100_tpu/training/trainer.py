@@ -46,6 +46,12 @@ class TrainerConfig:
     log_path: Optional[str] = None
     # capture a jax.profiler trace of training steps 2..4 into this dir
     profile_dir: Optional[str] = None
+    # "32" (default) or "bf16": run the recurrent matmuls in bfloat16
+    # with f32 states/accumulation and f32 master weights — the
+    # TPU-native equivalent of the reference's --trainer.precision 16
+    # recipes (/root/reference/README.md:187-190). "16" is accepted as
+    # an alias for bf16.
+    precision: str = "32"
 
 
 @dataclass
@@ -113,6 +119,12 @@ class Trainer:
         init_variables: Optional[Dict[str, Any]] = None,
     ) -> TrainState:
         cfg = self.config
+        if str(cfg.precision) in ("16", "bf16", "bfloat16", "16-mixed"):
+            import jax.numpy as jnp
+
+            from ..ops.lstm import set_default_compute_dtype
+
+            set_default_compute_dtype(jnp.bfloat16)
         task = make_task(model)
         if self.mesh is None:
             self.mesh = fit_mesh_for_batch(
