@@ -65,3 +65,36 @@ def test_tts_pipeline_synthesizes():
         assert w.ndim == 1
         assert w.size > 100
         assert np.isfinite(w).all()
+
+
+def test_asr_pipeline_mesh_dp_matches_single_device():
+    """Data-parallel serving over an 8-device mesh returns the exact
+    transcripts of the single-device pipeline."""
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.inference import ASRPipeline
+    from voice100_tpu.parallel.mesh import make_mesh
+
+    model = AudioToAlignText(
+        audio_size=64,
+        vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1,
+        decoder_hidden_size=16,
+    )
+    audio = jnp.zeros((1, 101, 64))
+    variables = model.init(
+        jax.random.PRNGKey(0), audio, jnp.asarray([101])
+    )
+    rng = np.random.RandomState(1)
+    wavs = [rng.randn(4000 + 500 * i).astype(np.float32) * 0.1
+            for i in range(8)]
+
+    single = ASRPipeline(model, variables, batch_size=8,
+                         buckets_sec=(0.5, 1.0)).transcribe(wavs)
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    dp = ASRPipeline(model, variables, batch_size=8,
+                     buckets_sec=(0.5, 1.0), mesh=mesh).transcribe(wavs)
+    assert dp == single
+
+    with pytest.raises(ValueError):
+        ASRPipeline(model, variables, batch_size=3, mesh=mesh)

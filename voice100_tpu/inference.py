@@ -52,15 +52,29 @@ class ASRPipeline:
         batch_size: int = 8,
         buckets_sec: Sequence[float] = (2.0, 5.0, 10.0, 20.0, 40.0),
         mel_kernel: Optional[str] = None,
+        mesh=None,
     ) -> None:
         import os
 
         self.model = model
-        self.variables = variables
         self.tokenizer = get_tokenizer(language, use_phone)
         self.sample_rate = sample_rate
         self.batch_size = batch_size
         self.buckets = [int(s * sample_rate) for s in buckets_sec]
+        # data-parallel serving: batches shard over the mesh 'data'
+        # axis (batch_size must divide by it), parameters replicate;
+        # GSPMD runs the decode across chips over ICI
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicated
+
+            if batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the "
+                    f"mesh data axis {mesh.shape['data']}"
+                )
+            variables = jax.device_put(variables, replicated(mesh))
+        self.variables = variables
         # mel frontend selection is fixed at construction ("pallas" or
         # "xla"); the env var is only a default, so flipping it after
         # the first jitted call cannot silently do nothing
@@ -119,9 +133,16 @@ class ASRPipeline:
                 w = waveforms[i][:max_len]
                 batch[row, : len(w)] = w
                 lengths[row] = len(w)
-            ids, out_len = self._decode(
-                self.variables, jnp.asarray(batch), jnp.asarray(lengths)
-            )
+            if self.mesh is not None:
+                from .parallel.mesh import batch_sharding
+
+                sharding = batch_sharding(self.mesh)
+                wav_dev = jax.device_put(batch, sharding)
+                len_dev = jax.device_put(lengths, sharding)
+            else:
+                wav_dev = jnp.asarray(batch)
+                len_dev = jnp.asarray(lengths)
+            ids, out_len = self._decode(self.variables, wav_dev, len_dev)
             pending.append((chunk, ids, out_len))
         for chunk, ids, out_len in pending:
             ids = np.asarray(ids)
