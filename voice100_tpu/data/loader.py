@@ -69,8 +69,12 @@ class DataLoader:
             order = order[self.process_index::self.process_count]
         n = len(order)
         stop = n - n % self.batch_size if self.drop_last else n
+        batch_prefetch = getattr(self.dataset, "prefetch", None)
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]
+            if callable(batch_prefetch):
+                # native thread-pool decode of the batch's cache misses
+                batch_prefetch(idx)
             items = [self.dataset[int(i)] for i in idx]
             n_real = len(items)
             if self.pad_to_full and len(items) < self.batch_size:

@@ -57,8 +57,11 @@ class MelSpectrogramAudioTransform:
     def audio_size(self) -> int:
         return self.n_mels
 
-    def __call__(self, audiopath: str) -> np.ndarray:
-        wav = load_audio(audiopath, self.sample_rate)
+    def __call__(
+        self, audiopath: str, wav: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        if wav is None:
+            wav = load_audio(audiopath, self.sample_rate)
         frames = wav.shape[0] // 160 + 1
         # bucket the waveform length to bound jit recompiles
         padded_len = -(-wav.shape[0] // _WAVE_BUCKET) * _WAVE_BUCKET
@@ -83,9 +86,10 @@ class WORLDAudioProcessor:
     def audio_size(self) -> int:
         return sum(self.vocoder.output_dims)
 
-    def __call__(self, audiopath: str):
-        wav = load_audio(audiopath, self.sample_rate)
-        return self.vocoder.encode(wav)
+    def __call__(self, audiopath: str, wav: Optional[np.ndarray] = None):
+        if wav is None:
+            wav = load_audio(audiopath, self.sample_rate)
+        return self.vocoder.encode(np.asarray(wav, np.float64))
 
 
 def get_audio_transform(vocoder: str, sample_rate: int):
@@ -124,6 +128,7 @@ class EncodedCacheDataset:
         self.targettext_transform = targettext_transform
         self._cachedir = cachedir
         self._salt = salt
+        self._preloaded = {}
         self.save_mcep = False
         if isinstance(audio_transform, WORLDAudioProcessor):
             vocoder = audio_transform.vocoder
@@ -156,6 +161,39 @@ class EncodedCacheDataset:
             self.text_transform(text),
         )
 
+    def prefetch(self, indices) -> None:
+        """Batch-decode the audio of cache-missing items on the native
+        thread pool (voice100_tpu/native/audioio.cpp) so the per-item
+        feature extraction that follows skips single-threaded decode.
+        No-op when the native library is unavailable."""
+        try:
+            from ..native.batch import load_audio_batch
+        except Exception:
+            return
+        todo = []
+        for index in indices:
+            data = self._dataset[int(index)]
+            clipid, audiopath = data[0], data[1]
+            cachefile = self._cachefile(clipid)
+            if clipid in self._preloaded:
+                continue
+            if cachefile and os.path.exists(cachefile):
+                continue
+            todo.append((clipid, audiopath))
+        if not todo:
+            return
+        try:
+            wavs = load_audio_batch(
+                [path for _, path in todo],
+                self.audio_transform.sample_rate,
+            )
+        except Exception:
+            logger.warning("native batch decode failed", exc_info=True)
+            return
+        for (clipid, _), wav in zip(todo, wavs):
+            if wav is not None:
+                self._preloaded[clipid] = wav
+
     def _cachefile(self, clipid: str) -> Optional[str]:
         if self._cachedir is None:
             return None
@@ -176,7 +214,8 @@ class EncodedCacheDataset:
                 logger.warning("Failed to load audio cache", exc_info=True)
                 encoded = None
         if encoded is None:
-            encoded = self.audio_transform(audiopath)
+            wav = self._preloaded.pop(clipid, None)
+            encoded = self.audio_transform(audiopath, wav=wav)
             to_save = encoded
             if self.save_mcep:
                 f0, logspc, codeap = encoded

@@ -74,6 +74,18 @@ def get_lib() -> ctypes.CDLL:
         lib.v100_read_mp3.argtypes = list(lib.v100_read_flac.argtypes)
         lib.v100_mp3_available.restype = ctypes.c_int
         lib.v100_mp3_available.argtypes = []
+        lib.v100_read_audio.restype = ctypes.c_int
+        lib.v100_read_audio.argtypes = list(lib.v100_read_flac.argtypes)
+        lib.v100_read_audio_batch.restype = ctypes.c_int
+        lib.v100_read_audio_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.v100_free.restype = None
         lib.v100_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         _LIB = lib
