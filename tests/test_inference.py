@@ -98,3 +98,84 @@ def test_asr_pipeline_mesh_dp_matches_single_device():
 
     with pytest.raises(ValueError):
         ASRPipeline(model, variables, batch_size=3, mesh=mesh)
+
+
+def test_streaming_asr_matches_offline_on_trained_model(tmp_path):
+    """Streaming block decode must agree with offline transcription on
+    a briefly-trained model (peaked logits -> stable commits), and
+    partial transcripts must grow as a prefix chain."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from corpus_fixture import make_dummy_corpus
+
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.dsp.audioio import load_audio
+    from voice100_tpu.inference import ASRPipeline, StreamingASRSession
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.ops.metrics import levenshtein
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    root = make_dummy_corpus(str(tmp_path), n_clips=4)
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=str(tmp_path),
+        cache_dir=str(tmp_path / "cache"), batch_size=4, valid_ratio=0.0,
+    )
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((32, False, 3, 2, 1, False),
+                          (32, False, 3, 1, 1, False)),
+        decoder_num_layers=1, decoder_hidden_size=32,
+    )
+    trainer = Trainer(TrainerConfig(max_epochs=10, monitor="train_loss"))
+    state = trainer.fit(model, data)
+    variables = {"params": state.params, **state.extra}
+
+    wav = load_audio(f"{root}/wavs/clip0000.wav", 16000)
+    pipe = ASRPipeline(model, variables, batch_size=1,
+                       buckets_sec=(0.5, 1.0, 2.0))
+    offline = pipe.transcribe([wav])[0]
+
+    session = StreamingASRSession(pipe, chunk_sec=0.2,
+                                  right_context_sec=0.3,
+                                  left_context_sec=0.5)
+    partials = []
+    for start in range(0, len(wav), 1600):  # 100 ms chunks
+        partials.append(session.feed(wav[start:start + 1600]))
+    final = session.finish()
+
+    # prefix-monotone partial transcripts
+    for a, b in zip(partials, partials[1:] + [final]):
+        assert b.startswith(a), (a, b)
+    # trained logits are peaked: streaming agrees with offline (allow a
+    # small boundary tolerance)
+    dist = levenshtein(offline, final)
+    assert dist <= max(2, len(offline) // 10), (offline, final)
+
+
+def test_streaming_asr_no_commit_path_is_offline_identical():
+    """With an effectively infinite right context nothing commits until
+    finish(), which must then equal offline transcription exactly."""
+    from voice100_tpu.inference import ASRPipeline, StreamingASRSession
+    from voice100_tpu.models import AudioToAlignText
+
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=16,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 51, 64)), jnp.asarray([51])
+    )
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(12000) * 0.1).astype(np.float32)
+    pipe = ASRPipeline(model, variables, batch_size=1,
+                       buckets_sec=(0.5, 1.0))
+    offline = pipe.transcribe([wav])[0]
+
+    session = StreamingASRSession(pipe, chunk_sec=0.1,
+                                  right_context_sec=1e9,
+                                  left_context_sec=None)
+    for start in range(0, len(wav), 777):
+        session.feed(wav[start:start + 777])
+    assert session.finish() == offline

@@ -29,7 +29,7 @@ from .ops.melspec import log_mel_spectrogram
 from .ops.augment import BLANK_AUDIO
 from .text import get_phonemizer, get_tokenizer
 
-__all__ = ["ASRPipeline", "TTSPipeline"]
+__all__ = ["ASRPipeline", "StreamingASRSession", "TTSPipeline"]
 
 
 def _bucket(n: int, sizes: Sequence[int]) -> int:
@@ -151,6 +151,118 @@ class ASRPipeline:
                 raw = self.tokenizer.decode(ids[row, : out_len[row]])
                 results[i] = self.tokenizer.merge_repeated(raw)
         return results  # type: ignore[return-value]
+
+
+class StreamingASRSession:
+    """Incremental transcription over a live audio stream.
+
+    Beyond the reference's scope (it only transcribes whole clips):
+    block-processing streaming for the bidirectional v2 CTC model.
+    Audio arrives in arbitrary chunks via :meth:`feed`; every
+    ``chunk_sec`` of new audio the current window is decoded and logit
+    frames older than ``right_context_sec`` are *committed* — the
+    backward LSTM direction has seen at least that much future audio
+    for them, so their ids are stable. ``left_context_sec`` of
+    committed audio is kept in the window as warm-up context; older
+    samples are dropped, bounding memory and compute for unbounded
+    streams. CTC collapse (merge_repeated) runs over the committed id
+    sequence, so tokens merge correctly across block boundaries.
+
+    Committed ids are stable in practice once ``right_context_sec`` of
+    future audio has been seen (the backward recurrence forgets
+    geometrically), but are not re-decoded; for a trained model the
+    final transcript matches offline transcription. The transcript
+    grows prefix-monotonically across :meth:`feed` calls.
+    """
+
+    # samples per logit frame: 160-sample mel hop x2 conv downsample
+    _SAMPLES_PER_FRAME = 320
+
+    def __init__(
+        self,
+        pipeline: ASRPipeline,
+        chunk_sec: float = 0.5,
+        right_context_sec: float = 0.64,
+        left_context_sec: Optional[float] = 2.0,
+    ) -> None:
+        self.pipeline = pipeline
+        rate = pipeline.sample_rate
+        self.chunk = int(chunk_sec * rate)
+        self.right_context = int(right_context_sec * rate)
+        self.left_context = (
+            None if left_context_sec is None
+            else int(left_context_sec * rate)
+        )
+        self._buffer = np.zeros(0, np.float32)
+        self._base = 0  # absolute sample index of _buffer[0]
+        self._committed_frame = 0  # absolute logit frames committed
+        self._committed_ids: List[int] = []
+        self._since_decode = 0
+
+    @property
+    def transcript(self) -> str:
+        tok = self.pipeline.tokenizer
+        return tok.merge_repeated(tok.decode(self._committed_ids))
+
+    def _decode_window(self):
+        spf = self._SAMPLES_PER_FRAME
+        n = len(self._buffer)
+        max_len = _bucket(n, self.pipeline.buckets)
+        wav = np.zeros((1, max_len), np.float32)
+        wav[0, :min(n, max_len)] = self._buffer[:max_len]
+        ids, out_len = self.pipeline._decode(
+            self.pipeline.variables,
+            jnp.asarray(wav),
+            jnp.asarray([min(n, max_len)], np.int32),
+        )
+        ids = np.asarray(ids)[0][: int(np.asarray(out_len)[0])]
+        window_start_frame = self._base // spf
+        return ids, window_start_frame
+
+    def _commit_until(self, end_frame_abs: int) -> None:
+        if end_frame_abs <= self._committed_frame:
+            return
+        ids, window_start_frame = self._decode_window()
+        rel_start = self._committed_frame - window_start_frame
+        rel_end = end_frame_abs - window_start_frame
+        rel_end = min(rel_end, len(ids))
+        if rel_end <= rel_start:
+            return
+        self._committed_ids.extend(int(i) for i in ids[rel_start:rel_end])
+        self._committed_frame = window_start_frame + rel_end
+        if self.left_context is not None:
+            spf = self._SAMPLES_PER_FRAME
+            keep_from_abs = max(
+                self._committed_frame * spf - self.left_context, self._base
+            )
+            keep_from_abs = (keep_from_abs // spf) * spf  # frame-aligned
+            drop = keep_from_abs - self._base
+            if drop > 0:
+                self._buffer = self._buffer[drop:]
+                self._base = keep_from_abs
+
+    def feed(self, chunk: np.ndarray) -> str:
+        """Append audio; returns the transcript committed so far."""
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(chunk, np.float32)]
+        )
+        self._since_decode += len(chunk)
+        if self._since_decode >= self.chunk:
+            self._since_decode = 0
+            total = self._base + len(self._buffer)
+            stable_end = (total - self.right_context) // self._SAMPLES_PER_FRAME
+            self._commit_until(stable_end)
+        return self.transcript
+
+    def finish(self) -> str:
+        """Flush: commit every remaining frame and return the final
+        transcript."""
+        total = self._base + len(self._buffer)
+        if len(self._buffer) > 0:
+            # mel frames = wav_len // 160 + 1; after x2 downsample the
+            # decode yields ceil frames — commit everything available
+            self._commit_until(total // self._SAMPLES_PER_FRAME + 1)
+        return self.transcript
 
 
 class TTSPipeline:
