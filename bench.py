@@ -244,11 +244,18 @@ def _tts_bench():
     }
 
 
-def _train_bench():
+def _train_bench(precision: str = "32"):
     """Training throughput: audio-seconds consumed per wall second for
-    the asr_en_base recipe (batch 64, ~10 s clips, augmentation on)."""
+    the asr_en_base recipe (batch 64, ~10 s clips, augmentation on).
+    ``precision="16"`` runs the recurrent matmuls in bf16 (f32 master
+    weights), as TrainerConfig.precision does."""
     import optax
     from voice100_tpu.training.tasks import make_task
+
+    if precision in ("16", "bf16"):
+        from voice100_tpu.ops.lstm import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
 
     model = _make_asr_model()
     batch, frames = 64, 1000
@@ -331,13 +338,15 @@ def main() -> None:
     parser.add_argument(
         "--metric", default="asr", choices=["asr", "tts", "train"]
     )
+    parser.add_argument("--precision", default="32",
+                        choices=["32", "16", "bf16"])
     args = parser.parse_args()
     if args.metric == "asr":
         result = _flagship_asr()
     elif args.metric == "tts":
         result = _tts_bench()
     else:
-        result = _train_bench()
+        result = _train_bench(args.precision)
     print(json.dumps(result))
 
 

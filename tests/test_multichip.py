@@ -34,16 +34,19 @@ from jax.sharding import PartitionSpec as P
 def _small_model():
     from voice100_tpu.models import AudioToAlignText
 
+    # hidden 64 keeps the LSTM gate matrices at 4H = 256 rows, the
+    # minimum the TP policy shards (infer_param_spec min_size), while
+    # compiling ~3x faster than the 256-hidden variant
     return AudioToAlignText(
         audio_size=64,
         vocab_size=29,
-        encoder_settings=((256, False, 3, 2, 1, False),),
+        encoder_settings=((64, False, 3, 2, 1, False),),
         decoder_num_layers=2,
-        decoder_hidden_size=256,
+        decoder_hidden_size=64,
     )
 
 
-def _batch(batch=8, time_frames=64):
+def _batch(batch=8, time_frames=32):
     rng = np.random.RandomState(0)
     return (
         (
