@@ -109,16 +109,32 @@ class ASRPipeline:
     def transcribe(self, waveforms: List[np.ndarray]) -> List[str]:
         """Batch transcription; inputs are float32 mono at sample_rate.
 
-        Inputs longer than the largest bucket are truncated to it (pass
-        larger ``buckets_sec`` for long-form audio).
+        Inputs longer than the largest bucket stream through a
+        :class:`StreamingASRSession` (block decode with right-context
+        commitment) instead of being truncated.
 
         Two-phase: every batch is dispatched before any result is
         fetched, so host→device uploads and device compute for batch
         k+1 overlap the fetch + token decode of batch k (JAX dispatch
         is asynchronous; the blocking point is the host fetch).
         """
-        order = np.argsort([len(w) for w in waveforms])
         results: List[Optional[str]] = [None] * len(waveforms)
+        long_form = [
+            i for i, w in enumerate(waveforms) if len(w) > self.buckets[-1]
+        ]
+        for i in long_form:
+            session = StreamingASRSession(
+                self, chunk_sec=2.0, right_context_sec=1.0,
+                left_context_sec=4.0,
+            )
+            wav = waveforms[i]
+            step = self.buckets[0]
+            for start in range(0, len(wav), step):
+                session.feed(wav[start:start + step])
+            results[i] = session.finish()
+        short = [i for i in range(len(waveforms)) if results[i] is None]
+        order = [short[j] for j in np.argsort(
+            [len(waveforms[i]) for i in short])]
         pending = []
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
@@ -207,23 +223,38 @@ class StreamingASRSession:
     def _decode_window(self):
         spf = self._SAMPLES_PER_FRAME
         n = len(self._buffer)
-        max_len = _bucket(n, self.pipeline.buckets)
+        # when the buffer outgrows the largest bucket, slide the window
+        # to its tail (frame-aligned) — the frames that fall off are
+        # either already committed or sacrificed to the window bound
+        # (keep right_context + left_context well under the largest
+        # bucket to avoid the latter)
+        offset = 0
+        if n > self.pipeline.buckets[-1]:
+            offset = n - self.pipeline.buckets[-1]
+            offset = -(-offset // spf) * spf
+        window = self._buffer[offset:]
+        max_len = _bucket(len(window), self.pipeline.buckets)
         wav = np.zeros((1, max_len), np.float32)
-        wav[0, :min(n, max_len)] = self._buffer[:max_len]
+        valid = min(len(window), max_len)
+        wav[0, :valid] = window[:valid]
         ids, out_len = self.pipeline._decode(
             self.pipeline.variables,
             jnp.asarray(wav),
-            jnp.asarray([min(n, max_len)], np.int32),
+            jnp.asarray([valid], np.int32),
         )
         ids = np.asarray(ids)[0][: int(np.asarray(out_len)[0])]
-        window_start_frame = self._base // spf
+        window_start_frame = (self._base + offset) // spf
         return ids, window_start_frame
 
     def _commit_until(self, end_frame_abs: int) -> None:
         if end_frame_abs <= self._committed_frame:
             return
         ids, window_start_frame = self._decode_window()
-        rel_start = self._committed_frame - window_start_frame
+        # frames before the window start were lost to the window bound
+        # (misconfigured contexts vs bucket size); skip them
+        rel_start = max(self._committed_frame - window_start_frame, 0)
+        self._committed_frame = max(self._committed_frame,
+                                    window_start_frame)
         rel_end = end_frame_abs - window_start_frame
         rel_end = min(rel_end, len(ids))
         if rel_end <= rel_start:
