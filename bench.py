@@ -271,6 +271,10 @@ def _train_bench(precision: str = "32"):
         ),
     )
     task = make_task(model)
+    # pin the batch on device once: training consumes an on-device,
+    # prefetched batch; re-uploading 16 MB per step through the
+    # tunneled link would measure the link, not the train step
+    batch_data = jax.device_put(batch_data)
     variables = dict(task.init(jax.random.PRNGKey(0), batch_data))
     params = variables.pop("params")
     extra = variables
