@@ -216,3 +216,51 @@ def test_transcribe_long_form_routes_through_streaming():
         session.feed(long[start:start + 8000])
     session.finish()
     assert session._committed_frame >= len(long) // 320
+
+
+def test_long_form_content_matches_wide_bucket_pipeline(tmp_path):
+    """A long clip streamed through a small-bucket pipeline must yield
+    (nearly) the transcript of a pipeline whose buckets fit the whole
+    clip — no interior audio may be lost to the window bound."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from corpus_fixture import make_dummy_corpus
+
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.dsp.audioio import load_audio
+    from voice100_tpu.inference import ASRPipeline
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.ops.metrics import levenshtein
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    root = make_dummy_corpus(str(tmp_path), n_clips=4)
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=str(tmp_path),
+        cache_dir=str(tmp_path / "cache"), batch_size=4, valid_ratio=0.0,
+    )
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((32, False, 3, 2, 1, False),
+                          (32, False, 3, 1, 1, False)),
+        decoder_num_layers=1, decoder_hidden_size=32,
+    )
+    trainer = Trainer(TrainerConfig(max_epochs=10, monitor="train_loss"))
+    state = trainer.fit(model, data)
+    variables = {"params": state.params, **state.extra}
+
+    # a ~3.3 s "long" clip: three training clips back to back
+    wavs = [load_audio(f"{root}/wavs/clip{i:04d}.wav", 16000)
+            for i in range(3)]
+    long_clip = np.concatenate(wavs)
+
+    wide = ASRPipeline(model, variables, batch_size=1,
+                       buckets_sec=(0.5, 1.0, 2.0, 4.0, 8.0))
+    offline = wide.transcribe([long_clip])[0]
+
+    narrow = ASRPipeline(model, variables, batch_size=1,
+                         buckets_sec=(0.5, 1.0, 2.0))  # clip > 2.0 s
+    streamed = narrow.transcribe([long_clip])[0]
+
+    dist = levenshtein(offline, streamed)
+    assert dist <= max(3, len(offline) // 5), (offline, streamed)

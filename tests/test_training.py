@@ -351,3 +351,40 @@ def test_bf16_precision_training(corpus, tmp_path):
     # bf16 compute tracks the f32 run on this tiny problem
     assert abs(loss16 - loss32) / max(abs(loss32), 1e-6) < 0.1, (
         loss16, loss32)
+
+
+def test_cli_predict_align_durations(corpus, tmp_path):
+    """predict works for the duration model + AlignTextDataModule
+    (writes per-token durations)."""
+    import yaml
+
+    import numpy as np
+
+    from voice100_tpu.training.cli import cli_main
+
+    cfg = {
+        "seed_everything": 1234,
+        "trainer": {"max_epochs": 1},
+        "model": {
+            "class_path": "voice100_tpu.models.TextToAlignText",
+            "init_args": {"vocab_size": 29, "num_layers": 1,
+                          "hidden_size": 16},
+        },
+        "data": {
+            "class_path": "voice100_tpu.data.AlignTextDataModule",
+            "init_args": {"dataset": "dummy_en", "language": "en",
+                          "batch_size": 4},
+        },
+    }
+    cfg_path = str(tmp_path / "align.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    common = ["--config", cfg_path, "--data_dir", corpus,
+              "--checkpoint_dir", str(tmp_path / "ckpt")]
+    cli_main(["fit"] + common)
+    out = str(tmp_path / "durations.npz")
+    cli_main(["predict"] + common + ["--output", out])
+    with np.load(out, allow_pickle=True) as z:
+        durations = z["durations"]
+    assert len(durations) == 8
+    assert all(d.shape[-1] == 2 for d in durations)

@@ -197,6 +197,9 @@ class AlignTextDataModule:
             self.data_dir, f"{self.dataset}-{infix}-train.txt"
         )
         ds = AlignTextDataset(file, tokenizer=self.encoder)
+        if stage == "predict":
+            self.predict_ds = ds
+            return
         total = len(ds)
         valid_len = int(total * self.valid_ratio)
         order = np.random.default_rng(self.seed).permutation(total)
@@ -212,5 +215,11 @@ class AlignTextDataModule:
     def val_dataloader(self):
         return DataLoader(
             self.valid_ds, self.batch_size, self.collate_fn,
+            shuffle=False, seed=self.seed,
+        )
+
+    def predict_dataloader(self):
+        return DataLoader(
+            self.predict_ds, self.batch_size, self.collate_fn,
             shuffle=False, seed=self.seed,
         )

@@ -123,9 +123,16 @@ class ASRPipeline:
             i for i, w in enumerate(waveforms) if len(w) > self.buckets[-1]
         ]
         for i in long_form:
+            # contexts derived from the largest bucket so the decode
+            # window always covers the committed frontier (worst-case
+            # buffer ~= left + right + 2*chunk = 7/8 bucket): no
+            # interior audio is ever lost to the window bound
+            bucket_sec = self.buckets[-1] / self.sample_rate
             session = StreamingASRSession(
-                self, chunk_sec=2.0, right_context_sec=1.0,
-                left_context_sec=4.0,
+                self,
+                chunk_sec=bucket_sec / 4,
+                right_context_sec=bucket_sec / 8,
+                left_context_sec=bucket_sec / 4,
             )
             wav = waveforms[i]
             step = self.buckets[0]
@@ -191,9 +198,6 @@ class StreamingASRSession:
     grows prefix-monotonically across :meth:`feed` calls.
     """
 
-    # samples per logit frame: 160-sample mel hop x2 conv downsample
-    _SAMPLES_PER_FRAME = 320
-
     def __init__(
         self,
         pipeline: ASRPipeline,
@@ -203,6 +207,18 @@ class StreamingASRSession:
     ) -> None:
         self.pipeline = pipeline
         rate = pipeline.sample_rate
+        # samples per logit frame: 160-sample mel hop x the encoder's
+        # total time downsampling (product of conv strides)
+        downsample = 1
+        for setting in pipeline.model.encoder_settings:
+            _, transpose, _, stride, _, _ = setting
+            if transpose:
+                raise ValueError(
+                    "streaming requires a downsampling (non-transpose) "
+                    "encoder"
+                )
+            downsample *= stride
+        self._SAMPLES_PER_FRAME = 160 * downsample
         self.chunk = int(chunk_sec * rate)
         self.right_context = int(right_context_sec * rate)
         self.left_context = (

@@ -575,7 +575,8 @@ int read_wav_file(const char* path, float** out, int* out_channels,
     uint32_t size;
     memcpy(&size, data.data() + pos + 4, 4);
     const uint8_t* body = data.data() + pos + 8;
-    if (memcmp(data.data() + pos, "fmt ", 4) == 0 && size >= 16) {
+    if (memcmp(data.data() + pos, "fmt ", 4) == 0 && size >= 16 &&
+        pos + 8 + 16 <= fsize) {
       uint16_t fmt16, ch16, block16, bits16;
       uint32_t rate32, byterate32;
       memcpy(&fmt16, body, 2);

@@ -109,13 +109,12 @@ _LEXICON: Dict[str, str] = {
     "thousand": "TH AW1 Z AH0 N D",
     "million": "M IH1 L Y AH0 N",
     # common verbs/nouns/adjectives
-    "make": "M EY1 K", "made": "M EY1 D", "take": "T EY1 K",
+    "make": "M EY1 K", "take": "T EY1 K",
     "took": "T UH1 K", "get": "G EH1 T", "got": "G AA1 T",
     "go": "G OW1", "went": "W EH1 N T", "gone": "G AO1 N",
     "know": "N OW1", "known": "N OW1 N", "think": "TH IH1 NG K",
-    "thought": "TH AO1 T", "come": "K AH1 M", "came": "K EY1 M",
-    "look": "L UH1 K", "want": "W AA1 N T", "give": "G IH1 V",
-    "gave": "G EY1 V", "find": "F AY1 N D", "found": "F AW1 N D",
+    "thought": "TH AO1 T", "came": "K EY1 M",
+    "look": "L UH1 K", "want": "W AA1 N T",     "gave": "G EY1 V", "find": "F AY1 N D", "found": "F AW1 N D",
     "tell": "T EH1 L", "told": "T OW1 L D", "ask": "AE1 S K",
     "seem": "S IY1 M", "feel": "F IY1 L", "felt": "F EH1 L T",
     "leave": "L IY1 V", "left": "L EH1 F T", "call": "K AO1 L",
@@ -161,7 +160,7 @@ _LEXICON: Dict[str, str] = {
     "father": "F AA1 DH ER0", "money": "M AH1 N IY0", "story": "S T AO1 R IY0",
     "fact": "F AE1 K T", "month": "M AH1 N TH", "lot": "L AA1 T",
     "right": "R AY1 T", "study": "S T AH1 D IY0", "book": "B UH1 K",
-    "word": "W ER1 D", "business": "B IH1 Z N AH0 S",
+    "business": "B IH1 Z N AH0 S",
     "issue": "IH1 SH UW0", "side": "S AY1 D", "kind": "K AY1 N D",
     "head": "HH EH1 D", "house": "HH AW1 S", "friend": "F R EH1 N D",
     "hour": "AW1 ER0", "game": "G EY1 M", "line": "L AY1 N",
@@ -177,7 +176,7 @@ _LEXICON: Dict[str, str] = {
     "moment": "M OW1 M AH0 N T", "air": "EH1 R", "force": "F AO1 R S",
     "state": "S T EY1 T", "area": "EH1 R IY0 AH0",
     "music": "M Y UW1 Z IH0 K", "mind": "M AY1 N D",
-    "good": "G UH1 D", "high": "HH AY1", "small": "S M AO1 L",
+    "high": "HH AY1", "small": "S M AO1 L",
     "large": "L AA1 R JH", "big": "B IH1 G", "long": "L AO1 NG",
     "young": "Y AH1 NG", "different": "D IH1 F ER0 AH0 N T",
     "important": "IH0 M P AO1 R T AH0 N T", "few": "F Y UW1",
@@ -200,14 +199,11 @@ _LEXICON: Dict[str, str] = {
     "without": "W IH0 TH AW1 T", "around": "ER0 AW1 N D",
     "among": "AH0 M AH1 NG", "within": "W IH0 DH IH1 N",
     "upon": "AH0 P AA1 N", "toward": "T AH0 W AO1 R D",
-    "voice": "V OY1 S", "sound": "S AW1 N D", "speech": "S P IY1 CH",
+    "sound": "S AW1 N D", "speech": "S P IY1 CH",
     "language": "L AE1 NG G W AH0 JH",
     # frequent words whose spelling-to-sound is irregular (rule engine
     # gets these systematically wrong)
-    "one": "W AH1 N", "ones": "W AH1 N Z", "once": "W AH1 N S",
-    "busy": "B IH1 Z IY0", "business": "B IH1 Z N AH0 S",
-    "pretty": "P R IH1 T IY0", "women": "W IH1 M AH0 N",
-    "woman": "W UH1 M AH0 N", "island": "AY1 L AH0 N D",
+    "ones": "W AH1 N Z",     "busy": "B IH1 Z IY0",     "pretty": "P R IH1 T IY0",     "island": "AY1 L AH0 N D",
     "islands": "AY1 L AH0 N D Z", "iron": "AY1 ER0 N",
     "answer": "AE1 N S ER0", "answered": "AE1 N S ER0 D",
     "sword": "S AO1 R D", "listen": "L IH1 S AH0 N",
@@ -216,8 +212,7 @@ _LEXICON: Dict[str, str] = {
     "christmas": "K R IH1 S M AH0 S", "colonel": "K ER1 N AH0 L",
     "stomach": "S T AH1 M AH0 K", "ache": "EY1 K",
     "heart": "HH AA1 R T", "hearts": "HH AA1 R T S",
-    "heard": "HH ER1 D", "earth": "ER1 TH", "early": "ER1 L IY0",
-    "learn": "L ER1 N", "learned": "L ER1 N D",
+    "earth": "ER1 TH",     "learned": "L ER1 N D",
     "search": "S ER1 CH", "heaven": "HH EH1 V AH0 N",
     "heavy": "HH EH1 V IY0", "weather": "W EH1 DH ER0",
     "measure": "M EH1 ZH ER0", "pleasure": "P L EH1 ZH ER0",
@@ -233,32 +228,27 @@ _LEXICON: Dict[str, str] = {
     "touch": "T AH1 CH", "touched": "T AH1 CH T",
     "trouble": "T R AH1 B AH0 L", "country": "K AH1 N T R IY0",
     "countries": "K AH1 N T R IY0 Z", "cousin": "K AH1 Z AH0 N",
-    "couple": "K AH1 P AH0 L", "courage": "K ER1 IH0 JH",
-    "journey": "JH ER1 N IY0", "course": "K AO1 R S",
-    "court": "K AO1 R T", "four": "F AO1 R", "pour": "P AO1 R",
+    "couple": "K AH1 P AH0 L",     "journey": "JH ER1 N IY0", "course": "K AO1 R S",
+    "court": "K AO1 R T", "pour": "P AO1 R",
     "soul": "S OW1 L", "shoulder": "SH OW1 L D ER0",
     "though": "DH OW1", "although": "AO0 L DH OW1",
-    "thorough": "TH ER1 OW0", "thought": "TH AO1 T",
-    "throughout": "TH R UW0 AW1 T", "brought": "B R AO1 T",
-    "bought": "B AO1 T", "fought": "F AO1 T", "sought": "S AO1 T",
+    "thorough": "TH ER1 OW0",     "throughout": "TH R UW0 AW1 T",     "fought": "F AO1 T", "sought": "S AO1 T",
     "caught": "K AO1 T", "taught": "T AO1 T", "daughter": "D AO1 T ER0",
     "laugh": "L AE1 F", "laughed": "L AE1 F T",
     "laughter": "L AE1 F T ER0", "draught": "D R AE1 F T",
-    "enough": "IH0 N AH1 F", "rough": "R AH1 F", "tough": "T AH1 F",
+    "rough": "R AH1 F", "tough": "T AH1 F",
     "cough": "K AO1 F", "dough": "D OW1",
     "neighbor": "N EY1 B ER0", "neighbour": "N EY1 B ER0",
     "weigh": "W EY1", "weight": "W EY1 T", "height": "HH AY1 T",
-    "eight": "EY1 T", "eighth": "EY1 T TH", "straight": "S T R EY1 T",
+    "eighth": "EY1 T TH", "straight": "S T R EY1 T",
     "foreign": "F AO1 R AH0 N", "reign": "R EY1 N",
-    "friend": "F R EH1 N D", "friends": "F R EH1 N D Z",
+    "friends": "F R EH1 N D Z",
     "guest": "G EH1 S T", "guess": "G EH1 S", "guard": "G AA1 R D",
     "guide": "G AY1 D", "guilty": "G IH1 L T IY0",
-    "build": "B IH1 L D", "built": "B IH1 L T",
     "biscuit": "B IH1 S K AH0 T", "circuit": "S ER1 K AH0 T",
     "blood": "B L AH1 D", "flood": "F L AH1 D",
-    "door": "D AO1 R", "floor": "F L AO1 R", "poor": "P UH1 R",
-    "sugar": "SH UH1 G ER0", "sure": "SH UH1 R",
-    "surely": "SH UH1 R L IY0", "machine": "M AH0 SH IY1 N",
+    "floor": "F L AO1 R", "poor": "P UH1 R",
+    "sugar": "SH UH1 G ER0",     "surely": "SH UH1 R L IY0", "machine": "M AH0 SH IY1 N",
     "machines": "M AH0 SH IY1 N Z", "police": "P AH0 L IY1 S",
     "unique": "Y UW0 N IY1 K", "antique": "AE0 N T IY1 K",
     "bureau": "B Y UH1 R OW0", "beautiful": "B Y UW1 T AH0 F AH0 L",
@@ -266,10 +256,8 @@ _LEXICON: Dict[str, str] = {
     "european": "Y UH2 R AH0 P IY1 AH0 N",
     "ocean": "OW1 SH AH0 N", "soldier": "S OW1 L JH ER0",
     "soldiers": "S OW1 L JH ER0 Z", "shoe": "SH UW1",
-    "shoes": "SH UW1 Z", "canoe": "K AH0 N UW1", "does": "D AH1 Z",
-    "done": "D AH1 N", "none": "N AH1 N", "gone": "G AO1 N",
-    "move": "M UW1 V", "moved": "M UW1 V D", "prove": "P R UW1 V",
-    "proved": "P R UW1 V D", "lose": "L UW1 Z", "whose": "HH UW1 Z",
+    "shoes": "SH UW1 Z", "canoe": "K AH0 N UW1",     "done": "D AH1 N", "none": "N AH1 N",     "moved": "M UW1 V D", "prove": "P R UW1 V",
+    "proved": "P R UW1 V D", "whose": "HH UW1 Z",
     "whom": "HH UW1 M", "tomb": "T UW1 M", "womb": "W UW1 M",
     "comb": "K OW1 M", "climb": "K L AY1 M", "limb": "L IH1 M",
     "thumb": "TH AH1 M", "numb": "N AH1 M", "debt": "D EH1 T",
@@ -289,55 +277,43 @@ _LEXICON: Dict[str, str] = {
     "technical": "T EH1 K N IH0 K AH0 L",
     "stopped": "S T AA1 P T", "wanted": "W AA1 N T IH0 D",
     "asked": "AE1 S K T", "looked": "L UH1 K T",
-    "island": "AY1 L AH0 N D", "aisle": "AY1 L",
+    "aisle": "AY1 L",
     "quite": "K W AY1 T", "quiet": "K W AY1 AH0 T",
-    "mind": "M AY1 N D", "find": "F AY1 N D", "kind": "K AY1 N D",
     "behind": "B IH0 HH AY1 N D", "blind": "B L AY1 N D",
-    "wild": "W AY1 L D", "child": "CH AY1 L D",
-    "children": "CH IH1 L D R AH0 N",
-    "sign": "S AY1 N", "signs": "S AY1 N Z", "design": "D IH0 Z AY1 N",
+    "wild": "W AY1 L D",     "sign": "S AY1 N", "signs": "S AY1 N Z", "design": "D IH0 Z AY1 N",
     "signed": "S AY1 N D", "resign": "R IH0 Z AY1 N",
     "signal": "S IH1 G N AH0 L", "signature": "S IH1 G N AH0 CH ER0",
     "half": "HH AE1 F", "calf": "K AE1 F", "talk": "T AO1 K",
-    "walk": "W AO1 K", "walked": "W AO1 K T", "chalk": "CH AO1 K",
+    "walked": "W AO1 K T", "chalk": "CH AO1 K",
     "folk": "F OW1 K", "yolk": "Y OW1 K", "salmon": "S AE1 M AH0 N",
-    "calm": "K AA1 M", "palm": "P AA1 M", "psalm": "S AA1 M",
-    "could": "K UH1 D", "should": "SH UH1 D", "would": "W UH1 D",
+    "palm": "P AA1 M", "psalm": "S AA1 M",
     "shall": "SH AE1 L", "wants": "W AA1 N T S",
-    "watch": "W AA1 CH", "watched": "W AA1 CH T",
+    "watched": "W AA1 CH T",
     "wash": "W AA1 SH", "wander": "W AA1 N D ER0",
     "quality": "K W AA1 L AH0 T IY0", "quantity": "K W AA1 N T AH0 T IY0",
     "quarrel": "K W AO1 R AH0 L", "squad": "S K W AA1 D",
-    "war": "W AO1 R", "warm": "W AO1 R M", "warn": "W AO1 R N",
-    "toward": "T AH0 W AO1 R D", "towards": "T AH0 W AO1 R D Z",
+    "warm": "W AO1 R M", "warn": "W AO1 R N",
+    "towards": "T AH0 W AO1 R D Z",
     "reward": "R IH0 W AO1 R D", "dwarf": "D W AO1 R F",
     "swan": "S W AA1 N", "swap": "S W AA1 P",
-    "word": "W ER1 D", "words": "W ER1 D Z", "work": "W ER1 K",
-    "worked": "W ER1 K T", "worker": "W ER1 K ER0",
+    "words": "W ER1 D Z",     "worked": "W ER1 K T", "worker": "W ER1 K ER0",
     "workers": "W ER1 K ER0 Z", "worse": "W ER1 S",
     "worst": "W ER1 S T", "worth": "W ER1 TH", "worthy": "W ER1 DH IY0",
     "worship": "W ER1 SH AH0 P", "worm": "W ER1 M",
-    "front": "F R AH1 N T", "month": "M AH1 N TH",
-    "months": "M AH1 N TH S", "monday": "M AH1 N D EY2",
-    "monkey": "M AH1 NG K IY0", "money": "M AH1 N IY0",
-    "honey": "HH AH1 N IY0", "stomach": "S T AH1 M AH0 K",
-    "among": "AH0 M AH1 NG", "amongst": "AH0 M AH1 NG S T",
+    "front": "F R AH1 N T",     "months": "M AH1 N TH S", "monday": "M AH1 N D EY2",
+    "monkey": "M AH1 NG K IY0",     "honey": "HH AH1 N IY0",     "amongst": "AH0 M AH1 NG S T",
     "son": "S AH1 N", "sons": "S AH1 N Z", "ton": "T AH1 N",
-    "won": "W AH1 N", "wonder": "W AH1 N D ER0",
+    "wonder": "W AH1 N D ER0",
     "wonderful": "W AH1 N D ER0 F AH0 L",
-    "nothing": "N AH1 TH IH0 NG", "mother": "M AH1 DH ER0",
-    "brother": "B R AH1 DH ER0", "other": "AH1 DH ER0",
-    "another": "AH0 N AH1 DH ER0", "others": "AH1 DH ER0 Z",
-    "glove": "G L AH1 V", "gloves": "G L AH1 V Z",
-    "above": "AH0 B AH1 V", "love": "L AH1 V", "loved": "L AH1 V D",
+    "nothing": "N AH1 TH IH0 NG",     "brother": "B R AH1 DH ER0",     "another": "AH0 N AH1 DH ER0",     "glove": "G L AH1 V", "gloves": "G L AH1 V Z",
+    "above": "AH0 B AH1 V", "loved": "L AH1 V D",
     "dove": "D AH1 V", "oven": "AH1 V AH0 N", "cover": "K AH1 V ER0",
     "covered": "K AH1 V ER0 D", "govern": "G AH1 V ER0 N",
-    "government": "G AH1 V ER0 M AH0 N T",
-    "company": "K AH1 M P AH0 N IY0", "color": "K AH1 L ER0",
+    "color": "K AH1 L ER0",
     "colour": "K AH1 L ER0", "comfort": "K AH1 M F ER0 T",
     "common": "K AA1 M AH0 N", "compass": "K AH1 M P AH0 S",
     "onion": "AH1 N Y AH0 N", "london": "L AH1 N D AH0 N",
-    "among": "AH0 M AH1 NG", "dozen": "D AH1 Z AH0 N",
+    "dozen": "D AH1 Z AH0 N",
     "become": "B IH0 K AH1 M", "became": "B IH0 K EY1 M",
     "welcome": "W EH1 L K AH0 M", "income": "IH1 N K AH2 M",
     "somebody": "S AH1 M B AA2 D IY0",
@@ -356,7 +332,6 @@ _LEXICON: Dict[str, str] = {
     "secretary": "S EH1 K R AH0 T EH2 R IY0",
     "interesting": "IH1 N T R AH0 S T IH0 NG",
     "interest": "IH1 N T R AH0 S T",
-    "different": "D IH1 F ER0 AH0 N T",
     "evening": "IY1 V N IH0 NG", "every": "EH1 V ER0 IY0",
     "everything": "EH1 V R IY0 TH IH2 NG",
     "everyone": "EH1 V R IY0 W AH2 N",
@@ -372,12 +347,12 @@ _LEXICON: Dict[str, str] = {
     "suit": "S UW1 T", "fruit": "F R UW1 T", "juice": "JH UW1 S",
     "bruise": "B R UW1 Z", "cruise": "K R UW1 Z",
     "nuisance": "N UW1 S AH0 N S", "pursuit": "P ER0 S UW1 T",
-    "minute": "M IH1 N AH0 T", "minutes": "M IH1 N AH0 T S",
+    "minutes": "M IH1 N AH0 T S",
     "lettuce": "L EH1 T AH0 S", "purpose": "P ER1 P AH0 S",
     "promise": "P R AA1 M AH0 S", "surface": "S ER1 F AH0 S",
     "palace": "P AE1 L AH0 S", "village": "V IH1 L AH0 JH",
     "image": "IH1 M AH0 JH", "damage": "D AE1 M AH0 JH",
-    "courage": "K ER1 IH0 JH", "marriage": "M EH1 R IH0 JH",
+    "marriage": "M EH1 R IH0 JH",
     "carriage": "K AE1 R IH0 JH", "knowledge": "N AA1 L AH0 JH",
     "college": "K AA1 L IH0 JH", "orange": "AO1 R AH0 N JH",
     "porridge": "P AO1 R IH0 JH", "message": "M EH1 S AH0 JH",
@@ -385,8 +360,7 @@ _LEXICON: Dict[str, str] = {
     "usage": "Y UW1 S AH0 JH", "luggage": "L AH1 G AH0 JH",
     "average": "AE1 V ER0 IH0 JH", "savage": "S AE1 V AH0 JH",
     "cottage": "K AA1 T AH0 JH", "cabbage": "K AE1 B AH0 JH",
-    "captain": "K AE1 P T AH0 N", "certain": "S ER1 T AH0 N",
-    "certainly": "S ER1 T AH0 N L IY0", "curtain": "K ER1 T AH0 N",
+    "captain": "K AE1 P T AH0 N",     "certainly": "S ER1 T AH0 N L IY0", "curtain": "K ER1 T AH0 N",
     "fountain": "F AW1 N T AH0 N", "mountain": "M AW1 N T AH0 N",
     "mountains": "M AW1 N T AH0 N Z", "bargain": "B AA1 R G AH0 N",
     "villain": "V IH1 L AH0 N", "britain": "B R IH1 T AH0 N",
@@ -411,15 +385,12 @@ _LEXICON: Dict[str, str] = {
     "ginger": "JH IH1 N JH ER0", "engine": "EH1 N JH AH0 N",
     "engineer": "EH2 N JH AH0 N IH1 R",
     "suggest": "S AH0 G JH EH1 S T",
-    "area": "EH1 R IY0 AH0", "idea": "AY0 D IY1 AH0",
-    "ideas": "AY0 D IY1 AH0 Z", "real": "R IY1 L",
-    "really": "R IH1 L IY0", "create": "K R IY0 EY1 T",
-    "created": "K R IY0 EY1 T IH0 D", "theater": "TH IY1 AH0 T ER0",
+    "ideas": "AY0 D IY1 AH0 Z",     "really": "R IH1 L IY0",     "created": "K R IY0 EY1 T IH0 D", "theater": "TH IY1 AH0 T ER0",
     "theatre": "TH IY1 AH0 T ER0", "react": "R IY0 AE1 K T",
     "ahead": "AH0 HH EH1 D", "apart": "AH0 P AA1 R T",
     "away": "AH0 W EY1", "across": "AH0 K R AO1 S",
     "along": "AH0 L AO1 NG", "amount": "AH0 M AW1 N T",
-    "appear": "AH0 P IH1 R", "appeared": "AH0 P IH1 R D",
+    "appeared": "AH0 P IH1 R D",
     "attack": "AH0 T AE1 K", "attempt": "AH0 T EH1 M P T",
     "attention": "AH0 T EH1 N SH AH0 N",
     "arrive": "ER0 AY1 V", "arrived": "ER0 AY1 V D",
@@ -438,18 +409,18 @@ _LEXICON: Dict[str, str] = {
     "perhaps": "P ER0 HH AE1 P S", "position": "P AH0 Z IH1 SH AH0 N",
     "present": "P R EH1 Z AH0 N T", "presence": "P R EH1 Z AH0 N S",
     "prison": "P R IH1 Z AH0 N", "prisoner": "P R IH1 Z AH0 N ER0",
-    "reason": "R IY1 Z AH0 N", "season": "S IY1 Z AH0 N",
-    "result": "R IH0 Z AH1 L T", "resemble": "R IH0 Z EH1 M B AH0 L",
+    "season": "S IY1 Z AH0 N",
+    "resemble": "R IH0 Z EH1 M B AH0 L",
     "deserve": "D IH0 Z ER1 V", "desire": "D IH0 Z AY1 ER0",
     "observe": "AH0 B Z ER1 V", "observed": "AH0 B Z ER1 V D",
     "visit": "V IH1 Z AH0 T", "visited": "V IH1 Z AH0 T IH0 D",
     "usual": "Y UW1 ZH AH0 W AH0 L",
     "usually": "Y UW1 ZH AH0 W AH0 L IY0",
-    "pleasure": "P L EH1 ZH ER0", "vision": "V IH1 ZH AH0 N",
+    "vision": "V IH1 ZH AH0 N",
     "division": "D IH0 V IH1 ZH AH0 N",
     "decision": "D IH0 S IH1 ZH AH0 N",
     "occasionally": "AH0 K EY1 ZH AH0 N AH0 L IY0",
-    "million": "M IH1 L Y AH0 N", "billion": "B IH1 L Y AH0 N",
+    "billion": "B IH1 L Y AH0 N",
     "familiar": "F AH0 M IH1 L Y ER0", "opinion": "AH0 P IH1 N Y AH0 N",
     "companion": "K AH0 M P AE1 N Y AH0 N",
     "behavior": "B IH0 HH EY1 V Y ER0",

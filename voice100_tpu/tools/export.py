@@ -147,7 +147,10 @@ def _export_onnx(model, variables, output_path: str) -> None:
     onnx_path = os.path.splitext(output_path)[0] + ".onnx"
     try:
         export_onnx(model, variables, onnx_path)
-    except ValueError as e:
+    except (ValueError, ImportError) as e:
+        # ValueError: v1 models (StableHLO-only surface);
+        # ImportError/OnnxSchemaUnavailable: protoc or protobuf missing
+        # on this host — degrade to the StableHLO artifact
         print(f"[export] skipped onnx: {e}")
         return
     print(f"[export] wrote {onnx_path}")

@@ -180,8 +180,7 @@ def _run_predict(model, variables, data, loader, output: str) -> None:
             pred = np.asarray(step(text, text_len))
             for i in range(n_real):
                 durations.append(pred[i, : int(text_len[i])])
-        np.savez(path, durations=np.asarray(durations, dtype=object),
-                 allow_pickle=True)
+        np.savez(path, durations=np.asarray(durations, dtype=object))
         print(f"[predict] wrote durations for {len(durations)} texts "
               f"to {path}")
         return
@@ -220,7 +219,6 @@ def _run_predict(model, variables, data, loader, output: str) -> None:
             f0=np.asarray(f0s, dtype=object),
             logspc=np.asarray(logspcs, dtype=object),
             codeap=np.asarray(codeaps, dtype=object),
-            allow_pickle=True,
         )
         print(f"[predict] wrote WORLD features for {len(f0s)} clips "
               f"to {path}")

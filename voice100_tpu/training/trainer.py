@@ -119,12 +119,16 @@ class Trainer:
         init_variables: Optional[Dict[str, Any]] = None,
     ) -> TrainState:
         cfg = self.config
+        from ..ops.lstm import set_default_compute_dtype
+
         if str(cfg.precision) in ("16", "bf16", "bfloat16", "16-mixed"):
             import jax.numpy as jnp
 
-            from ..ops.lstm import set_default_compute_dtype
-
             set_default_compute_dtype(jnp.bfloat16)
+        else:
+            # explicit reset: a previous bf16 fit in this process must
+            # not leak into an f32 one
+            set_default_compute_dtype(None)
         task = make_task(model)
         if self.mesh is None:
             self.mesh = fit_mesh_for_batch(
@@ -290,12 +294,20 @@ class Trainer:
             return None
         from ..ops.metrics import error_rate
 
-        @jax.jit
-        def decode(params, extra, audio, audio_len):
-            return model.apply(
-                {"params": params, **extra}, audio, audio_len,
-                method=type(model).greedy_decode,
-            )
+        # one jitted decode per (trainer, model): jit caches key on
+        # function identity, so a fresh closure each epoch would
+        # recompile the full decode graph every validation pass
+        decode = getattr(self, "_cer_decode", None)
+        if decode is None or self._cer_decode_model is not model:
+            @jax.jit
+            def decode(params, extra, audio, audio_len):
+                return model.apply(
+                    {"params": params, **extra}, audio, audio_len,
+                    method=type(model).greedy_decode,
+                )
+
+            self._cer_decode = decode
+            self._cer_decode_model = model
 
         edits = total = 0
         for batch, n_real in self._iter_counted(loader):
