@@ -209,7 +209,13 @@ def test_vocoder_jax_analysis_backend():
     x = synth_voice(140.0, seconds=0.4)
     ref = WORLDVocoder(sample_rate=FS).encode(x)
     dev = WORLDVocoder(sample_rate=FS, analysis_backend="jax").encode(x)
-    np.testing.assert_array_equal(ref[0], dev[0])  # same dio f0
-    # envelopes agree in log domain over energetic bins
+    # the jax backend tracks F0 with the on-device YIN estimator
+    # (dio_jax), not host DIO: require agreement, not equality
+    ref_v, dev_v = ref[0] > 0, dev[0] > 0
+    assert np.mean(ref_v == dev_v) > 0.9
+    both = ref_v & dev_v
+    assert np.all(np.abs(dev[0][both] - ref[0][both]) / ref[0][both] < 0.03)
+    # envelopes agree in log domain over energetic bins (the small F0
+    # differences perturb the adaptive window slightly)
     mask = ref[1] > ref[1].max() - 20  # within 20 nats of peak
-    assert np.median(np.abs(dev[1][mask] - ref[1][mask])) < 0.05
+    assert np.median(np.abs(dev[1][mask] - ref[1][mask])) < 0.2

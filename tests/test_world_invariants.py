@@ -48,17 +48,18 @@ def _ground_truth(pitch: float, seconds: float = 1.2, vibrato: float = 0.02):
     return f0, spc, ap
 
 
-def _analyze(wav):
-    vocoder = WORLDVocoder(sample_rate=FS, frame_period=FRAME_PERIOD)
+def _analyze(wav, backend="numpy"):
+    vocoder = WORLDVocoder(sample_rate=FS, frame_period=FRAME_PERIOD,
+                           analysis_backend=backend)
     f0, logspc, codeap = vocoder.encode(wav)
     return f0.astype(np.float64), logspc, codeap
 
 
-def _metrics(pitch: float):
+def _metrics(pitch: float, backend: str = "numpy"):
     f0_true, spc_true, ap_true = _ground_truth(pitch)
     wav = synthesize(f0_true, spc_true, ap_true, fs=FS,
                      frame_period=FRAME_PERIOD)
-    f0_est, logspc_est, _ = _analyze(np.asarray(wav))
+    f0_est, logspc_est, _ = _analyze(np.asarray(wav), backend)
 
     n = min(len(f0_true), len(f0_est))
     f0_true, f0_est = f0_true[:n], f0_est[:n]
@@ -101,10 +102,13 @@ def _metrics(pitch: float):
     }
 
 
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
 @pytest.mark.parametrize("pitch", [110.0, 160.0, 220.0, 320.0])
-def test_world_reanalysis_invariants(pitch):
-    """Thresholds documented in docs/world_metrics.md."""
-    m = _metrics(pitch)
+def test_world_reanalysis_invariants(pitch, backend):
+    """Thresholds documented in docs/world_metrics.md; the on-device
+    (JAX) analysis backend — YIN F0 + batched CheapTrick/aperiodicity —
+    must meet the same bars as the host path."""
+    m = _metrics(pitch, backend)
     assert m["n_voiced"] > 30
     assert m["f0_rmse_rel"] < 0.01, m
     assert m["octave_rate"] < 0.01, m
@@ -128,3 +132,12 @@ def test_dio_no_octave_jumps_within_vibrato():
     steps = np.abs(np.diff(voiced)) / voiced[:-1]
     assert float(steps.max()) < 0.05
     assert abs(np.median(voiced) - 200.0) / 200.0 < 0.02
+
+
+def test_dio_jax_noise_is_unvoiced():
+    from voice100_tpu.dsp.world.dio_jax import dio_jax
+
+    rng = np.random.RandomState(0)
+    noise = rng.randn(FS).astype(np.float64) * 0.3
+    f0, _ = dio_jax(noise, FS)
+    assert np.mean(f0 > 0) < 0.2

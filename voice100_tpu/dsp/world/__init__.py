@@ -100,10 +100,18 @@ class WORLDVocoder:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """waveform -> (f0 [T], logspc|mcep [T, D], codeap [T, C])."""
         x = np.asarray(waveform, dtype=np.float64)
-        f0, positions = dio(
-            x, self.sample_rate, f0_floor=f0_floor, f0_ceil=f0_ceil,
-            frame_period=self.frame_period,
-        )
+        if self.analysis_backend == "jax":
+            from .dio_jax import dio_jax
+
+            f0, positions = dio_jax(
+                x, self.sample_rate, f0_floor=f0_floor,
+                f0_ceil=f0_ceil, frame_period=self.frame_period,
+            )
+        else:
+            f0, positions = dio(
+                x, self.sample_rate, f0_floor=f0_floor, f0_ceil=f0_ceil,
+                frame_period=self.frame_period,
+            )
         spc = cheaptrick(
             x, f0, positions, self.sample_rate, self.n_fft,
             backend=self.analysis_backend,

@@ -72,38 +72,38 @@ def _dc_correction(power, fs, fft_size, f0, xp=np):
 
 
 def _linear_smoothing(power, fs, fft_size, width, max_width, xp=np):
-    """Rectangular smoothing of width ``width`` Hz via an integrated
-    spectrum, with the spectrum mirrored at DC and Nyquist so edge
-    windows integrate real energy (WORLD's mirroring trick).
-    ``max_width`` must be a python float upper bound on width (static
-    margin for jit)."""
+    """Rectangular smoothing of width ``width`` Hz, with the spectrum
+    mirrored at DC and Nyquist so edge windows integrate real energy
+    (WORLD's mirroring trick). ``max_width`` must be a python float
+    upper bound on width (static shift count for jit).
+
+    Computed as a direct overlap-weighted sum over neighboring bins
+    (piecewise-constant density), NOT as a difference of integrated
+    spectra: power spans many orders of magnitude across frequency, and
+    the cumsum formulation catastrophically cancels in float32 on the
+    on-device backend (the quiet valleys between formants would carry
+    ~20 dB of error).
+    """
     n_bins = fft_size // 2 + 1
     bin_hz = fs / fft_size
     margin = int(np.ceil(max_width / 2.0 / bin_hz)) + 2
     margin = min(margin, n_bins - 1)
     ext = xp.concatenate(
         [power[:, margin:0:-1], power, power[:, -2:-2 - margin:-1]], axis=1
-    )  # [T, F + 2*margin], sample k at freq (k - margin) * bin_hz
-    # Piecewise-constant integral: segment k spans one bin of width
-    # bin_hz; I(boundary_k) = cumsum in units of power * bins.
-    cum = xp.concatenate(
-        [xp.zeros((power.shape[0], 1)), xp.cumsum(ext, axis=1)], axis=1
-    )
-    lo_freq = -(margin + 0.5) * bin_hz  # left edge of first segment
-
-    def integral_at(f):  # f: [T, F] -> power * bins
-        posi = (f - lo_freq) / bin_hz
-        posi = xp.clip(posi, 0.0, ext.shape[1] - 1e-9)
-        seg = xp.floor(posi).astype(xp.int32)
-        frac = posi - seg
-        rows = xp.arange(power.shape[0])[:, None]
-        return cum[rows, seg] + frac * ext[rows, seg]
-
-    freqs = xp.arange(n_bins) * bin_hz
-    half = width[:, None] / 2.0
-    upper = integral_at(freqs[None, :] + half)
-    lower = integral_at(freqs[None, :] - half)
-    return (upper - lower) * bin_hz / width[:, None]
+    )  # [T, F + 2*margin], sample m at freq (m - margin) * bin_hz
+    half = width[:, None] / 2.0  # [T, 1]
+    out = xp.zeros_like(power)
+    for k in range(-margin, margin + 1):
+        # overlap of bin at offset k (segment k*bin +- bin/2) with the
+        # rect window [-w/2, w/2], in Hz
+        seg_lo = (k - 0.5) * bin_hz
+        seg_hi = (k + 0.5) * bin_hz
+        overlap = xp.clip(
+            xp.minimum(half, seg_hi) - xp.maximum(-half, seg_lo),
+            0.0, bin_hz,
+        )  # [T, 1]
+        out = out + ext[:, margin + k: margin + k + n_bins] * overlap
+    return out / width[:, None]
 
 
 def _lifter(log_power, fs, fft_size, f0, xp=np):
