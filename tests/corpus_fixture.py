@@ -129,6 +129,132 @@ def make_dummy_corpus(
     return root
 
 
+TONE_CHARS = "abcdefghijkl"
+
+
+def tone_for_char(ch: str) -> float:
+    """Distinct fundamental per character (tonecode corpus). All
+    pitches sit inside WORLD's default 80-400 Hz F0 range so analysis
+    tracks them as voiced and synthesis reproduces them."""
+    if ch == " ":
+        return 0.0  # silence
+    return 100.0 + 24.0 * TONE_CHARS.index(ch)
+
+
+def make_tonecode_corpus(
+    data_dir: str,
+    n_clips: int = 12,
+    chars_per_clip: int = 6,
+    frames_per_char: int = 10,
+    sample_rate: int = 16000,
+    seed: int = 0,
+) -> str:
+    """A corpus whose audio is a deterministic function of its text:
+    each character renders as ``frames_per_char`` aligned-text frames
+    (20 ms each) of a character-specific tone. Unlike the random-sine
+    dummy corpus, text->audio and audio->text mappings are genuinely
+    learnable, so TTS->ASR round trips are meaningful. Uses the same
+    dummy_{lang} layout under ``dummy-speech-tonecode``."""
+    root = os.path.join(data_dir, "dummy-speech-tonecode")
+    wavs = os.path.join(root, "wavs")
+    os.makedirs(wavs, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    samples_per_char = frames_per_char * 2 * 160  # 20ms align frames
+
+    meta, texts, aligns = [], [], []
+    for i in range(n_clips):
+        clipid = f"clip{i:04d}"
+        # no adjacent repeats: greedy CTC needs an interposed blank to
+        # emit a doubled character, which a toy model rarely produces
+        chars = []
+        for _ in range(chars_per_clip):
+            ch = TONE_CHARS[rng.randint(0, 12)]
+            while chars and ch == chars[-1]:
+                ch = TONE_CHARS[rng.randint(0, 12)]
+            chars.append(ch)
+        text = "".join(chars)
+        wav = np.zeros(0, np.float64)
+        for ch in text:
+            t = np.arange(samples_per_char) / sample_rate
+            freq = tone_for_char(ch)
+            phase = 2 * np.pi * freq * t
+            # harmonic-rich (speech-like) tone: WORLD's envelope and
+            # the mel front-end both resolve pitch via the harmonics
+            seg = (
+                0.3 * np.sin(phase)
+                + 0.2 * np.sin(2 * phase)
+                + 0.12 * np.sin(3 * phase)
+                + 0.08 * np.sin(4 * phase)
+            )
+            # short fades avoid clicks at tone boundaries
+            ramp = np.minimum(np.arange(samples_per_char), 160) / 160.0
+            seg = seg * ramp * ramp[::-1]
+            wav = np.concatenate([wav, seg])
+        write_wav(
+            os.path.join(wavs, clipid + ".wav"),
+            wav.astype(np.float32), sample_rate,
+        )
+        meta.append(f"{clipid}|{text}|{text}")
+        texts.append((clipid, text))
+        aligntext = "".join(ch * frames_per_char for ch in text)
+        counts = []
+        for ch in text:
+            counts += [0, frames_per_char]
+        counts.append(0)
+        aligns.append((text, aligntext, counts))
+
+    with open(os.path.join(root, "metadata.csv"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(meta) + "\n")
+    with open(os.path.join(data_dir, "dummy_tonecode-train.txt"), "w",
+              encoding="utf-8") as f:
+        for clipid, text in texts:
+            f.write(f"{clipid}|{text}\n")
+    with open(os.path.join(data_dir, "dummy_tonecode-align-train.txt"),
+              "w", encoding="utf-8") as f:
+        for text, aligntext, counts in aligns:
+            f.write(
+                f"{text}|{aligntext}|{' '.join(map(str, counts))}\n"
+            )
+    return root
+
+
+def add_resynth_clips(data_dir: str, sample_rate: int = 16000) -> None:
+    """Vocoder-domain augmentation for the tonecode corpus: append a
+    WORLD analysis->synthesis copy of every clip (same transcript) so
+    an ASR trained on it is robust to vocoded audio — the domain a
+    TTS->ASR round trip feeds it."""
+    from voice100_tpu.dsp.audioio import load_audio
+    from voice100_tpu.dsp.wav import write_wav
+    from voice100_tpu.dsp.world import WORLDVocoder
+
+    root = os.path.join(data_dir, "dummy-speech-tonecode")
+    meta_path = os.path.join(root, "metadata.csv")
+    rows = [line.rstrip("\n") for line in open(meta_path)]
+    vocoder = WORLDVocoder(sample_rate=sample_rate, use_mcep=True)
+    new_rows, new_texts = [], []
+    for row in rows:
+        clipid, text, _ = row.split("|")
+        wav = load_audio(
+            os.path.join(root, "wavs", clipid + ".wav"), sample_rate
+        )
+        f0, mcep, codeap = vocoder.encode(wav)
+        resyn = np.asarray(vocoder.decode(f0, mcep, codeap), np.float32)
+        rid = clipid.replace("clip", "rsyn")
+        write_wav(
+            os.path.join(root, "wavs", rid + ".wav"),
+            np.clip(resyn, -1, 1), sample_rate,
+        )
+        new_rows.append(f"{rid}|{text}|{text}")
+        new_texts.append((rid, text))
+    with open(meta_path, "a", encoding="utf-8") as f:
+        f.write("\n".join(new_rows) + "\n")
+    with open(os.path.join(data_dir, "dummy_tonecode-train.txt"), "a",
+              encoding="utf-8") as f:
+        for rid, text in new_texts:
+            f.write(f"{rid}|{text}\n")
+
+
 def make_cv_corpus(
     data_dir: str,
     n_clips: int = 8,

@@ -99,3 +99,140 @@ def test_overfit_asr_and_transcribe(tmp_path):
     cers = [_char_error_rate(h, r) for h, r in zip(hyps, refs)]
     # overfit on 4 clips: transcripts come back near-verbatim
     assert float(np.mean(cers)) < 0.25, list(zip(hyps, refs))
+
+
+@pytest.mark.slow
+def test_tts_to_asr_round_trip(tmp_path):
+    """The full loop: text -> (overfit) duration + acoustic models ->
+    WORLD synthesis -> waveform -> (overfit) ASR -> text.
+
+    Uses the tonecode corpus (each character renders as a distinct
+    pitch), so text->audio and audio->text are genuinely learnable and
+    the round trip is meaningful — unlike the random-sine dummy corpus,
+    where texts and audio are unrelated. All three models overfit with
+    deterministic full-batch Adam (no augmentation), as in the ASR
+    overfit test above; the loop synthesizes training transcripts, so
+    it verifies composed-pipeline fidelity (synthesis intelligible to
+    the recognizer), not few-shot generalization to novel texts.
+    """
+    import optax
+
+    from corpus_fixture import add_resynth_clips, make_tonecode_corpus
+
+    from voice100_tpu.data import (
+        AlignTextDataModule, AudioTextDataModule,
+    )
+    from voice100_tpu.inference import ASRPipeline, TTSPipeline
+    from voice100_tpu.models import (
+        AlignTextToAudio, AudioToAlignText, TextToAlignText,
+    )
+    from voice100_tpu.training import make_task
+
+    data_dir = str(tmp_path / "data")
+    root = make_tonecode_corpus(data_dir, n_clips=12)
+    with open(os.path.join(root, "metadata.csv")) as f:
+        sentences = [line.split("|")[1] for line in f][:4]
+
+    def overfit(model, batch, steps, lr=3e-3, world_norm=None):
+        task = make_task(model)
+        variables = dict(task.init(jax.random.PRNGKey(0), batch))
+        if world_norm is not None:
+            variables["world_norm"] = world_norm
+        params = variables.pop("params")
+        extra = variables
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                loss, _, _ = task.loss(p, extra, batch, None, train=False)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        loss = None
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state)
+        return {"params": params, **extra}, float(loss)
+
+    # --- overfit the TTS pair ----------------------------------------
+    align_model = TextToAlignText(vocab_size=29, num_layers=1,
+                                  hidden_size=64)
+    align_data = AlignTextDataModule(
+        data_dir=data_dir, dataset="dummy_tonecode", batch_size=12,
+        valid_ratio=0.0,
+    )
+    align_data.setup("fit")
+    align_vars, align_loss = overfit(
+        align_model, next(iter(align_data.train_dataloader())), 500)
+    assert align_loss < 0.1, align_loss
+
+    audio_model = AlignTextToAudio(
+        vocab_size=29, encoder_num_layers=1, encoder_hidden_size=128,
+        decoder_settings=((128, False, 5, 1, 2, False),
+                          (128, True, 5, 2, 2, False),
+                          (128, False, 5, 1, 2, False)),
+    )
+    audio_data = AudioTextDataModule(
+        vocoder="world_mcep", dataset="dummy_tonecode", use_align=True,
+        data_dir=data_dir, cache_dir=str(tmp_path / "cache_w"),
+        batch_size=12, valid_ratio=0.0,
+    )
+    audio_data.setup("fit")
+    audio_batch = next(iter(audio_data.train_dataloader()))
+    # WORLD feature statistics, as the real recipe computes via
+    # calc-stat before TTS training (masks per reference calc_stat.py):
+    # without normalization the f0 stream (~100-360 Hz) dominates the
+    # loss and starves the spectral envelope
+    (f0_b, f0_len_b, logspc_b, codeap_b), _ = audio_batch
+    frames = np.arange(f0_b.shape[1])[None, :] < np.asarray(f0_len_b)[:, None]
+    voiced = (np.asarray(f0_b) > 30.0) & frames
+    stats = {
+        "f0_mean": np.asarray([np.asarray(f0_b)[voiced].mean()], np.float32),
+        "f0_std": np.asarray([np.asarray(f0_b)[voiced].std() + 1e-6],
+                             np.float32),
+        "logspc_mean": np.asarray(logspc_b)[frames].mean(0).astype(np.float32),
+        "logspc_std": (np.asarray(logspc_b)[frames].std(0) + 1e-6
+                       ).astype(np.float32),
+        "codeap_mean": np.asarray(codeap_b)[frames].mean(0).astype(np.float32),
+        "codeap_std": (np.asarray(codeap_b)[frames].std(0) + 1e-6
+                       ).astype(np.float32),
+    }
+    audio_vars, _ = overfit(
+        audio_model, audio_batch, 800,
+        world_norm={"norm": stats})
+
+    # --- overfit ASR on the corpus + vocoded copies -------------------
+    # (the round trip feeds the ASR WORLD-synthesized audio; training
+    # on resynthesized clips closes that domain gap)
+    add_resynth_clips(data_dir)
+    asr_data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_tonecode", data_dir=data_dir,
+        cache_dir=str(tmp_path / "cache_m"), batch_size=24,
+        valid_ratio=0.0,
+    )
+    asr_data.setup("fit")
+    asr_model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((64, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=64,
+    )
+    asr_vars, asr_loss = overfit(
+        asr_model, next(iter(asr_data.train_dataloader())), 500)
+    assert asr_loss < 0.35, asr_loss
+
+    # --- synthesize and transcribe -----------------------------------
+    tts = TTSPipeline(align_model, align_vars, audio_model, audio_vars,
+                      language="en", use_phone=False)
+    wavs = tts.synthesize(sentences)
+    assert all(len(w) > 1600 for w in wavs)  # > 0.1 s of audio each
+
+    asr = ASRPipeline(asr_model, asr_vars, batch_size=4,
+                      buckets_sec=(2.0, 5.0))
+    hyps = asr.transcribe([np.asarray(w) for w in wavs])
+    cers = [_char_error_rate(h, r) for h, r in zip(hyps, sentences)]
+    print("round-trip CERs:", cers, "hyps:", hyps)
+    assert np.mean(cers) < 0.4, (cers, hyps)
