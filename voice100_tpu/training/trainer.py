@@ -152,6 +152,21 @@ class Trainer:
         else:
             variables = init_variables
         variables = dict(variables)
+        norm = variables.get("world_norm", {}).get("norm")
+        if norm is not None:
+            # identity stats mean calc-stat was never run: the raw f0
+            # stream (~hundreds of Hz) then dominates the WORLD loss
+            # and the spectral envelope barely trains
+            f0_std = np.asarray(norm.get("f0_std", 1.0))
+            if float(np.max(np.abs(f0_std - 1.0))) < 1e-6:
+                self._log({
+                    "event": "warning",
+                    "message": (
+                        "WORLD norm stats are identity; run "
+                        "tools.calc_stat and pass --audio_stat, or "
+                        "the f0 stream will dominate the TTS loss"
+                    ),
+                })
         params = variables.pop("params")
         extra = variables
         params = shard_params(params, self.mesh)
