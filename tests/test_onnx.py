@@ -174,3 +174,72 @@ def test_onnxruntime_if_available(tmp_path):
     for i, n in enumerate(text_len):
         np.testing.assert_allclose(got[i, :n], want[i, :n],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_onnx_asr_serve_matches_pipeline(tmp_path):
+    """OnnxASR (the voice100-runtime equivalent over the emitted .onnx)
+    must transcribe identically to the JAX serving pipeline."""
+    from voice100_tpu.inference import ASRPipeline
+    from voice100_tpu.onnx.serve import OnnxASR
+
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=16,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 51, 64), np.float32),
+        np.asarray([51], np.int32),
+    )
+    path = str(tmp_path / "asr.onnx")
+    export_onnx(model, variables, path)
+
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(9000) * 0.1).astype(np.float32)
+    want = ASRPipeline(model, variables, batch_size=1,
+                       buckets_sec=(9000 / 16000,)).transcribe([wav])[0]
+    got = OnnxASR(path)(wav)
+    assert got == want
+
+
+def test_onnx_tts_serve_synthesizes(tmp_path):
+    """OnnxTTS runs text -> durations -> aligned text -> WORLD features
+    -> waveform entirely from the exported artifacts."""
+    from voice100_tpu.onnx.serve import OnnxTTS
+
+    align = TextToAlignText(vocab_size=29, num_layers=1, hidden_size=16)
+    t0 = np.zeros((1, 8), np.int32)
+    l0 = np.asarray([8], np.int32)
+    align_vars = align.init(jax.random.PRNGKey(0), t0, l0)
+    model, tts_vars, _, _ = _tts_model_and_vars(25)
+
+    align_path = str(tmp_path / "align.onnx")
+    tts_path = str(tmp_path / "tts.onnx")
+    export_onnx(align, align_vars, align_path)
+    export_onnx(model, tts_vars, tts_path)
+
+    tts = OnnxTTS(align_path, tts_path, language="en", use_phone=False)
+    wav = tts("hello world")
+    assert wav.ndim == 1 and len(wav) > 160
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() <= 1.0
+
+
+def test_expand_alignment_host_matches_reference_semantics():
+    """Cursor semantics of the host expansion (head/tail pad 5,
+    rounded spans, s==e bumps e) on a hand-checked case."""
+    from voice100_tpu.onnx.serve import expand_alignment_host
+
+    text = np.asarray([7, 8, 9], np.int32)
+    align = np.asarray([[0.0, 2.0], [1.0, 0.0], [0.4, 2.6]], np.float32)
+    out = expand_alignment_host(text, align)
+    assert len(out) == 5 + 6 + 5
+    np.testing.assert_array_equal(out[5:7], [7, 7])
+    # token 8's zero-length span bumps to one frame (8), which token
+    # 9's rounded span then overwrites — later tokens win, as in the
+    # reference cursor loop
+    np.testing.assert_array_equal(out[8:11], [9, 9, 9])
+    assert out[7] == 0  # pre-duration gap stays blank
+    # head/tail padding stays blank
+    assert not out[:5].any() and not out[11:].any()

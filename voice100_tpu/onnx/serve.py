@@ -1,0 +1,144 @@
+"""Serve exported .onnx artifacts on CPU (voice100-runtime equivalent).
+
+The reference delegates inference to the separate voice100-runtime
+project, which feeds exported ONNX files to onnxruntime
+(/root/reference/README.md:289-291; the intended decode flows are
+documented in its skipped tests, /root/reference/tests/test_onnx.py).
+This module is that consumer, built on the in-repo NumPy ONNX
+evaluator: load the .onnx files written by tools.export and run
+
+  OnnxASR:  waveform -> mel -> onnx asr graph -> argmax ids ->
+            decode -> merge_repeated -> text
+  OnnxTTS:  text -> phonemize/tokenize -> onnx align graph ->
+            durations -> host alignment expansion -> onnx tts graph ->
+            (f0, logspc, codeap) -> WORLD synthesis -> waveform
+
+When onnxruntime is installed it is used automatically; otherwise the
+NumPy evaluator runs the same files.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["OnnxASR", "OnnxTTS", "expand_alignment_host"]
+
+
+def _load_session(path: str):
+    """Prefer onnxruntime when available; fall back to the in-repo
+    evaluator. Returns a callable (*arrays) -> tuple(arrays)."""
+    try:
+        import onnxruntime as ort  # type: ignore
+
+        sess = ort.InferenceSession(path)
+        names = [i.name for i in sess.get_inputs()]
+
+        def run(*args):
+            return tuple(sess.run(None, dict(zip(names, args))))
+
+        return run
+    except ImportError:
+        from .runtime import load_model
+
+        return load_model(path)
+
+
+class OnnxASR:
+    """Transcribe waveforms with an exported ASR graph."""
+
+    def __init__(
+        self,
+        model_path: str,
+        language: str = "en",
+        use_phone: bool = False,
+        sample_rate: int = 16000,
+    ) -> None:
+        from ..text import get_tokenizer
+
+        self._run = _load_session(model_path)
+        self.tokenizer = get_tokenizer(language, use_phone)
+        self.sample_rate = sample_rate
+
+    def _mel(self, waveform: np.ndarray) -> np.ndarray:
+        # the same log-mel front-end the models trained with
+        # (torch-MelSpectrogram parity, ops/melspec.py)
+        from ..ops.melspec import log_mel_spectrogram
+
+        frames = len(waveform) // 160 + 1
+        mel = np.asarray(log_mel_spectrogram(
+            np.asarray(waveform, np.float32), sample_rate=self.sample_rate
+        ))
+        return mel[:frames]
+
+    def transcribe(self, waveform: np.ndarray) -> str:
+        mel = self._mel(waveform)[None, :, :]
+        mel_len = np.asarray([mel.shape[1]], np.int32)
+        logits, logits_len = self._run(mel.astype(np.float32), mel_len)
+        ids = np.argmax(logits[0, : int(logits_len[0])], axis=-1)
+        return self.tokenizer.merge_repeated(self.tokenizer.decode(ids))
+
+    __call__ = transcribe
+
+
+def expand_alignment_host(
+    text: np.ndarray, align: np.ndarray, head: int = 5, tail: int = 5
+) -> np.ndarray:
+    """Duration expansion on host, mirroring the reference runtime's
+    numpy align_text (/root/reference/tests/test_onnx.py:51-71 and
+    voice100/models/_align_v2.py:48-75): a monotone cursor walks the
+    (pre, post) duration pairs and stamps each token over its span."""
+    aligntext_len = head + int(np.round(align.sum())) + tail
+    aligntext = np.zeros(aligntext_len, dtype=text.dtype)
+    t = float(head)
+    for i in range(text.shape[0]):
+        t += float(align[i, 0])
+        s = round(t)
+        t += float(align[i, 1])
+        e = round(t)
+        if s == e:
+            e = e + 1
+        aligntext[s:e] = text[i]
+    return aligntext
+
+
+class OnnxTTS:
+    """Synthesize waveforms with exported align + tts graphs."""
+
+    def __init__(
+        self,
+        align_path: str,
+        tts_path: str,
+        language: str = "en",
+        use_phone: bool = True,
+        sample_rate: int = 16000,
+    ) -> None:
+        from ..dsp.world import WORLDVocoder
+        from ..text import get_phonemizer, get_tokenizer
+
+        self._align = _load_session(align_path)
+        self._tts = _load_session(tts_path)
+        self.phonemizer = get_phonemizer(language, use_phone)
+        self.tokenizer = get_tokenizer(language, use_phone)
+        # the exported tts graph folds mc2sp: logspc arrives full-band
+        self.vocoder = WORLDVocoder(
+            sample_rate=sample_rate, use_mcep=False
+        )
+        self.sample_rate = sample_rate
+
+    def synthesize(self, text: str) -> np.ndarray:
+        ids = np.asarray(
+            self.tokenizer(self.phonemizer(text)), np.int32
+        )[None, :]
+        text_len = np.asarray([ids.shape[1]], np.int32)
+        (durations,) = self._align(ids, text_len)
+        aligntext = expand_alignment_host(ids[0], durations[0])[None, :]
+        aligntext_len = np.asarray([aligntext.shape[1]], np.int32)
+        f0, logspc, codeap = self._tts(
+            aligntext.astype(np.int32), aligntext_len
+        )
+        wav = self.vocoder.decode(f0[0], logspc[0], codeap[0])
+        return np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+
+    __call__ = synthesize
