@@ -231,6 +231,12 @@ def add_resynth_clips(data_dir: str, sample_rate: int = 16000) -> None:
     root = os.path.join(data_dir, "dummy-speech-tonecode")
     meta_path = os.path.join(root, "metadata.csv")
     rows = [line.rstrip("\n") for line in open(meta_path)]
+    # idempotent: skip rows that are already resynthesized copies
+    rows = [r for r in rows if not r.startswith("rsyn")]
+    if any(
+        line.startswith("rsyn") for line in open(meta_path)
+    ):
+        return
     vocoder = WORLDVocoder(sample_rate=sample_rate, use_mcep=True)
     new_rows, new_texts = [], []
     for row in rows:

@@ -232,14 +232,32 @@ def test_expand_alignment_host_matches_reference_semantics():
     from voice100_tpu.onnx.serve import expand_alignment_host
 
     text = np.asarray([7, 8, 9], np.int32)
-    align = np.asarray([[0.0, 2.0], [1.0, 0.0], [0.4, 2.6]], np.float32)
+    align = np.asarray([[9.0, 2.0], [1.0, 0.0], [0.5, 2.5]], np.float32)
+    # first token's pre-duration (9.0) is skipped, as in the reference
     out = expand_alignment_host(text, align)
-    assert len(out) == 5 + 6 + 5
+    # spans: token7 [5,7); token8 pre 1 -> [8,9) (min one frame);
+    # token9 pre 0.5 -> monotone start 9, end floor(11)=11 -> [9,11)
+    assert len(out) == 11 + 5
     np.testing.assert_array_equal(out[5:7], [7, 7])
-    # token 8's zero-length span bumps to one frame (8), which token
-    # 9's rounded span then overwrites — later tokens win, as in the
-    # reference cursor loop
-    np.testing.assert_array_equal(out[8:11], [9, 9, 9])
     assert out[7] == 0  # pre-duration gap stays blank
-    # head/tail padding stays blank
+    np.testing.assert_array_equal(out[8:11], [8, 9, 9])
     assert not out[:5].any() and not out[11:].any()
+
+
+def test_expand_alignment_host_matches_jax_path():
+    """ONNX-served and JAX-served synthesis must see the same aligned
+    text from the same durations."""
+    import jax.numpy as jnp
+
+    from voice100_tpu.onnx.serve import expand_alignment_host
+    from voice100_tpu.ops.duration import expand_alignment
+
+    rng = np.random.RandomState(11)
+    text = rng.randint(1, 29, size=(17,)).astype(np.int32)
+    align = (rng.rand(17, 2) * 4).astype(np.float32)
+    host = expand_alignment_host(text, align)
+    dev = np.asarray(expand_alignment(
+        jnp.asarray(text), jnp.asarray(align),
+        jnp.asarray(17, jnp.int32), out_len=len(host),
+    ))
+    np.testing.assert_array_equal(host, dev)

@@ -44,28 +44,45 @@ def yin_f0(
 ) -> jnp.ndarray:
     """Framed CMNDF F0 track; 0 where unvoiced. ``n_frames`` static."""
     x = x.astype(jnp.float32)
-    hop = int(fs * frame_period / 1000.0)
+    # fractional hop: truncating to an integer would drift the analyzed
+    # frame centers away from the reported positions at rates where
+    # fs * frame_period is not integral (e.g. 22050 Hz)
+    hop_f = fs * frame_period / 1000.0
     tau_min = max(int(fs / f0_ceil) - 1, 2)
     tau_max = int(np.ceil(fs / f0_floor)) + 1
     window = 2 * tau_max
 
-    # frame extraction (centered): pad so every frame is full
+    # frame extraction (centered): pad both sides so every frame is
+    # full (padding bounded by the window, not the signal length)
     pad = window
-    xp = jnp.pad(x, (pad, pad + n_frames * hop))
-    starts = jnp.arange(n_frames) * hop + pad - tau_max
+    xp = jnp.pad(x, (pad, 2 * window))
+    starts = (
+        jnp.round(jnp.arange(n_frames) * hop_f).astype(jnp.int32)
+        + pad - tau_max
+    )
     idx = starts[:, None] + jnp.arange(window)[None, :]
     frames = xp[idx]  # [T, W]
     # remove per-frame DC (low-cut): drift biases the difference fn
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
 
-    # difference function d[tau] = sum_j (x_j - x_{j+tau})^2 over the
-    # first tau_max samples, for tau in [0, tau_max]
+    # difference function d[tau] = sum_{j<N} (x_j - x_{j+tau})^2 with
+    # N = tau_max, tau in [0, tau_max], via the O(W log W) identity
+    # d = P0 + P_tau - 2*xcorr (the direct [T, K, N] tensor would be
+    # ~1 GB for a minute of audio)
     taus = jnp.arange(tau_max + 1)
-    base = frames[:, :tau_max]  # [T, tau_max]
-    shifted = frames[:, taus[:, None] + jnp.arange(tau_max)[None, :]]
-    # shifted: [T, K, tau_max]
-    diff = jnp.sum(
-        (base[:, None, :] - shifted) ** 2, axis=2
+    a = frames[:, :tau_max]  # [T, N]
+    p0 = jnp.sum(a * a, axis=1, keepdims=True)  # [T, 1]
+    csq = jnp.concatenate(
+        [jnp.zeros((n_frames, 1), frames.dtype),
+         jnp.cumsum(frames * frames, axis=1)], axis=1,
+    )  # [T, W+1]
+    p_tau = csq[:, taus + tau_max] - csq[:, taus]  # [T, K]
+    fft_len = 4 * tau_max  # >= N + tau_max: no circular wrap
+    fa = jnp.fft.rfft(a, n=fft_len, axis=1)
+    fb = jnp.fft.rfft(frames, n=fft_len, axis=1)
+    xcorr = jnp.fft.irfft(jnp.conj(fa) * fb, n=fft_len, axis=1)
+    diff = jnp.maximum(
+        p0 + p_tau - 2.0 * xcorr[:, : tau_max + 1], 0.0
     )  # [T, K]
 
     # cumulative mean normalized difference

@@ -28,7 +28,8 @@ __all__ = ["OnnxASR", "OnnxTTS", "expand_alignment_host"]
 
 def _load_session(path: str):
     """Prefer onnxruntime when available; fall back to the in-repo
-    evaluator. Returns a callable (*arrays) -> tuple(arrays)."""
+    evaluator (also when an installed onnxruntime cannot load the
+    file). Returns a callable (*arrays) -> tuple(arrays)."""
     try:
         import onnxruntime as ort  # type: ignore
 
@@ -40,9 +41,13 @@ def _load_session(path: str):
 
         return run
     except ImportError:
-        from .runtime import load_model
+        pass
+    except Exception as e:  # incompatible ort build / unsupported op
+        print(f"[onnx.serve] onnxruntime could not load {path} ({e}); "
+              "using the NumPy evaluator")
+    from .runtime import load_model
 
-        return load_model(path)
+    return load_model(path)
 
 
 class OnnxASR:
@@ -66,11 +71,9 @@ class OnnxASR:
         # (torch-MelSpectrogram parity, ops/melspec.py)
         from ..ops.melspec import log_mel_spectrogram
 
-        frames = len(waveform) // 160 + 1
-        mel = np.asarray(log_mel_spectrogram(
+        return np.asarray(log_mel_spectrogram(
             np.asarray(waveform, np.float32), sample_rate=self.sample_rate
         ))
-        return mel[:frames]
 
     def transcribe(self, waveform: np.ndarray) -> str:
         mel = self._mel(waveform)[None, :, :]
@@ -85,21 +88,28 @@ class OnnxASR:
 def expand_alignment_host(
     text: np.ndarray, align: np.ndarray, head: int = 5, tail: int = 5
 ) -> np.ndarray:
-    """Duration expansion on host, mirroring the reference runtime's
-    numpy align_text (/root/reference/tests/test_onnx.py:51-71 and
-    voice100/models/_align_v2.py:48-75): a monotone cursor walks the
-    (pre, post) duration pairs and stamps each token over its span."""
-    aligntext_len = head + int(np.round(align.sum())) + tail
-    aligntext = np.zeros(aligntext_len, dtype=text.dtype)
+    """Duration expansion on host, mirroring the JAX serving path's
+    cursor exactly (ops/duration._spans_v2, itself the reference
+    recurrence of voice100/models/_align_v2.py:48-75): the first
+    token's pre-duration is skipped, cursors floor, spans are monotone
+    and non-overlapping, and every token covers at least one frame —
+    so ONNX-served and JAX-served synthesis see the same aligned text
+    (no token can be silently erased)."""
     t = float(head)
+    u = 0
+    spans = []
     for i in range(text.shape[0]):
-        t += float(align[i, 0])
-        s = round(t)
+        if i > 0:
+            t += float(align[i, 0])
+        s = max(int(np.floor(t)), u)
+        u = s + 1
         t += float(align[i, 1])
-        e = round(t)
-        if s == e:
-            e = e + 1
-        aligntext[s:e] = text[i]
+        e = max(int(np.floor(t)), u)
+        u = e
+        spans.append((s, e))
+    aligntext = np.zeros(spans[-1][1] + tail, dtype=text.dtype)
+    for (s, e), token in zip(spans, text):
+        aligntext[s:e] = token
     return aligntext
 
 
