@@ -295,3 +295,46 @@ def test_pallas_bilstm_gradient_matches_scan(monkeypatch):
         jax.tree_util.tree_leaves(g_pal),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_numpy_mel_matches_jax():
+    """The framework-free serving mel (onnx.serve path) must match the
+    on-device transform."""
+    from voice100_tpu.ops.melspec import (
+        log_mel_spectrogram, log_mel_spectrogram_np,
+    )
+
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(7000) * 0.2).astype(np.float32)
+    a = np.asarray(log_mel_spectrogram(wav))
+    b = log_mel_spectrogram_np(wav)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_numpy_synthesis_matches_jax_periodic():
+    """Host synthesis (synthesize_np) parity vs the jitted synthesizer
+    on the (deterministic) periodic path; the noise path differs only
+    by RNG, so aperiodicity is held near zero."""
+    from voice100_tpu.dsp.world.synthesis import synthesize
+    from voice100_tpu.dsp.world.synthesis_np import synthesize_np
+
+    n_frames, n_fft = 80, 512
+    t = np.arange(n_frames) * 0.01
+    f0 = 150.0 * (1.0 + 0.05 * np.sin(2 * np.pi * 2.0 * t))
+    freqs = np.arange(n_fft // 2 + 1) * 16000 / n_fft
+    env = np.exp(-0.5 * ((freqs - 700.0) / 300.0) ** 2) + 1e-7
+    spc = np.tile(env[None, :], (n_frames, 1))
+    ap = np.full((n_frames, n_fft // 2 + 1), 1e-6)
+
+    a = np.asarray(synthesize(f0, spc, ap, fs=16000, frame_period=10.0))
+    b = synthesize_np(f0, spc, ap, fs=16000, frame_period=10.0)
+    n = min(len(a), len(b))
+    assert n > 12000
+    scale = np.abs(a[:n]).max()
+    diff = np.abs(a[:n] - b[:n]) / scale
+    # the f32 (device) vs f64 (host) phase cumsum may wrap one pulse a
+    # sample apart, creating a short localized onset difference; demand
+    # near-exact agreement everywhere else
+    assert float(np.mean(diff > 2e-3)) < 0.01, float(np.mean(diff > 2e-3))
+    assert float(np.median(diff)) < 1e-5

@@ -67,13 +67,13 @@ class OnnxASR:
         self.sample_rate = sample_rate
 
     def _mel(self, waveform: np.ndarray) -> np.ndarray:
-        # the same log-mel front-end the models trained with
-        # (torch-MelSpectrogram parity, ops/melspec.py)
-        from ..ops.melspec import log_mel_spectrogram
+        # host twin of the log-mel front-end the models trained with
+        # (torch-MelSpectrogram parity; no JAX on the serving host)
+        from ..ops.melspec import log_mel_spectrogram_np
 
-        return np.asarray(log_mel_spectrogram(
-            np.asarray(waveform, np.float32), sample_rate=self.sample_rate
-        ))
+        return log_mel_spectrogram_np(
+            waveform, sample_rate=self.sample_rate
+        )
 
     def transcribe(self, waveform: np.ndarray) -> str:
         mel = self._mel(waveform)[None, :, :]
@@ -124,18 +124,14 @@ class OnnxTTS:
         use_phone: bool = True,
         sample_rate: int = 16000,
     ) -> None:
-        from ..dsp.world import WORLDVocoder
         from ..text import get_phonemizer, get_tokenizer
 
         self._align = _load_session(align_path)
         self._tts = _load_session(tts_path)
         self.phonemizer = get_phonemizer(language, use_phone)
         self.tokenizer = get_tokenizer(language, use_phone)
-        # the exported tts graph folds mc2sp: logspc arrives full-band
-        self.vocoder = WORLDVocoder(
-            sample_rate=sample_rate, use_mcep=False
-        )
         self.sample_rate = sample_rate
+        self.n_fft = 512 if sample_rate == 16000 else 1024
 
     def synthesize(self, text: str) -> np.ndarray:
         ids = np.asarray(
@@ -148,7 +144,19 @@ class OnnxTTS:
         f0, logspc, codeap = self._tts(
             aligntext.astype(np.int32), aligntext_len
         )
-        wav = self.vocoder.decode(f0[0], logspc[0], codeap[0])
-        return np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+        # host synthesis (no JAX): the exported tts graph folds mc2sp,
+        # so logspc arrives full-band
+        from ..dsp.world.aperiodicity import decode_aperiodicity
+        from ..dsp.world.synthesis_np import synthesize_np
+
+        spc = np.maximum(np.exp(np.asarray(logspc[0], np.float64)), 0.0)
+        ap = decode_aperiodicity(
+            np.asarray(codeap[0], np.float64), self.sample_rate,
+            self.n_fft,
+        )
+        wav = synthesize_np(
+            f0[0], spc, ap, fs=self.sample_rate, fft_size=self.n_fft
+        )
+        return np.clip(wav, -1.0, 1.0)
 
     __call__ = synthesize

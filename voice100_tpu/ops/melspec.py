@@ -153,6 +153,31 @@ def log_mel_spectrogram(
     return jnp.log(mel + log_offset)
 
 
+def log_mel_spectrogram_np(
+    waveform: np.ndarray,
+    sample_rate: int = 16000,
+    n_fft: int = 512,
+    win_length: int = 400,
+    hop_length: int = 160,
+    n_mels: int = MELSPEC_DIM,
+    log_offset: float = LOG_OFFSET,
+) -> np.ndarray:
+    """Host NumPy twin of :func:`log_mel_spectrogram` (same torch.stft
+    semantics), for framework-free serving paths (onnx.serve)."""
+    x = np.asarray(waveform, np.float32)
+    pad = n_fft // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    frames = x.shape[-1] // hop_length + 1
+    idx = (
+        np.arange(frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    )
+    windowed = xp[idx] * hann_window(win_length, n_fft).astype(np.float32)
+    spec = np.fft.rfft(windowed, axis=-1)
+    power = (spec.real**2 + spec.imag**2).astype(np.float32)
+    fb = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate)
+    return np.log(power @ fb + log_offset)
+
+
 class MelSpectrogram:
     """Configured log-mel transform (jit-friendly callable)."""
 
