@@ -261,3 +261,113 @@ def test_expand_alignment_host_matches_jax_path():
         jnp.asarray(17, jnp.int32), out_len=len(host),
     ))
     np.testing.assert_array_equal(host, dev)
+
+
+def _init(model, *args):
+    return model.init(jax.random.PRNGKey(0), *args)
+
+
+def test_asr_v1_onnx_roundtrip(tmp_path):
+    from voice100_tpu.models import AudioToTextCTC
+
+    model = AudioToTextCTC(audio_size=8, vocab_size=11,
+                           embed_size=12, hidden_size=16)
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, 20, 8).astype(np.float32)
+    variables = _init(model, audio)
+    want = np.asarray(model.apply(variables, audio, True))
+
+    path = str(tmp_path / "asr_v1.onnx")
+    export_onnx(model, variables, path)
+    (got,) = load_model(path)(audio)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_align_v1_onnx_roundtrip(tmp_path):
+    from voice100_tpu.models import AudioAlignCTC
+
+    model = AudioAlignCTC(audio_size=8, vocab_size=11,
+                          hidden_size=16, num_layers=2)
+    rng = np.random.RandomState(1)
+    audio = rng.randn(2, 19, 8).astype(np.float32)
+    audio_len = np.asarray([19, 11], np.int32)
+    variables = _init(model, audio, audio_len)
+    want, want_len = model.apply(variables, audio, audio_len)
+    want, want_len = np.asarray(want), np.asarray(want_len)
+
+    path = str(tmp_path / "align_v1.onnx")
+    export_onnx(model, variables, path)
+    got, got_len = load_model(path)(audio, audio_len)
+    np.testing.assert_array_equal(got_len, want_len)
+    for i, n in enumerate(want_len):
+        np.testing.assert_allclose(got[i, :n], want[i, :n],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ttsalign_v1_onnx_roundtrip(tmp_path):
+    from voice100_tpu.models import TextToAlignTextModel
+
+    model = TextToAlignTextModel(vocab_size=11, hidden_size=16)
+    rng = np.random.RandomState(2)
+    text = rng.randint(0, 11, size=(2, 9)).astype(np.int32)
+    variables = _init(model, text)
+    want = np.asarray(model.apply(variables, text, True))
+
+    path = str(tmp_path / "ttsalign_v1.onnx")
+    export_onnx(model, variables, path)
+    (got,) = load_model(path)(text)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_ttsaudio_v1_onnx_roundtrip(tmp_path):
+    from voice100_tpu.models import AlignTextToAudioModel
+
+    model = AlignTextToAudioModel(vocab_size=11, hidden_size=16,
+                                  use_mcep=True)
+    rng = np.random.RandomState(3)
+    text = rng.randint(0, 11, size=(2, 9)).astype(np.int32)
+    variables = _init(model, text)
+    f0_w, logspc_w, codeap_w = (
+        np.asarray(v) for v in model.apply(
+            variables, text, method=AlignTextToAudioModel.predict)
+    )
+    from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+
+    logspc_w = logspc_w @ create_mc2sp_matrix(512, 24, 0.410).astype(
+        np.float32)
+
+    path = str(tmp_path / "ttsaudio_v1.onnx")
+    export_onnx(model, variables, path)
+    f0_g, logspc_g, codeap_g = load_model(path)(text)
+    np.testing.assert_allclose(f0_g, f0_w, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(logspc_g, logspc_w, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(codeap_g, codeap_w, rtol=1e-3, atol=1e-3)
+
+
+def test_ttsaudio_mt_v1_onnx_roundtrip(tmp_path):
+    from voice100_tpu.models import AlignTextToAudioMultiTaskModel
+
+    model = AlignTextToAudioMultiTaskModel(
+        vocab_size=11, target_vocab_size=13, hidden_size=16,
+        use_mcep=True,
+    )
+    rng = np.random.RandomState(4)
+    text = rng.randint(0, 11, size=(2, 9)).astype(np.int32)
+    variables = _init(model, text)
+    f0_w, logspc_w, codeap_w, phone_w = (
+        np.asarray(v) for v in model.apply(
+            variables, text,
+            method=AlignTextToAudioMultiTaskModel.predict)
+    )
+    from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+
+    logspc_w = logspc_w @ create_mc2sp_matrix(512, 24, 0.410).astype(
+        np.float32)
+
+    path = str(tmp_path / "mt_v1.onnx")
+    export_onnx(model, variables, path)
+    f0_g, logspc_g, codeap_g, phone_g = load_model(path)(text)
+    np.testing.assert_allclose(f0_g, f0_w, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(logspc_g, logspc_w, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(codeap_g, codeap_w, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(phone_g, phone_w, rtol=1e-3, atol=1e-3)

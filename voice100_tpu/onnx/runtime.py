@@ -68,16 +68,25 @@ def _attrs(node) -> Dict[str, object]:
     return out
 
 
-def _conv1d(x, w, b, stride, pads):
-    """x [B, C, T], w [O, I, K] -> [B, O, T']."""
-    batch, _, time = x.shape
+def _conv1d(x, w, b, stride, pads, groups=1, dilation=1):
+    """x [B, C, T], w [O, C/g, K] -> [B, O, T']."""
+    batch, c_in, time = x.shape
     out_ch, _, k = w.shape
     x = np.pad(x, ((0, 0), (0, 0), (pads[0], pads[1])))
-    t_out = (x.shape[2] - k) // stride + 1
-    # im2col: windows [B, C, K, T']
-    idx = np.arange(t_out)[None, :] * stride + np.arange(k)[:, None]
+    k_span = (k - 1) * dilation + 1
+    t_out = (x.shape[2] - k_span) // stride + 1
+    idx = (np.arange(t_out)[None, :] * stride
+           + np.arange(k)[:, None] * dilation)
     col = x[:, :, idx]  # [B, C, K, T']
-    y = np.einsum("bckt,ock->bot", col, w, optimize=True)
+    if groups == 1:
+        y = np.einsum("bckt,ock->bot", col, w, optimize=True)
+    else:
+        cpg = c_in // groups
+        opg = out_ch // groups
+        col = col.reshape(batch, groups, cpg, k, t_out)
+        wg = w.reshape(groups, opg, cpg, k)
+        y = np.einsum("bgckt,gock->bgot", col, wg, optimize=True)
+        y = y.reshape(batch, out_ch, t_out)
     if b is not None:
         y = y + b[None, :, None]
     return np.ascontiguousarray(y, dtype=np.float32)
@@ -238,10 +247,20 @@ class OnnxModel:
             return (y,)
         if op == "Cast":
             return (x.astype(_DT_TO_NP[a["to"]]),)
+        if op == "Clip":
+            lo = inputs[1] if len(inputs) > 1 and inputs[1] is not None \
+                else -np.inf
+            hi = inputs[2] if len(inputs) > 2 and inputs[2] is not None \
+                else np.inf
+            return (np.clip(x, lo, hi),)
         if op == "Conv":
             w = inputs[1]
             b = inputs[2] if len(inputs) > 2 else None
-            return (_conv1d(x, w, b, a["strides"][0], a["pads"]),)
+            return (_conv1d(
+                x, w, b, a["strides"][0], a["pads"],
+                groups=a.get("group", 1),
+                dilation=a.get("dilations", [1])[0],
+            ),)
         if op == "ConvTranspose":
             w = inputs[1]
             b = inputs[2] if len(inputs) > 2 else None

@@ -4,11 +4,12 @@ The reference exports ONNX graphs of the predict functions with dynamic
 batch/time axes (voice100/export_onnx.py:12-161), folding the mc2sp
 matrix into the TTS graph. Here the first-class artifact is a serialized
 StableHLO module (the TPU/XLA-native equivalent, reloadable with
-jax.export and runnable on any XLA backend); the three v2 predict
-surfaces additionally emit real .onnx files via the self-contained
-emitter in ``voice100_tpu.onnx`` (opset 13, dynamic axes, mc2sp folded
-— no onnx package required), runnable with onnxruntime or the in-repo
-NumPy runtime.
+jax.export and runnable on any XLA backend); every model (all
+three v2 predict surfaces and all five v1 surfaces) additionally emits
+a real .onnx file via the self-contained emitter in
+``voice100_tpu.onnx`` (opset 13, dynamic axes, mc2sp folded, eval-mode
+BatchNorm folded — no onnx package required), runnable with
+onnxruntime or the in-repo NumPy runtime.
 
 Exported predict surfaces (matching the reference's wrappers):
   asr:   (audio, audio_len)        -> (logits, logits_len)
@@ -140,15 +141,14 @@ def export_model(model, variables, output_path: str) -> str:
 
 
 def _export_onnx(model, variables, output_path: str) -> None:
-    """Emit the .onnx serving artifact for v2 models (self-contained
-    emitter; v1 surfaces are StableHLO-only)."""
+    """Emit the .onnx serving artifact (self-contained emitter; covers
+    all eight model architectures)."""
     from ..onnx import export_onnx
 
     onnx_path = os.path.splitext(output_path)[0] + ".onnx"
     try:
         export_onnx(model, variables, onnx_path)
     except (ValueError, ImportError) as e:
-        # ValueError: v1 models (StableHLO-only surface);
         # ImportError/OnnxSchemaUnavailable: protoc or protobuf missing
         # on this host — degrade to the StableHLO artifact
         print(f"[export] skipped onnx: {e}")
