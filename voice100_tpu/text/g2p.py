@@ -436,6 +436,82 @@ _LEXICON: Dict[str, str] = {
     "flower": "F L AW1 ER0", "tower": "T AW1 ER0",
     "shower": "SH AW1 ER0", "coward": "K AW1 ER0 D",
     "brow": "B R AW1", "plow": "P L AW1", "allowance": "AH0 L AW1 AH0 N S",
+    # further frequent irregular spellings
+    "yacht": "Y AA1 T", "choir": "K W AY1 ER0", "bury": "B EH1 R IY0",
+    "buried": "B EH1 R IY0 D", "sew": "S OW1", "sewn": "S OW1 N",
+    "asthma": "AE1 Z M AH0", "isle": "AY1 L",     "hymn": "HH IH1 M", "autumn": "AO1 T AH0 M",
+    "column": "K AA1 L AH0 M", "solemn": "S AA1 L AH0 M",
+    "condemn": "K AH0 N D EH1 M", "wrist": "R IH1 S T",
+    "wrestle": "R EH1 S AH0 L",
+    "bustle": "B AH1 S AH0 L", "hustle": "HH AH1 S AH0 L",
+    "rustle": "R AH1 S AH0 L", "bristle": "B R IH1 S AH0 L",
+    "thistle": "TH IH1 S AH0 L", "gristle": "G R IH1 S AH0 L",
+    "glisten": "G L IH1 S AH0 N",
+    "moisten": "M OY1 S AH0 N", "christen": "K R IH1 S AH0 N",
+    "debris": "D AH0 B R IY1",
+    "corps": "K AO1 R", "depot": "D IY1 P OW0",
+    "ballet": "B AE0 L EY1", "buffet": "B AH0 F EY1",
+    "bouquet": "B UW0 K EY1", "crochet": "K R OW0 SH EY1",
+    "gourmet": "G UH0 R M EY1", "valet": "V AE0 L EY1",
+    "cafe": "K AH0 F EY1", "cliche": "K L IY0 SH EY1",
+    "fiance": "F IY0 AA1 N S EY2", "resume": "R IH0 Z UW1 M",
+    "genre": "ZH AA1 N R AH0", "rendezvous": "R AA1 N D IH0 V UW2",
+    "lieutenant": "L UW0 T EH1 N AH0 N T",
+    "sergeant": "S AA1 R JH AH0 N T", "bologna": "B AH0 L OW1 N IY0",
+    "champagne": "SH AE0 M P EY1 N", "chauffeur": "SH OW0 F ER1",
+    "chandelier": "SH AE2 N D AH0 L IH1 R",
+    "brochure": "B R OW0 SH UH1 R", "parachute": "P EH1 R AH0 SH UW2 T",
+    "machete": "M AH0 SH EH1 T IY0", "mustache": "M AH1 S T AE2 SH",
+    "cache": "K AE1 SH", "niche": "N IH1 CH",
+    "quiche": "K IY1 SH", "chassis": "CH AE1 S IY0",
+    "chaos": "K EY1 AA0 S",     "chrome": "K R OW1 M", "chronic": "K R AA1 N IH0 K",
+    "chemise": "SH AH0 M IY1 Z", "charade": "SH ER0 EY1 D",
+    "pneumonia": "N UW0 M OW1 N Y AH0",
+    "psychology": "S AY0 K AA1 L AH0 JH IY0",
+    "pseudo": "S UW1 D OW0",
+    "rhythm": "R IH1 DH AH0 M", "rhyme": "R AY1 M",
+    "rhubarb": "R UW1 B AA2 R B", "ghetto": "G EH1 T OW0",
+    "gherkin": "G ER1 K AH0 N", "ghoul": "G UW1 L",
+    "guitar": "G IH0 T AA1 R", "guinea": "G IH1 N IY0",
+    "guilt": "G IH1 L T", "guise": "G AY1 Z",
+    "disguise": "D IH0 S G AY1 Z", "guarantee": "G EH2 R AH0 N T IY1",
+    "tongue": "T AH1 NG", "vague": "V EY1 G",
+    "league": "L IY1 G", "fatigue": "F AH0 T IY1 G",
+    "intrigue": "IH0 N T R IY1 G", "plague": "P L EY1 G",
+    "morgue": "M AO1 R G", "rogue": "R OW1 G",
+    "catalogue": "K AE1 T AH0 L AO2 G", "dialogue": "D AY1 AH0 L AO2 G",
+    "queue": "K Y UW1", "plaque": "P L AE1 K",
+    "technique": "T EH0 K N IY1 K",
+    "physique": "F IH0 Z IY1 K", "critique": "K R IH0 T IY1 K",
+    "oblique": "OW0 B L IY1 K", "cheque": "CH EH1 K",
+    "mosque": "M AA1 S K", "grotesque": "G R OW0 T EH1 S K",
+    "picturesque": "P IH2 K CH ER0 EH1 S K",
+    "sovereign": "S AA1 V R AH0 N", "campaign": "K AE0 M P EY1 N",
+    "cologne": "K AH0 L OW1 N",     "gnome": "N OW1 M", "gnaw": "N AO1", "gnat": "N AE1 T",
+    "feign": "F EY1 N", "deign": "D EY1 N",
+    "diaphragm": "D AY1 AH0 F R AE2 M",
+    "paradigm": "P EH1 R AH0 D AY2 M",
+    "indict": "IH0 N D AY1 T", "indictment": "IH0 N D AY1 T M AH0 N T",
+    "victuals": "V IH1 T AH0 L Z", "viscount": "V AY1 K AW2 N T",
+    "heirloom": "EH1 R L UW2 M", "honesty": "AA1 N AH0 S T IY0",
+    "hors": "AO1 R", "herb": "ER1 B", "heiress": "EH1 R AH0 S",
+    "one's": "W AH1 N Z", "two's": "T UW1 Z",
+    "women's": "W IH1 M AH0 N Z", "men's": "M EH1 N Z",
+    "people's": "P IY1 P AH0 L Z",
+    "clothes": "K L OW1 DH Z", "clothing": "K L OW1 DH IH0 NG",
+    "breakfast": "B R EH1 K F AH0 S T",
+    "cupboard": "K AH1 B ER0 D", "forehead": "F AO1 R HH EH2 D",
+    "vineyard": "V IH1 N Y ER0 D", "shepherd": "SH EH1 P ER0 D",
+    "orchard": "AO1 R CH ER0 D", "vehicle": "V IY1 IH0 K AH0 L",
+    "vehicles": "V IY1 IH0 K AH0 L Z",
+    "recipe": "R EH1 S AH0 P IY0", "epitome": "IH0 P IH1 T AH0 M IY0",
+    "apostrophe": "AH0 P AA1 S T R AH0 F IY0",
+    "catastrophe": "K AH0 T AE1 S T R AH0 F IY0",
+    "hyperbole": "HH AY0 P ER1 B AH0 L IY0",
+    "simile": "S IH1 M AH0 L IY0",
+    "coyote": "K AY0 OW1 T IY0", "karate": "K ER0 AA1 T IY0",
+    "adobe": "AH0 D OW1 B IY0", "posse": "P AA1 S IY0",
+    "sesame": "S EH1 S AH0 M IY0", "finale": "F IH0 N AE1 L IY0",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
