@@ -257,3 +257,93 @@ def test_loader_process_sharding(corpus, tmp_path):
                 seen.append(tuple(np.asarray(text).tolist()))
     # both processes together cover all 8 clips exactly once
     assert len(seen) == 8
+
+
+def test_librispeech_dataset_and_registry(tmp_path):
+    """LibriSpeech layout: recursive transcript scan, explicit dev-clean
+    valid split (no random split), flac decode through the native
+    library."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from flac_fixture import encode_flac
+
+    from voice100_tpu.data.datasets import LibriSpeechDataset
+    from voice100_tpu.data.registry import get_base_dataset
+    from voice100_tpu.dsp.audioio import load_audio
+
+    root = tmp_path / "LibriSpeech"
+    rng = np.random.RandomState(0)
+    for split, spk in (("train-clean-100", "19"), ("dev-clean", "84"),
+                       ("test-clean", "61")):
+        chap = "100"
+        d = root / split / spk / chap
+        d.mkdir(parents=True)
+        lines = []
+        for utt in range(2):
+            clipid = f"{spk}-{chap}-{utt:04d}"
+            tone = (0.3 * np.sin(
+                2 * np.pi * 300 * np.arange(2400) / 16000
+            ) + 0.01 * rng.randn(2400))
+            ints = (tone * 20000).astype(np.int32)
+            with open(d / f"{clipid}.flac", "wb") as f:
+                f.write(encode_flac([ints], 16000))
+            lines.append(f"{clipid} SOME TRANSCRIPT {utt}")
+        with open(d / f"{spk}-{chap}.trans.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    ds = LibriSpeechDataset(str(root / "train-clean-100"))
+    assert len(ds) == 2
+    clipid, path, text = ds[0]
+    assert clipid == "19-100-0000" and text == "SOME TRANSCRIPT 0"
+    wav = load_audio(path, 16000)
+    assert len(wav) == 2400
+
+    # registry splits map to the explicit directories
+    for split, spk in (("train", "19"), ("valid", "84"), ("test", "61")):
+        base = get_base_dataset(str(tmp_path), "librispeech", split)
+        assert len(base) == 2
+        assert base[0][0].startswith(spk)
+    with pytest.raises(ValueError):
+        get_base_dataset(str(tmp_path), "librispeech", "nope")
+
+
+def test_kokoro_registry_and_prepare(tmp_path):
+    """Kokoro layout: pipe metafile, flac clips, phone text in column 2,
+    prepare-dataset pass-through branch."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from flac_fixture import encode_flac
+
+    from voice100_tpu.data.registry import get_base_dataset
+    from voice100_tpu.tools.prepare_dataset import cli_main as prepare
+
+    root = tmp_path / "kokoro-speech-v1_2-tiny"
+    wavs = root / "wavs"
+    wavs.mkdir(parents=True)
+    rows = []
+    for i in range(3):
+        clipid = f"kokoro_{i:04d}"
+        tone = (0.2 * np.sin(
+            2 * np.pi * 200 * np.arange(1600) / 16000)).astype(np.float64)
+        ints = (tone * 20000).astype(np.int32)
+        with open(wavs / f"{clipid}.flac", "wb") as f:
+            f.write(encode_flac([ints], 16000))
+        rows.append(f"{clipid}|にほんご {i}|n i h o N g o")
+    with open(root / "metadata.csv", "w", encoding="utf-8") as f:
+        f.write("\n".join(rows) + "\n")
+
+    ds = get_base_dataset(str(tmp_path), "kokoro_tiny", "train")
+    assert len(ds) == 3
+    clipid, path, text = ds[0]
+    assert path.endswith(".flac") and text == "n i h o N g o"
+
+    prepare(["--data_dir", str(tmp_path), "--dataset", "kokoro_tiny",
+             "--language", "ja", "--use_phone"])
+    out = (tmp_path / "kokoro_tiny-phone-train.txt").read_text()
+    assert out.splitlines()[0] == "kokoro_0000|n i h o N g o"
+    # kokoro transcripts are already phones: char mode must refuse
+    with pytest.raises(ValueError):
+        prepare(["--data_dir", str(tmp_path), "--dataset", "kokoro_tiny",
+                 "--language", "ja"])
