@@ -1,0 +1,112 @@
+"""HTTP serving daemon tests (in-process server + stdlib client)."""
+
+import http.client
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voice100_tpu.dsp.wav import parse_wav, write_wav_bytes
+from voice100_tpu.inference import ASRPipeline, TTSPipeline
+from voice100_tpu.models import (
+    AlignTextToAudio, AudioToAlignText, TextToAlignText,
+)
+from voice100_tpu.server import SpeechServer
+
+
+def _request(port, method, path, body=None, headers=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request(method, path, body=body, headers=headers or {})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), data
+
+
+def _asr_pipeline():
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=16,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 51, 64)), jnp.asarray([51])
+    )
+    return ASRPipeline(model, variables, batch_size=1,
+                       buckets_sec=(0.5, 1.0))
+
+
+def _tts_pipeline():
+    align = TextToAlignText(vocab_size=29, num_layers=1, hidden_size=16)
+    align_vars = align.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.asarray([8]),
+    )
+    audio = AlignTextToAudio(
+        vocab_size=29, encoder_num_layers=1, encoder_hidden_size=16,
+        decoder_settings=((16, False, 5, 1, 2, False),
+                          (16, True, 5, 2, 2, False)),
+    )
+    audio_vars = audio.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.asarray([8]),
+    )
+    return TTSPipeline(align, align_vars, audio, audio_vars,
+                       language="en", use_phone=False)
+
+
+def test_server_endpoints():
+    server = SpeechServer(_asr_pipeline(), _tts_pipeline(), port=0)
+    port = server.start()
+    try:
+        status, ctype, data = _request(port, "GET", "/healthz")
+        assert status == 200
+        assert json.loads(data) == {"status": "ok",
+                                    "models": ["asr", "tts"]}
+
+        # transcribe a WAV body
+        rng = np.random.RandomState(0)
+        wav = (rng.randn(8000) * 0.1).astype(np.float32)
+        status, ctype, data = _request(
+            port, "POST", "/transcribe", body=write_wav_bytes(wav, 16000))
+        assert status == 200, data
+        assert isinstance(json.loads(data)["text"], str)
+
+        # transcribe raw float32 PCM at a different rate (resampled)
+        status, _, data2 = _request(
+            port, "POST", "/transcribe",
+            body=(rng.randn(12000) * 0.1).astype(np.float32).tobytes(),
+            headers={"X-Raw-Sample-Rate": "24000"},
+        )
+        assert status == 200, data2
+
+        # synthesize returns playable WAV
+        status, ctype, data = _request(
+            port, "POST", "/synthesize",
+            body=json.dumps({"text": "hello"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert status == 200 and ctype == "audio/wav"
+        samples, rate = parse_wav(data)
+        assert rate == 16000 and samples.shape[1] > 100
+
+        # malformed request surfaces as an error, server stays up
+        status, _, data = _request(port, "POST", "/synthesize",
+                                   body=b"not json")
+        assert status == 500
+        status, _, _ = _request(port, "GET", "/healthz")
+        assert status == 200
+    finally:
+        server.stop()
+
+
+def test_server_without_models_rejects():
+    server = SpeechServer(None, None, port=0)
+    port = server.start()
+    try:
+        status, _, data = _request(port, "POST", "/transcribe", body=b"x")
+        assert status == 400
+        assert "no ASR model" in json.loads(data)["error"]
+    finally:
+        server.stop()

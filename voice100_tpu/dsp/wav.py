@@ -13,7 +13,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav"]
+__all__ = ["read_wav", "parse_wav", "write_wav", "write_wav_bytes"]
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -24,8 +24,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a RIFF WAV file -> (samples ``[channels, n]`` float32, rate)."""
     with open(path, "rb") as f:
         data = f.read()
+    return parse_wav(data, name=path)
+
+
+def parse_wav(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    """Parse in-memory RIFF WAV bytes (same contract as read_wav)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError(f"{path}: not a RIFF/WAVE file")
+        raise ValueError(f"{name}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
     raw = None
@@ -39,7 +44,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
-        raise ValueError(f"{path}: missing fmt/data chunk")
+        raise ValueError(f"{name}: missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
         audio_format = _WAVE_FORMAT_PCM  # subformat GUID: assume PCM
@@ -63,9 +68,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             val = np.where(val >= 1 << 23, val - (1 << 24), val)
             x = val.astype(np.float32) / float(1 << 23)
         else:
-            raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+            raise ValueError(f"{name}: unsupported PCM bit depth {bits}")
     else:
-        raise ValueError(f"{path}: unsupported WAV format {audio_format}")
+        raise ValueError(f"{name}: unsupported WAV format {audio_format}")
     n = (len(x) // channels) * channels
     samples = x[:n].reshape(-1, channels).T
     return np.ascontiguousarray(samples), rate
@@ -92,3 +97,23 @@ def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
     header += b"data" + struct.pack("<I", len(payload))
     with open(path, "wb") as f:
         f.write(header + payload)
+
+
+def write_wav_bytes(samples: np.ndarray, rate: int) -> bytes:
+    """PCM16 WAV as bytes (same encoding as write_wav)."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[None, :]
+    channels, n = samples.shape
+    if samples.dtype != np.int16:
+        samples = np.clip(samples, -1.0, 1.0)
+        samples = np.round(samples * 32767.0).astype(np.int16)
+    payload = samples.T.reshape(-1).astype("<i2").tobytes()
+    byte_rate = rate * channels * 2
+    header = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    header += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, _WAVE_FORMAT_PCM, channels, rate, byte_rate,
+        channels * 2, 16,
+    )
+    header += b"data" + struct.pack("<I", len(payload))
+    return header + payload

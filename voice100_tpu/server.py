@@ -1,0 +1,241 @@
+"""HTTP serving daemon for ASR and TTS.
+
+The reference delegates serving to exported ONNX files and the separate
+voice100-runtime project; this framework also ships a first-class
+network surface: a small stdlib HTTP server wrapping the batched
+serving pipelines (inference.py) or the framework-free ONNX classes
+(onnx/serve.py).
+
+Endpoints (JSON unless noted):
+
+  GET  /healthz               -> {"status": "ok", "models": [...]}
+  POST /transcribe            body: WAV bytes (or float32 PCM with
+                              X-Raw-Sample-Rate header)
+                              -> {"text": "..."}
+  POST /synthesize            body: {"text": "..."}
+                              -> WAV bytes (16-bit PCM)
+
+Start:
+  python -m voice100_tpu.server --asr_config ... --asr_ckpt ... \
+      [--tts_align_config/--tts_align_ckpt \
+       --tts_audio_config/--tts_audio_ckpt] [--port 8080]
+
+Requests are served sequentially by design (the jitted pipelines batch
+internally; scale-out is one process per chip, DP via
+ASRPipeline(mesh=...) inside a process).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["SpeechServer", "cli_main"]
+
+
+class SpeechServer:
+    """Holds the pipelines and serves them over HTTP."""
+
+    def __init__(
+        self,
+        asr_pipeline=None,
+        tts_pipeline=None,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+    ) -> None:
+        self.asr = asr_pipeline
+        self.tts = tts_pipeline
+        self.host = host
+        self.port = port
+        self._httpd: Optional[HTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- request handling -------------------------------------------------
+    def _decode_audio_body(self, body: bytes, headers) -> np.ndarray:
+        raw_rate = headers.get("X-Raw-Sample-Rate")
+        if raw_rate:
+            wav = np.frombuffer(body, np.float32)
+            rate = int(raw_rate)
+        else:
+            from .dsp.wav import parse_wav
+
+            samples, rate = parse_wav(body)
+            wav = samples[0]
+        target = getattr(self.asr, "sample_rate", 16000)
+        if rate != target:
+            from .dsp.resample import resample
+
+            wav = resample(wav, rate, target)
+        return np.asarray(wav, np.float32)
+
+    def handle_transcribe(self, body: bytes, headers) -> dict:
+        if self.asr is None:
+            raise LookupError("no ASR model loaded")
+        wav = self._decode_audio_body(body, headers)
+        if hasattr(self.asr, "batch_size"):  # ASRPipeline
+            text = self.asr.transcribe([wav])[0]
+        else:  # OnnxASR
+            text = self.asr.transcribe(wav)
+        return {"text": text}
+
+    def handle_synthesize(self, body: bytes) -> bytes:
+        if self.tts is None:
+            raise LookupError("no TTS model loaded")
+        payload = json.loads(body.decode("utf-8"))
+        text = payload["text"]
+        if hasattr(self.tts, "synthesize") and hasattr(
+            self.tts, "frame_buckets"
+        ):  # TTSPipeline (batched)
+            wav = self.tts.synthesize([text])[0]
+        else:  # OnnxTTS
+            wav = self.tts.synthesize(text)
+        from .dsp.wav import write_wav_bytes
+
+        rate = getattr(self.tts, "sample_rate", 16000)
+        return write_wav_bytes(np.asarray(wav, np.float32), rate)
+
+    # -- server lifecycle --------------------------------------------------
+    def _make_handler(server):  # noqa: N805 (closure over the server)
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      content_type: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, code: int, obj) -> None:
+                self._send(code, json.dumps(obj).encode("utf-8"),
+                           "application/json")
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    models = []
+                    if server.asr is not None:
+                        models.append("asr")
+                    if server.tts is not None:
+                        models.append("tts")
+                    self._send_json(200, {"status": "ok",
+                                          "models": models})
+                else:
+                    self._send_json(404, {"error": "not found"})
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                try:
+                    if self.path == "/transcribe":
+                        self._send_json(
+                            200,
+                            server.handle_transcribe(body, self.headers),
+                        )
+                    elif self.path == "/synthesize":
+                        self._send(200, server.handle_synthesize(body),
+                                   "audio/wav")
+                    else:
+                        self._send_json(404, {"error": "not found"})
+                except LookupError as e:
+                    self._send_json(400, {"error": str(e)})
+                except Exception as e:  # surface, don't kill the server
+                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+    def start(self) -> int:
+        """Start serving on a background thread; returns the bound port."""
+        self._httpd = HTTPServer((self.host, self.port),
+                                 self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def serve_forever(self) -> None:
+        self._httpd = HTTPServer((self.host, self.port),
+                                 self._make_handler())
+        self.port = self._httpd.server_address[1]
+        print(f"[server] listening on {self.host}:{self.port}")
+        self._httpd.serve_forever()
+
+
+def _load_pipeline(config_path: str, ckpt_path: str, kind: str,
+                   language: str, use_phone: bool):
+    from .training.checkpoint import load_variables
+    from .training.cli import build_from_config, load_config
+
+    model, _, _, _ = build_from_config(load_config(config_path), {})
+    variables = dict(load_variables(ckpt_path))
+    return model, variables
+
+
+def cli_main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="voice100-tpu-serve")
+    parser.add_argument("--asr_config")
+    parser.add_argument("--asr_ckpt")
+    parser.add_argument("--tts_align_config")
+    parser.add_argument("--tts_align_ckpt")
+    parser.add_argument("--tts_audio_config")
+    parser.add_argument("--tts_audio_ckpt")
+    parser.add_argument("--language", default="en")
+    parser.add_argument("--use_phone", action="store_true")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    asr = tts = None
+    if args.asr_config and args.asr_ckpt:
+        from .inference import ASRPipeline
+
+        model, variables = _load_pipeline(
+            args.asr_config, args.asr_ckpt, "asr",
+            args.language, args.use_phone,
+        )
+        asr = ASRPipeline(model, variables, language=args.language,
+                          use_phone=args.use_phone)
+    if args.tts_align_config and args.tts_audio_config:
+        from .inference import TTSPipeline
+
+        align_model, align_vars = _load_pipeline(
+            args.tts_align_config, args.tts_align_ckpt, "align",
+            args.language, args.use_phone,
+        )
+        audio_model, audio_vars = _load_pipeline(
+            args.tts_audio_config, args.tts_audio_ckpt, "tts",
+            args.language, args.use_phone,
+        )
+        tts = TTSPipeline(align_model, align_vars, audio_model,
+                          audio_vars, language=args.language,
+                          use_phone=args.use_phone)
+    if asr is None and tts is None:
+        raise SystemExit("load at least one model (--asr_config/--asr_ckpt"
+                         " or the four --tts_* flags)")
+    SpeechServer(asr, tts, host=args.host, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    cli_main()
