@@ -96,3 +96,22 @@ def test_stress_always_assigned():
         stresses = [p[-1] for p in phones if p[-1].isdigit()]
         assert stresses.count("1") <= 1
         assert all(s in "012" for s in stresses)
+
+
+def test_suffix_aware_stress():
+    """Penult-stressing suffixes (-tion, -ity families) and
+    final-stress endings (-eer, -ique) place the primary stress
+    correctly."""
+    g = _bare_engine()
+    cases = {
+        "education": "EY1",      # before -tion
+        "university": "ER1",     # before -ity (two suffix vowels)
+        "electricity": "IH1",
+        "photographic": "AE1",   # before -ic
+        "engineer": "IY1",       # final
+        "unique": "IY1",
+    }
+    for word, want in cases.items():
+        phones = g._lts(word)
+        primaries = [p for p in phones if p.endswith("1")]
+        assert primaries == [want], (word, phones)

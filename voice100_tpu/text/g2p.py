@@ -707,23 +707,54 @@ class G2P:
                 break
             if not advanced:
                 i += 1
-        return self._apply_stress(phones)
+        return self._apply_stress(phones, word)
 
-    @staticmethod
-    def _apply_stress(phones: List[str]) -> List[str]:
-        """Heuristic stress: primary on the first full vowel; ``AX``
-        (rule-engine schwa) is never stressed and becomes AH0."""
+    # suffixes that pull primary stress to the vowel immediately
+    # before them (value = how many vowel phones the suffix itself
+    # contributes) or to the final vowel (French-style endings)
+    _PENULT_STRESS = {
+        "tion": 1, "sion": 1, "cial": 1, "tial": 1, "cian": 1,
+        "gion": 1, "ic": 1, "ics": 1, "ian": 1,
+        "ity": 2, "ety": 2, "ical": 2, "ious": 2, "eous": 2,
+        "uous": 2, "itive": 2, "graphy": 2, "logy": 2, "metry": 2,
+        "pathy": 2,
+    }
+    _FINAL_STRESS = ("ee", "oon", "esque", "ique", "ade", "eer",
+                     "ette", "aire")
+
+    @classmethod
+    def _apply_stress(cls, phones: List[str], word: str = "") -> List[str]:
+        """Heuristic stress: primary on the first full vowel, except
+        that penult-stressing suffixes (-tion, -ity, ...) move it to
+        the second-to-last vowel and French-style endings (-ee, -ique,
+        ...) to the last. ``AX`` (rule-engine schwa) is never stressed
+        and becomes AH0."""
+        idxs = [i for i, p in enumerate(phones) if p in _STRESSABLE]
+        target = idxs[0] if idxs else -1
+        suffix_vowels = max(
+            (k for sfx, k in cls._PENULT_STRESS.items()
+             if word.endswith(sfx)),
+            default=0,
+        )
+        if idxs and suffix_vowels:
+            vowels = [i for i, p in enumerate(phones)
+                      if p in _STRESSABLE or p == "AX"]
+            # the vowel right before the suffix, skipping schwas leftward
+            pos = len(vowels) - 1 - suffix_vowels
+            while pos >= 0:
+                if phones[vowels[pos]] in _STRESSABLE:
+                    target = vowels[pos]
+                    break
+                pos -= 1
+        elif idxs and any(word.endswith(sfx) for sfx in cls._FINAL_STRESS):
+            target = idxs[-1]
         out: List[str] = []
-        stressed = False
-        for p in phones:
+        for i, p in enumerate(phones):
             if p == "AX":
                 out.append("AH0")
             elif p in _STRESSABLE:
-                out.append(p + ("1" if not stressed else "0"))
-                stressed = True
+                out.append(p + ("1" if i == target else "0"))
             elif p and p[-1] in "012":
-                if not stressed and p[-1] == "1":
-                    stressed = True
                 out.append(p)
             else:
                 out.append(p)
