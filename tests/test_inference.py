@@ -264,3 +264,40 @@ def test_long_form_content_matches_wide_bucket_pipeline(tmp_path):
 
     dist = levenshtein(offline, streamed)
     assert dist <= max(3, len(offline) // 5), (offline, streamed)
+
+
+def test_tts_pipeline_mesh_dp_matches_single_device():
+    """Data-parallel TTS over an 8-device mesh synthesizes the same
+    waveforms as the single-device pipeline (pad rows sharded off)."""
+    from voice100_tpu.inference import TTSPipeline
+    from voice100_tpu.models import AlignTextToAudio, TextToAlignText
+    from voice100_tpu.parallel.mesh import make_mesh
+
+    align = TextToAlignText(vocab_size=29, num_layers=1, hidden_size=16)
+    align_vars = align.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.asarray([8]),
+    )
+    audio = AlignTextToAudio(
+        vocab_size=29, encoder_num_layers=1, encoder_hidden_size=16,
+        decoder_settings=((16, False, 5, 1, 2, False),
+                          (16, True, 5, 2, 2, False)),
+    )
+    audio_vars = audio.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.asarray([8]),
+    )
+    texts = ["hello world", "abc", "testing"]  # 3 texts -> pad to 8 rows
+
+    single = TTSPipeline(align, align_vars, audio, audio_vars,
+                         language="en", use_phone=False)
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    dp = TTSPipeline(align, align_vars, audio, audio_vars,
+                     language="en", use_phone=False, mesh=mesh)
+    wav_s = single.synthesize(texts)
+    wav_d = dp.synthesize(texts)
+    assert len(wav_s) == len(wav_d) == 3
+    for a, b in zip(wav_s, wav_d):
+        assert a.shape == b.shape
+        # batch padding changes reduction order; tiny fp drift expected
+        np.testing.assert_allclose(a, b, atol=2e-3)

@@ -326,12 +326,23 @@ class TTSPipeline:
         sample_rate: int = 16000,
         text_buckets: Sequence[int] = (64, 128, 256),
         frame_buckets: Sequence[int] = (256, 512, 1024, 2048),
+        mesh=None,
     ) -> None:
         from .dsp.world import WORLDVocoder
 
         self.align_model = align_model
-        self.align_variables = align_variables
         self.audio_model = audio_model
+        # data-parallel serving: text batches shard over the mesh
+        # 'data' axis, parameters replicate (same policy as ASRPipeline)
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicated
+
+            align_variables = jax.device_put(
+                align_variables, replicated(mesh))
+            audio_variables = jax.device_put(
+                audio_variables, replicated(mesh))
+        self.align_variables = align_variables
         self.audio_variables = audio_variables
         self.phonemizer = get_phonemizer(language, use_phone)
         self.tokenizer = get_tokenizer(language, use_phone)
@@ -355,12 +366,22 @@ class TTSPipeline:
         text_bucket = _bucket(
             max(len(e) for e in encoded), self.text_buckets
         )
-        text = np.zeros((len(texts), text_bucket), np.int32)
-        text_len = np.zeros(len(texts), np.int32)
+        n = len(texts)
+        if self.mesh is not None:
+            data_axis = self.mesh.shape["data"]
+            n = -(-n // data_axis) * data_axis  # pad rows to shard evenly
+        text = np.zeros((n, text_bucket), np.int32)
+        text_len = np.ones(n, np.int32)
         for i, e in enumerate(encoded):
             e = e[:text_bucket]
             text[i, : len(e)] = e
-            text_len[i] = len(e)
+            text_len[i] = max(len(e), 1)
+        if self.mesh is not None:
+            from .parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
+            text = jax.device_put(text, sharding)
+            text_len = jax.device_put(text_len, sharding)
 
         # first pass for capacity, then the bucketed expansion
         durations = self.align_model.apply(
