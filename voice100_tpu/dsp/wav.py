@@ -79,24 +79,8 @@ def parse_wav(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
 def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
     """Write PCM16 WAV; accepts float in [-1, 1] (``[n]`` or ``[ch, n]``)
     or int16."""
-    samples = np.asarray(samples)
-    if samples.ndim == 1:
-        samples = samples[None, :]
-    channels, n = samples.shape
-    if samples.dtype != np.int16:
-        samples = np.clip(samples, -1.0, 1.0)
-        samples = np.round(samples * 32767.0).astype(np.int16)
-    interleaved = samples.T.reshape(-1)
-    payload = interleaved.astype("<i2").tobytes()
-    byte_rate = rate * channels * 2
-    header = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
-    header += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, _WAVE_FORMAT_PCM, channels, rate, byte_rate,
-        channels * 2, 16,
-    )
-    header += b"data" + struct.pack("<I", len(payload))
     with open(path, "wb") as f:
-        f.write(header + payload)
+        f.write(write_wav_bytes(samples, rate))
 
 
 def write_wav_bytes(samples: np.ndarray, rate: int) -> bytes:

@@ -131,7 +131,6 @@ class OnnxTTS:
         self.phonemizer = get_phonemizer(language, use_phone)
         self.tokenizer = get_tokenizer(language, use_phone)
         self.sample_rate = sample_rate
-        self.n_fft = 512 if sample_rate == 16000 else 1024
 
     def synthesize(self, text: str) -> np.ndarray:
         ids = np.asarray(
@@ -145,17 +144,17 @@ class OnnxTTS:
             aligntext.astype(np.int32), aligntext_len
         )
         # host synthesis (no JAX): the exported tts graph folds mc2sp,
-        # so logspc arrives full-band
+        # so logspc arrives full-band — derive the FFT size from it
         from ..dsp.world.aperiodicity import decode_aperiodicity
         from ..dsp.world.synthesis_np import synthesize_np
 
+        n_fft = 2 * (logspc.shape[-1] - 1)
         spc = np.maximum(np.exp(np.asarray(logspc[0], np.float64)), 0.0)
         ap = decode_aperiodicity(
-            np.asarray(codeap[0], np.float64), self.sample_rate,
-            self.n_fft,
+            np.asarray(codeap[0], np.float64), self.sample_rate, n_fft
         )
         wav = synthesize_np(
-            f0[0], spc, ap, fs=self.sample_rate, fft_size=self.n_fft
+            f0[0], spc, ap, fs=self.sample_rate, fft_size=n_fft
         )
         return np.clip(wav, -1.0, 1.0)
 

@@ -153,6 +153,15 @@ def log_mel_spectrogram(
     return jnp.log(mel + log_offset)
 
 
+@functools.lru_cache(maxsize=8)
+def _np_mel_constants(n_fft: int, win_length: int, n_mels: int,
+                      sample_rate: int):
+    return (
+        hann_window(win_length, n_fft).astype(np.float32),
+        mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate),
+    )
+
+
 def log_mel_spectrogram_np(
     waveform: np.ndarray,
     sample_rate: int = 16000,
@@ -164,6 +173,7 @@ def log_mel_spectrogram_np(
 ) -> np.ndarray:
     """Host NumPy twin of :func:`log_mel_spectrogram` (same torch.stft
     semantics), for framework-free serving paths (onnx.serve)."""
+    window, fb = _np_mel_constants(n_fft, win_length, n_mels, sample_rate)
     x = np.asarray(waveform, np.float32)
     pad = n_fft // 2
     xp = np.pad(x, (pad, pad), mode="reflect")
@@ -171,10 +181,9 @@ def log_mel_spectrogram_np(
     idx = (
         np.arange(frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
     )
-    windowed = xp[idx] * hann_window(win_length, n_fft).astype(np.float32)
+    windowed = xp[idx] * window
     spec = np.fft.rfft(windowed, axis=-1)
     power = (spec.real**2 + spec.imag**2).astype(np.float32)
-    fb = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate)
     return np.log(power @ fb + log_offset)
 
 

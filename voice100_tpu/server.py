@@ -27,7 +27,6 @@ ASRPipeline(mesh=...) inside a process).
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -168,21 +167,27 @@ class SpeechServer:
             self._httpd = None
 
     def serve_forever(self) -> None:
-        self._httpd = HTTPServer((self.host, self.port),
-                                 self._make_handler())
-        self.port = self._httpd.server_address[1]
+        """Blocking variant of start() (same bind/handler path)."""
+        self.start()
         print(f"[server] listening on {self.host}:{self.port}")
-        self._httpd.serve_forever()
+        self._thread.join()
 
 
-def _load_pipeline(config_path: str, ckpt_path: str, kind: str,
-                   language: str, use_phone: bool):
+def _load_model(config_path: str, ckpt_path: str):
+    """Instantiate just the model section of a config + its checkpoint
+    (serving needs no datamodule or trainer config)."""
     from .training.checkpoint import load_variables
-    from .training.cli import build_from_config, load_config
+    from .training.cli import (
+        _MODEL_CLASSES, _filter_kwargs, _resolve_class, load_config,
+    )
 
-    model, _, _, _ = build_from_config(load_config(config_path), {})
-    variables = dict(load_variables(ckpt_path))
-    return model, variables
+    config = load_config(config_path)
+    model_cfg = config["model"]
+    cls = _resolve_class(model_cfg["class_path"], _MODEL_CLASSES)
+    kwargs = dict(model_cfg.get("init_args") or {})
+    kwargs.pop("audio_stat", None)
+    model = cls(**_filter_kwargs(cls, kwargs))
+    return model, dict(load_variables(ckpt_path))
 
 
 def cli_main(argv=None) -> None:
@@ -211,23 +216,23 @@ def cli_main(argv=None) -> None:
     if args.asr_config and args.asr_ckpt:
         from .inference import ASRPipeline
 
-        model, variables = _load_pipeline(
-            args.asr_config, args.asr_ckpt, "asr",
-            args.language, args.use_phone,
-        )
+        model, variables = _load_model(args.asr_config, args.asr_ckpt)
         asr = ASRPipeline(model, variables, language=args.language,
                           use_phone=args.use_phone)
-    if args.tts_align_config and args.tts_audio_config:
+    tts_flags = (args.tts_align_config, args.tts_align_ckpt,
+                 args.tts_audio_config, args.tts_audio_ckpt)
+    if any(tts_flags):
+        if not all(tts_flags):
+            raise SystemExit(
+                "TTS serving needs all four flags: --tts_align_config, "
+                "--tts_align_ckpt, --tts_audio_config, --tts_audio_ckpt"
+            )
         from .inference import TTSPipeline
 
-        align_model, align_vars = _load_pipeline(
-            args.tts_align_config, args.tts_align_ckpt, "align",
-            args.language, args.use_phone,
-        )
-        audio_model, audio_vars = _load_pipeline(
-            args.tts_audio_config, args.tts_audio_ckpt, "tts",
-            args.language, args.use_phone,
-        )
+        align_model, align_vars = _load_model(
+            args.tts_align_config, args.tts_align_ckpt)
+        audio_model, audio_vars = _load_model(
+            args.tts_audio_config, args.tts_audio_ckpt)
         tts = TTSPipeline(align_model, align_vars, audio_model,
                           audio_vars, language=args.language,
                           use_phone=args.use_phone)
