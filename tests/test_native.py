@@ -179,3 +179,29 @@ def test_cache_dataset_prefetch_equivalence(tmp_path):
     ):
         np.testing.assert_allclose(a_audio[0], b_audio[0], atol=1e-5)
         np.testing.assert_array_equal(a_text[0], b_text[0])
+
+
+def test_native_world_synthesis_matches_numpy():
+    """The C++ vocoder (native/world.cpp) must match the NumPy
+    synthesizer on the deterministic periodic path (the noise path
+    differs only by RNG)."""
+    from voice100_tpu.dsp.world.synthesis_np import synthesize_np
+    from voice100_tpu.native.world import synthesize_native
+
+    n_frames, n_fft = 60, 512
+    t = np.arange(n_frames) * 0.01
+    f0 = 160.0 * (1.0 + 0.04 * np.sin(2 * np.pi * 3.0 * t))
+    freqs = np.arange(n_fft // 2 + 1) * 16000 / n_fft
+    env = np.exp(-0.5 * ((freqs - 600.0) / 250.0) ** 2) + 1e-7
+    spc = np.tile(env[None, :], (n_frames, 1))
+    ap = np.full((n_frames, n_fft // 2 + 1), 1e-6)
+
+    a = synthesize_np(f0, spc, ap, fs=16000, frame_period=10.0)
+    b = synthesize_native(f0, spc, ap, fs=16000, frame_period=10.0)
+    assert len(a) == len(b)
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+
+    # non-power-of-two fft size is rejected cleanly
+    with pytest.raises(ValueError):
+        synthesize_native(f0[:4], np.ones((4, 300)), np.ones((4, 300)))

@@ -24,8 +24,8 @@ class NativeUnavailable(ImportError):
     pass
 
 
-def _build(src: str, out: str) -> None:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", out, src, "-ldl"]
+def _build(sources, out: str) -> None:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", out, *sources, "-ldl"]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise NativeUnavailable(
@@ -42,13 +42,17 @@ def get_lib() -> ctypes.CDLL:
         if _ERROR is not None:
             raise _ERROR
         here = os.path.dirname(os.path.abspath(__file__))
-        src = os.path.join(here, "audioio.cpp")
+        sources = [
+            os.path.join(here, "audioio.cpp"),
+            os.path.join(here, "world.cpp"),
+        ]
         out = os.path.join(here, "_audioio.so")
         try:
-            if not os.path.exists(out) or (
+            if not os.path.exists(out) or any(
                 os.path.getmtime(out) < os.path.getmtime(src)
+                for src in sources
             ):
-                _build(src, out)
+                _build(sources, out)
             lib = ctypes.CDLL(out)
         except (OSError, NativeUnavailable) as e:
             _ERROR = NativeUnavailable(str(e))
@@ -88,5 +92,18 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.v100_free.restype = None
         lib.v100_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.v100_world_synthesize.restype = ctypes.c_int
+        lib.v100_world_synthesize.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _LIB = lib
         return _LIB
