@@ -205,3 +205,51 @@ def test_native_world_synthesis_matches_numpy():
     # non-power-of-two fft size is rejected cleanly
     with pytest.raises(ValueError):
         synthesize_native(f0[:4], np.ones((4, 300)), np.ones((4, 300)))
+
+
+def test_native_decoders_survive_corrupt_files(tmp_path):
+    """Truncated/garbage/mislabeled files must produce clean per-file
+    error slots (None), never crashes — the batch decoder ingests
+    arbitrary corpora on a thread pool."""
+    from corpus_fixture import make_dummy_corpus
+
+    from voice100_tpu.native.batch import load_audio_batch
+
+    root = make_dummy_corpus(str(tmp_path), n_clips=1)
+    good = os.path.join(root, "wavs", "clip0000.wav")
+    rng = np.random.RandomState(0)
+
+    cases = []
+    # random garbage with each extension
+    for ext in (".wav", ".flac", ".mp3"):
+        p = str(tmp_path / f"garbage{ext}")
+        with open(p, "wb") as f:
+            f.write(rng.bytes(4096))
+        cases.append(p)
+    # truncated copies of a real wav (incl. mid-header cuts)
+    data = open(good, "rb").read()
+    for cut in (4, 12, 20, 45, len(data) // 2):
+        p = str(tmp_path / f"trunc{cut}.wav")
+        with open(p, "wb") as f:
+            f.write(data[:cut])
+        cases.append(p)
+    # a wav whose declared fmt chunk runs past EOF
+    evil = bytearray(data[:44])
+    evil[16:20] = (10**6).to_bytes(4, "little")  # fmt size = 1e6
+    p = str(tmp_path / "evil.wav")
+    with open(p, "wb") as f:
+        f.write(bytes(evil))
+    cases.append(p)
+    # empty file
+    p = str(tmp_path / "empty.flac")
+    open(p, "wb").close()
+    cases.append(p)
+
+    out = load_audio_batch([good] + cases, 16000)
+    assert out[0] is not None  # the good file still decodes
+    # corrupt inputs may decode to garbage-but-bounded audio or fail
+    # cleanly; either way: no crash, and failures are None
+    for wav in out[1:]:
+        assert wav is None or (
+            isinstance(wav, np.ndarray) and np.isfinite(wav).all()
+        )
