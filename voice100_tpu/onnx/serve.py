@@ -19,8 +19,6 @@ NumPy evaluator runs the same files.
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 
 __all__ = ["OnnxASR", "OnnxTTS", "expand_alignment_host"]

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 from argparse import ArgumentParser
 
-import numpy as np
 
 from ..data import AudioTextDataModule, AlignTextDataModule
 from ..training import Trainer, TrainerConfig
