@@ -53,9 +53,15 @@ class ASRPipeline:
         buckets_sec: Sequence[float] = (2.0, 5.0, 10.0, 20.0, 40.0),
         mel_kernel: Optional[str] = None,
         mesh=None,
+        beam_size: int = 0,
     ) -> None:
         import os
 
+        # beam_size > 0 switches greedy decoding to host-side CTC
+        # prefix beam search over the device-computed log-probs
+        # (strictly better when the model is uncertain; the reference
+        # only decodes greedily)
+        self.beam_size = beam_size
         self.model = model
         self.tokenizer = get_tokenizer(language, use_phone)
         self.sample_rate = sample_rate
@@ -105,6 +111,23 @@ class ASRPipeline:
             method=AudioToAlignText.greedy_decode,
         )
         return ids, out_len
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _log_probs(self, variables, wav, wav_len):
+        if self.mel_kernel == "pallas":
+            from .ops.melspec_pallas import log_mel_spectrogram_pallas
+
+            mel = log_mel_spectrogram_pallas(
+                wav, sample_rate=self.sample_rate
+            )
+        else:
+            mel = log_mel_spectrogram(wav, sample_rate=self.sample_rate)
+        mel_len = wav_len // 160 + 1
+        t = jnp.arange(mel.shape[1])
+        mask = (t[None, :] < mel_len[:, None])[:, :, None]
+        mel = jnp.where(mask, mel, BLANK_AUDIO)
+        logits, out_len = self.model.apply(variables, mel, mel_len)
+        return jax.nn.log_softmax(logits, axis=-1), out_len
 
     def transcribe(self, waveforms: List[np.ndarray]) -> List[str]:
         """Batch transcription; inputs are float32 mono at sample_rate.
@@ -165,8 +188,24 @@ class ASRPipeline:
             else:
                 wav_dev = jnp.asarray(batch)
                 len_dev = jnp.asarray(lengths)
-            ids, out_len = self._decode(self.variables, wav_dev, len_dev)
-            pending.append((chunk, ids, out_len))
+            if self.beam_size > 0:
+                out = self._log_probs(self.variables, wav_dev, len_dev)
+            else:
+                out = self._decode(self.variables, wav_dev, len_dev)
+            pending.append((chunk, *out))
+        if self.beam_size > 0:
+            from .ops.ctc_beam import ctc_prefix_beam_search
+
+            for chunk, log_probs, out_len in pending:
+                log_probs = np.asarray(log_probs)
+                out_len = np.asarray(out_len)
+                for row, i in enumerate(chunk):
+                    prefix = ctc_prefix_beam_search(
+                        log_probs[row, : out_len[row]],
+                        beam_size=self.beam_size,
+                    )
+                    results[i] = self.tokenizer.decode(prefix)
+            return results  # type: ignore[return-value]
         for chunk, ids, out_len in pending:
             ids = np.asarray(ids)
             out_len = np.asarray(out_len)
