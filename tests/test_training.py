@@ -388,3 +388,34 @@ def test_cli_predict_align_durations(corpus, tmp_path):
         durations = z["durations"]
     assert len(durations) == 8
     assert all(d.shape[-1] == 2 for d in durations)
+
+
+def test_graceful_stop_saves_last_and_resumes(corpus, tmp_path):
+    """request_stop() (the SIGTERM path) halts after the current step,
+    saves 'last', and --restore_from resumes training."""
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    def data():
+        return AudioTextDataModule(
+            vocoder="mel", dataset="dummy_en", data_dir=corpus,
+            cache_dir=str(tmp_path / "cache"), batch_size=4,
+            valid_ratio=0.0,
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    trainer = Trainer(TrainerConfig(max_epochs=50, checkpoint_dir=ckpt,
+                                    monitor="train_loss"))
+    trainer.request_stop()  # pre-armed: stops after the first step
+    state = trainer.fit(_tiny_asr(), data())
+    assert state.step == 1
+    assert os.path.isdir(os.path.join(ckpt, "last"))
+
+    # resume continues from the saved state (epoch not yet finished)
+    trainer2 = Trainer(TrainerConfig(max_epochs=2, checkpoint_dir=ckpt,
+                                     monitor="train_loss"))
+    state2 = trainer2.fit(
+        _tiny_asr(), data(),
+        restore_from=os.path.join(ckpt, "last"),
+    )
+    assert state2.step > state.step

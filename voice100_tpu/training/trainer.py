@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -68,6 +69,7 @@ class Trainer:
     def __init__(self, config: TrainerConfig) -> None:
         self.config = config
         self.mesh = None  # built in fit() once the batch size is known
+        self._stop_requested = False
         self._log_file = None
         if config.log_path:
             os.makedirs(os.path.dirname(config.log_path) or ".", exist_ok=True)
@@ -185,6 +187,42 @@ class Trainer:
                    "steps_per_epoch": steps_per_epoch,
                    "devices": len(jax.devices())})
 
+        # graceful interruption: SIGTERM/SIGINT (preemption, ^C) request
+        # a stop; the loop finishes the current step, saves 'last', and
+        # returns — --restore_from <dir>/last resumes at that epoch
+        installed = []
+        if threading.current_thread() is threading.main_thread():
+            import signal
+
+            def _on_signal(signum, frame):
+                self._log({"event": "stop_requested", "signal": signum})
+                self._stop_requested = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    installed.append((sig, signal.signal(sig, _on_signal)))
+                except (ValueError, OSError):
+                    pass
+
+        try:
+            return self._fit_loop(
+                cfg, task, model, datamodule, state, rng,
+                train_loader, val_loader, train_step, eval_step,
+            )
+        finally:
+            if installed:
+                import signal
+
+                for sig, old in installed:
+                    signal.signal(sig, old)
+
+    def request_stop(self) -> None:
+        """Programmatic equivalent of SIGTERM: stop after the current
+        step, saving the 'last' checkpoint."""
+        self._stop_requested = True
+
+    def _fit_loop(self, cfg, task, model, datamodule, state, rng,
+                  train_loader, val_loader, train_step, eval_step):
         for epoch in range(state.epoch, cfg.max_epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
@@ -201,6 +239,16 @@ class Trainer:
                     )
                 )
                 state.step += 1
+                if self._stop_requested:
+                    self._log({"event": "stopped", "epoch": epoch,
+                               "step": state.step})
+                    state.epoch = epoch  # resume re-runs this epoch
+                    if cfg.checkpoint_dir and cfg.save_last:
+                        save_checkpoint(
+                            os.path.join(cfg.checkpoint_dir, "last"),
+                            state,
+                        )
+                    return state
                 if cfg.profile_dir and state.step == 5:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics
