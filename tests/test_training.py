@@ -258,8 +258,9 @@ def test_val_metrics_pad_invariant_and_cer(corpus, tmp_path):
 
     records = [json.loads(line) for line in open(log_path)]
     epoch_rec = [r for r in records if "val_loss" in r][-1]
-    assert "val_cer" in epoch_rec
+    assert "val_cer" in epoch_rec and "val_wer" in epoch_rec
     assert 0.0 <= epoch_rec["val_cer"] <= 2.0
+    assert 0.0 <= epoch_rec["val_wer"] <= 2.0
 
     # recompute val loss without duplicate padding; must match exactly
     from voice100_tpu.training.tasks import make_task

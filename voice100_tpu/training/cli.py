@@ -340,9 +340,9 @@ def cli_main(argv=None) -> None:
 
             trainer.mesh = fit_mesh_for_batch(data.batch_size)
         metrics = trainer.evaluate(eval_step, state, loader)
-        cer = trainer._val_cer(model, data, state, loader)
-        if cer is not None:
-            metrics["cer"] = cer
+        rates = trainer._val_cer(model, data, state, loader)
+        if rates is not None:
+            metrics.update(rates)
         prefix = "test" if args.subcommand == "test" else "val"
         print(
             " ".join(f"{prefix}_{k}={v:.4f}" for k, v in metrics.items())

@@ -279,9 +279,10 @@ class Trainer:
                 epoch_record["train_loss"] = float(running["loss"])
             if val_loader is not None and len(val_loader) > 0:
                 val_metrics = self.evaluate(eval_step, state, val_loader)
-                cer = self._val_cer(model, datamodule, state, val_loader)
-                if cer is not None:
-                    val_metrics["cer"] = cer
+                rates = self._val_cer(model, datamodule, state,
+                                      val_loader)
+                if rates is not None:
+                    val_metrics.update(rates)
                 epoch_record.update(
                     {f"val_{k}": v for k, v in val_metrics.items()}
                 )
@@ -347,7 +348,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _val_cer(self, model, datamodule, state: TrainState,
-                 loader) -> Optional[float]:
+                 loader) -> Optional[Dict[str, float]]:
         """Greedy-decode character error rate on the validation split
         (CTC models only; decode flow: argmax -> tokenizer.decode ->
         merge_repeated, as in the reference runtime,
@@ -373,6 +374,7 @@ class Trainer:
             self._cer_decode_model = model
 
         edits = total = 0
+        w_edits = w_total = 0
         for batch, n_real in self._iter_counted(loader):
             (audio, audio_len), (text, text_len) = batch
             ids, out_len = decode(state.params, state.extra,
@@ -389,7 +391,13 @@ class Trainer:
             e, t = error_rate(refs, hyps)
             edits += e
             total += t
-        return edits / max(total, 1)
+            we, wt = error_rate(
+                [r.split() for r in refs], [h.split() for h in hyps]
+            )
+            w_edits += we
+            w_total += wt
+        return {"cer": edits / max(total, 1),
+                "wer": w_edits / max(w_total, 1)}
 
     def run_eval(
         self, model, datamodule, state: TrainState, stage: str = "test"
