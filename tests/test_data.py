@@ -347,3 +347,77 @@ def test_kokoro_registry_and_prepare(tmp_path):
     with pytest.raises(ValueError):
         prepare(["--data_dir", str(tmp_path), "--dataset", "kokoro_tiny",
                  "--language", "ja"])
+
+
+def _make_mini_librispeech(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from flac_fixture import encode_flac
+
+    root = tmp_path / "LibriSpeech"
+    rng = np.random.RandomState(0)
+    for split, spk, n in (("train-clean-100", "19", 6),
+                          ("dev-clean", "84", 2),
+                          ("test-clean", "61", 2)):
+        d = root / split / spk / "100"
+        d.mkdir(parents=True)
+        lines = []
+        for utt in range(n):
+            clipid = f"{spk}-100-{utt:04d}"
+            tone = 0.3 * np.sin(
+                2 * np.pi * (250 + 30 * utt)
+                * np.arange(3200) / 16000
+            ) + 0.01 * rng.randn(3200)
+            with open(d / f"{clipid}.flac", "wb") as f:
+                f.write(encode_flac(
+                    [(tone * 20000).astype(np.int32)], 16000))
+            lines.append(f"{clipid} HELLO WORLD {utt}")
+        with open(d / f"{spk}-100.trans.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def test_librispeech_datamodule_explicit_split(tmp_path):
+    """dataset='librispeech' must use dev-clean as the validation set
+    (no random split), like the reference
+    (voice100/data_modules.py:599-613)."""
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.tools.prepare_dataset import cli_main as prepare
+
+    _make_mini_librispeech(tmp_path)
+    prepare(["--data_dir", str(tmp_path), "--dataset", "librispeech",
+             "--split", "train,valid", "--language", "en"])
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="librispeech", data_dir=str(tmp_path),
+        cache_dir=str(tmp_path / "cache"), batch_size=2,
+    )
+    assert data.split_dataset is False
+    data.setup("fit")
+    assert len(data.train_ds) == 6
+    assert len(data.valid_ds) == 2
+    batches = list(data.val_dataloader())
+    assert sum(b[0][0].shape[0] for b in batches) == 2
+
+
+def test_world_cache_warming_on_device_backend(tmp_path, monkeypatch):
+    """Cache warming with the on-device WORLD analysis backend
+    (VOICE100_TPU_WORLD_BACKEND=jax: YIN F0 + batched CheapTrick/
+    aperiodicity) produces features usable interchangeably with the
+    host backend."""
+    from corpus_fixture import make_tonecode_corpus
+
+    from voice100_tpu.data.transforms import WORLDAudioProcessor
+
+    root = make_tonecode_corpus(str(tmp_path), n_clips=1)
+    path = os.path.join(root, "wavs", "clip0000.wav")
+
+    host = WORLDAudioProcessor(16000, use_mcep=True)(path)
+    monkeypatch.setenv("VOICE100_TPU_WORLD_BACKEND", "jax")
+    dev = WORLDAudioProcessor(16000, use_mcep=True)(path)
+    assert host[0].shape == dev[0].shape  # f0 frames align
+    for h, d in zip(host, dev):
+        assert h.shape == d.shape
+        assert np.isfinite(d).all()
+    # voicing decisions broadly agree between the trackers
+    agree = np.mean((host[0] > 0) == (dev[0] > 0))
+    assert agree > 0.8, agree
