@@ -227,19 +227,20 @@ def bilstm(
 
 
 def _use_pallas_kernel(dropout_rng) -> bool:
-    """Inference on TPU defaults to the Pallas grid-over-time kernel
-    (2.2x faster than the scan on v5e: VMEM-resident weights/state).
-    Training (signalled by a dropout rng) keeps the differentiable scan
-    — pallas_call has no VJP here. Override with
-    VOICE100_TPU_LSTM_KERNEL=pallas|scan."""
+    """TPU defaults to the Pallas kernels: the grid-over-time inference
+    kernel (2.2x over the scan on v5e) and, under differentiation, the
+    custom-VJP pair (state-saving forward + reverse-grid backward,
+    +16% training throughput at asr_en_base scale, gradients equal to
+    differentiating the scan). Override with
+    VOICE100_TPU_LSTM_KERNEL=pallas|scan; the scan also honors the
+    bf16 precision knob, which the Pallas path ignores (f32)."""
     import os
 
+    del dropout_rng  # training and inference both default to Pallas
     forced = os.environ.get("VOICE100_TPU_LSTM_KERNEL")
     if forced == "pallas":
         return True
     if forced == "scan":
-        return False
-    if dropout_rng is not None:
         return False
     backend = jax.default_backend()
     return backend not in ("cpu", "gpu")

@@ -142,6 +142,240 @@ def _bilstm_pallas_impl(layer_params, x, lengths, interpret: bool = False):
     return jnp.concatenate([out_f, out_b], axis=-1)
 
 
+# --- training path: state-saving forward + Pallas backward ----------------
+#
+# The backward kernel re-derives the gate activations from the saved
+# per-step (h, c) states (one extra MXU matmul per step, cheaper than
+# storing [T, B, 4H] activations), carries (dh, dc) in VMEM across the
+# reverse time grid, and emits only dG = dLoss/d(gate pre-activations).
+# Every weight/input gradient then falls out as one large MXU matmul
+# outside the kernel:
+#     dW_hh = h_prev^T dG,  dW_ih = dG^T x,  db = sum dG,  dx = dG W_ih
+#
+# Unlike the inference kernel (both directions batched), the train
+# kernels run one direction at a time and tile the batch on a second
+# grid axis — the backward streams five tensors plus W_hh and would
+# not fit VMEM otherwise.
+
+BLOCK_T_TRAIN = 8   # timesteps per grid step (>= 8: TPU tiling)
+BLOCK_B_TRAIN = 32  # batch rows per grid step (VMEM budget)
+
+
+def _kernel_train_fwd(valid_ref, xg_ref, whh_ref, out_ref, hseq_ref,
+                      cseq_ref, h_ref, c_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    hidden = h_ref.shape[-1]
+    whh = whh_ref[...]
+    for k in range(xg_ref.shape[0]):
+        h_prev = h_ref[...]
+        c_prev = c_ref[...]
+        gates = xg_ref[k].astype(jnp.float32) + jax.lax.dot(
+            h_prev, whh, preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(gates[..., :hidden])
+        f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+        c = f * c_prev + i * g
+        h = o * jnp.tanh(c)
+        valid = valid_ref[k, :, :1]  # [BB, 1]
+        h = valid * h + (1.0 - valid) * h_prev
+        c = valid * c + (1.0 - valid) * c_prev
+        h_ref[...] = h
+        c_ref[...] = c
+        out_ref[k] = h * valid
+        hseq_ref[k] = h
+        cseq_ref[k] = c
+
+
+def _kernel_train_bwd(valid_ref, xg_ref, hprev_ref, cprev_ref, dout_ref,
+                      whh_ref, dg_ref, dh_ref, dc_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        dc_ref[...] = jnp.zeros_like(dc_ref)
+
+    hidden = dh_ref.shape[-1]
+    whh = whh_ref[...]
+    block = xg_ref.shape[0]
+    for k in range(block - 1, -1, -1):  # reverse within the block
+        h_prev = hprev_ref[k]
+        c_prev = cprev_ref[k]
+        # recompute the cell (same math as forward)
+        gates = xg_ref[k].astype(jnp.float32) + jax.lax.dot(
+            h_prev, whh, preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(gates[..., :hidden])
+        f = jax.nn.sigmoid(gates[..., hidden:2 * hidden])
+        g = jnp.tanh(gates[..., 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[..., 3 * hidden:])
+        c_cand = f * c_prev + i * g
+        tanh_c = jnp.tanh(c_cand)
+
+        v = valid_ref[k, :, :1]  # [BB, 1]
+        d_h = dh_ref[...]
+        d_c = dc_ref[...]
+        # h_t = v*h~ + (1-v)*h_prev;  out_t = v*h~
+        d_hcand = v * (d_h + dout_ref[k].astype(jnp.float32))
+        d_o = d_hcand * tanh_c
+        d_ccand = d_hcand * o * (1.0 - tanh_c * tanh_c) + v * d_c
+        d_i = d_ccand * g
+        d_f = d_ccand * c_prev
+        d_g = d_ccand * i
+        da = jnp.concatenate(
+            [
+                d_i * i * (1.0 - i),
+                d_f * f * (1.0 - f),
+                d_g * (1.0 - g * g),
+                d_o * o * (1.0 - o),
+            ],
+            axis=-1,
+        )
+        dg_ref[k] = da
+        # dh_{t-1}: through the recurrent matmul + the frozen-state path
+        dh_ref[...] = jax.lax.dot_general(
+            da, whh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + (1.0 - v) * d_h
+        dc_ref[...] = d_ccand * f + (1.0 - v) * d_c
+
+
+_MASK_LANES = 128  # TPU lane width: makes the mask block tile cleanly
+
+
+def _dir_valid(time, pad_t, pad_b, lengths, reverse):
+    t_all = jnp.arange(pad_t)
+    orig = (time - 1 - t_all) if reverse else t_all
+    lengths = jnp.pad(lengths, (0, pad_b - lengths.shape[0]))
+    valid = (
+        (orig >= 0)[:, None] & (orig[:, None] < lengths[None, :])
+    ).astype(jnp.float32)  # [Tpad, Bpad]
+    return jnp.broadcast_to(
+        valid[:, :, None], (pad_t, pad_b, _MASK_LANES)
+    )
+
+
+def _pad_tb(a, pad_t, pad_b):
+    return jnp.pad(
+        a,
+        ((0, pad_t - a.shape[0]), (0, pad_b - a.shape[1]))
+        + ((0, 0),) * (a.ndim - 2),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret"))
+def _lstm_train_fwd_dir(xg, w_hh_t, lengths, reverse, interpret=False):
+    """One direction: xg [T, B, 4H] (time-major, already reversed for
+    the backward direction) -> (out, h_seq, c_seq) [T, B, H]."""
+    time, batch, gates4 = xg.shape
+    hidden = gates4 // 4
+    pad_t = -(-time // BLOCK_T_TRAIN) * BLOCK_T_TRAIN
+    pad_b = -(-batch // BLOCK_B_TRAIN) * BLOCK_B_TRAIN
+    xg = _pad_tb(xg, pad_t, pad_b)
+    valid = _dir_valid(time, pad_t, pad_b, lengths, reverse)
+    grid = (pad_b // BLOCK_B_TRAIN, pad_t // BLOCK_T_TRAIN)
+
+    def ix3(b, t):
+        return (t, b, 0)
+
+    shapes = [
+        jax.ShapeDtypeStruct((pad_t, pad_b, hidden), jnp.float32)
+        for _ in range(3)
+    ]
+    out, h_seq, c_seq = pl.pallas_call(
+        _kernel_train_fwd,
+        out_shape=shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, _MASK_LANES),
+                         ix3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, gates4), ix3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gates4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, hidden), ix3,
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_B_TRAIN, hidden), jnp.float32),
+            pltpu.VMEM((BLOCK_B_TRAIN, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(valid, xg, w_hh_t)
+    return out[:time, :batch], h_seq[:time, :batch], c_seq[:time, :batch]
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "interpret"))
+def _lstm_train_bwd_dir(xg, w_hh_t, lengths, h_seq, c_seq, dout,
+                        reverse, interpret=False):
+    time, batch, gates4 = xg.shape
+    hidden = gates4 // 4
+    pad_t = -(-time // BLOCK_T_TRAIN) * BLOCK_T_TRAIN
+    pad_b = -(-batch // BLOCK_B_TRAIN) * BLOCK_B_TRAIN
+    n_t = pad_t // BLOCK_T_TRAIN
+    valid = _dir_valid(time, pad_t, pad_b, lengths, reverse)
+
+    zeros = jnp.zeros((1, batch, hidden), jnp.float32)
+    h_prev = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
+    xg, h_prev, c_prev, dout = (
+        _pad_tb(a, pad_t, pad_b) for a in (xg, h_prev, c_prev, dout)
+    )
+
+    # reverse time grid: block t processes time block (n_t - 1 - t)
+    def rx3(b, t):
+        return (n_t - 1 - t, b, 0)
+
+    dg = pl.pallas_call(
+        _kernel_train_bwd,
+        out_shape=jax.ShapeDtypeStruct(
+            (pad_t, pad_b, gates4), jnp.float32
+        ),
+        grid=(pad_b // BLOCK_B_TRAIN, n_t),
+        in_specs=[
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, _MASK_LANES),
+                         rx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, gates4), rx3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, hidden), rx3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, hidden), rx3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_T_TRAIN, BLOCK_B_TRAIN, hidden), rx3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gates4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_T_TRAIN, BLOCK_B_TRAIN, gates4), rx3,
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_B_TRAIN, hidden), jnp.float32),
+            pltpu.VMEM((BLOCK_B_TRAIN, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(valid, xg, h_prev, c_prev, dout, w_hh_t)
+    return dg[:time, :batch], h_prev[:time, :batch]
+
+
+def _dir_xg(p, x, reverse):
+    xg = jnp.swapaxes(x @ p["w_ih"].T + p["b_ih"] + p["b_hh"], 0, 1)
+    return xg[::-1] if reverse else xg  # [T, B, 4H]
+
+
 @jax.custom_vjp
 def _bilstm_op(layer_params, x, lengths):
     # CPU can only interpret Pallas; real backends compile it
@@ -150,20 +384,60 @@ def _bilstm_op(layer_params, x, lengths):
 
 
 def _bilstm_op_fwd(layer_params, x, lengths):
-    return _bilstm_op(layer_params, x, lengths), (layer_params, x, lengths)
+    interpret = jax.default_backend() == "cpu"
+    lengths32 = lengths.astype(jnp.int32)
+    outs = {}
+    states = {}
+    for direction, reverse in (("fwd", False), ("bwd", True)):
+        p = layer_params[direction]
+        out, h_seq, c_seq = _lstm_train_fwd_dir(
+            _dir_xg(p, x, reverse), p["w_hh"].T, lengths32,
+            reverse=reverse, interpret=interpret,
+        )
+        outs[direction] = out[::-1] if reverse else out
+        states[direction] = (h_seq, c_seq)  # internal (reversed) order
+    result = jnp.concatenate(
+        [jnp.swapaxes(outs["fwd"], 0, 1), jnp.swapaxes(outs["bwd"], 0, 1)],
+        axis=-1,
+    )
+    return result, (layer_params, x, lengths, states)
 
 
 def _bilstm_op_bwd(residuals, g):
-    # backward recomputes through the differentiable scan path — the
-    # kernel itself has no VJP, and gradients rarely hit this (training
-    # uses the scan), so the recompute cost is acceptable.
-    from .lstm import bilstm
-
-    layer_params, x, lengths = residuals
-    _, vjp = jax.vjp(lambda p, xx: bilstm(p, xx, lengths), layer_params, x)
-    d_params, d_x = vjp(g)
     import numpy as np
 
+    layer_params, x, lengths, states = residuals
+    hidden = states["fwd"][0].shape[-1]
+    interpret = jax.default_backend() == "cpu"
+    lengths32 = lengths.astype(jnp.int32)
+    x_tm = jnp.swapaxes(x, 0, 1)  # [T, B, D]
+
+    d_params = {}
+    d_x = 0.0
+    for direction, reverse, gslice in (
+        ("fwd", False, g[..., :hidden]),
+        ("bwd", True, g[..., hidden:]),
+    ):
+        p = layer_params[direction]
+        h_seq, c_seq = states[direction]
+        dout = jnp.swapaxes(gslice, 0, 1)
+        if reverse:
+            dout = dout[::-1]
+        dg, h_prev = _lstm_train_bwd_dir(
+            _dir_xg(p, x, reverse), p["w_hh"].T, lengths32,
+            h_seq, c_seq, dout, reverse=reverse, interpret=interpret,
+        )
+        if reverse:  # back to natural time order for the big matmuls
+            dg = dg[::-1]
+            h_prev = h_prev[::-1]
+        d_params[direction] = {
+            "w_ih": jnp.einsum("tbg,tbd->gd", dg, x_tm),
+            "w_hh": jnp.einsum("tbg,tbh->gh", dg, h_prev),
+            "b_ih": jnp.sum(dg, axis=(0, 1)),
+            "b_hh": jnp.sum(dg, axis=(0, 1)),
+        }
+        d_x = d_x + jnp.einsum("tbg,gd->tbd", dg, p["w_ih"])
+    d_x = jnp.swapaxes(d_x, 0, 1)  # [B, T, D]
     d_len = np.zeros(lengths.shape, jax.dtypes.float0)
     return d_params, d_x, d_len
 

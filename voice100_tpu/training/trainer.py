@@ -51,7 +51,9 @@ class TrainerConfig:
     # with f32 states/accumulation and f32 master weights — the
     # TPU-native equivalent of the reference's --trainer.precision 16
     # recipes (/root/reference/README.md:187-190). "16" is accepted as
-    # an alias for bf16.
+    # an alias for bf16. Applies to the scan LSTM path; on TPU the
+    # default Pallas training kernels run f32 and ignore this knob
+    # (set VOICE100_TPU_LSTM_KERNEL=scan to combine them).
     precision: str = "32"
 
 
