@@ -243,7 +243,12 @@ def _use_pallas_kernel(dropout_rng) -> bool:
     if forced == "scan":
         return False
     backend = jax.default_backend()
-    return backend not in ("cpu", "gpu")
+    if backend in ("cpu", "gpu"):
+        return False
+    # multi-chip: pallas_call does not auto-partition under GSPMD, so
+    # sharded meshes keep the scan (force with the env var if the
+    # batch is replicated per chip)
+    return len(jax.devices()) == 1
 
 
 def multilayer_bilstm(
