@@ -16,7 +16,11 @@ timesteps with an unrolled inner loop, amortizing grid transitions:
 
 Semantics identical to ops.lstm.bilstm (packed-sequence masking, torch
 gate order); asserted by tests in interpret mode and on hardware.
-Measured on v5e (asr_en_base, batch 8x10s): 2.2x over the fused scan.
+Measured on v5e (asr_en_base, batch 8x10s): 2.2x over the fused scan
+for inference; the training kernel pair below gives +16% end-to-end
+training throughput (3802 vs 3270 audio-s/s at batch 64), with
+gradients matching the differentiated scan to 7e-4 max relative error
+on hardware (f32 reduction-order noise at T=100).
 """
 
 from __future__ import annotations
