@@ -60,7 +60,9 @@ class ASRPipeline:
         # beam_size > 0 switches greedy decoding to host-side CTC
         # prefix beam search over the device-computed log-probs
         # (strictly better when the model is uncertain; the reference
-        # only decodes greedily)
+        # only decodes greedily). Long-form clips that stream through
+        # StreamingASRSession always decode greedily — beam prefixes
+        # cannot be committed frame-aligned mid-stream.
         self.beam_size = beam_size
         self.model = model
         self.tokenizer = get_tokenizer(language, use_phone)
@@ -90,8 +92,8 @@ class ASRPipeline:
             else os.environ.get("VOICE100_TPU_MEL_KERNEL", "xla")
         )
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode(self, variables, wav, wav_len):
+    def _features(self, wav, wav_len):
+        """Shared mel frontend for the jitted decode paths."""
         if self.mel_kernel == "pallas":
             from .ops.melspec_pallas import log_mel_spectrogram_pallas
 
@@ -105,7 +107,11 @@ class ASRPipeline:
         # them to the blank level the model was trained with
         t = jnp.arange(mel.shape[1])
         mask = (t[None, :] < mel_len[:, None])[:, :, None]
-        mel = jnp.where(mask, mel, BLANK_AUDIO)
+        return jnp.where(mask, mel, BLANK_AUDIO), mel_len
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, variables, wav, wav_len):
+        mel, mel_len = self._features(wav, wav_len)
         ids, out_len = self.model.apply(
             variables, mel, mel_len,
             method=AudioToAlignText.greedy_decode,
@@ -114,18 +120,7 @@ class ASRPipeline:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _log_probs(self, variables, wav, wav_len):
-        if self.mel_kernel == "pallas":
-            from .ops.melspec_pallas import log_mel_spectrogram_pallas
-
-            mel = log_mel_spectrogram_pallas(
-                wav, sample_rate=self.sample_rate
-            )
-        else:
-            mel = log_mel_spectrogram(wav, sample_rate=self.sample_rate)
-        mel_len = wav_len // 160 + 1
-        t = jnp.arange(mel.shape[1])
-        mask = (t[None, :] < mel_len[:, None])[:, :, None]
-        mel = jnp.where(mask, mel, BLANK_AUDIO)
+        mel, mel_len = self._features(wav, wav_len)
         logits, out_len = self.model.apply(variables, mel, mel_len)
         return jax.nn.log_softmax(logits, axis=-1), out_len
 

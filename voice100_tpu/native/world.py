@@ -30,6 +30,17 @@ def synthesize_native(
     f0 = np.ascontiguousarray(f0, np.float64)
     spc = np.ascontiguousarray(spectrogram, np.float64)
     ap = np.ascontiguousarray(aperiodicity, np.float64)
+    if spc.ndim != 2 or ap.shape != spc.shape or f0.ndim != 1:
+        raise ValueError(
+            f"shape mismatch: f0 {f0.shape}, spectrogram {spc.shape}, "
+            f"aperiodicity {ap.shape}"
+        )
+    if f0.shape[0] != spc.shape[0]:
+        raise ValueError(
+            f"f0 has {f0.shape[0]} frames, spectrogram {spc.shape[0]}"
+        )
+    if spc.shape[0] < 1:
+        raise ValueError("need at least one frame")
     n_frames, nh = spc.shape
     out = ctypes.POINTER(ctypes.c_float)()
     out_n = ctypes.c_long()

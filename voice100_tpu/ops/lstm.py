@@ -226,7 +226,7 @@ def bilstm(
     return jnp.concatenate([out_f, out_b], axis=-1)
 
 
-def _use_pallas_kernel(dropout_rng) -> bool:
+def _use_pallas_kernel(dropout_rng, compute_dtype=None) -> bool:
     """TPU defaults to the Pallas kernels: the grid-over-time inference
     kernel (2.2x over the scan on v5e) and, under differentiation, the
     custom-VJP pair (state-saving forward + reverse-grid backward,
@@ -241,6 +241,11 @@ def _use_pallas_kernel(dropout_rng) -> bool:
     if forced == "pallas":
         return True
     if forced == "scan":
+        return False
+    if compute_dtype is not None:
+        # an explicit reduced-precision request (TrainerConfig
+        # precision / VOICE100_TPU_MATMUL_DTYPE) is only honored by the
+        # scan; don't silently ignore it
         return False
     backend = jax.default_backend()
     if backend in ("cpu", "gpu"):
@@ -262,7 +267,7 @@ def multilayer_bilstm(
     """Stacked (bi)LSTM with inter-layer dropout (torch convention:
     applied to every layer's output except the last, training only —
     pass ``dropout_rng=None`` for eval)."""
-    use_pallas = _use_pallas_kernel(dropout_rng)
+    use_pallas = _use_pallas_kernel(dropout_rng, compute_dtype)
     out = x
     for i, layer in enumerate(params):
         if "bwd" in layer:

@@ -197,6 +197,10 @@ class Trainer:
             import signal
 
             def _on_signal(signum, frame):
+                if self._stop_requested:
+                    # second signal: escalate so a hung compile/step
+                    # can still be interrupted
+                    raise KeyboardInterrupt
                 self._log({"event": "stop_requested", "signal": signum})
                 self._stop_requested = True
 
@@ -212,6 +216,9 @@ class Trainer:
                 train_loader, val_loader, train_step, eval_step,
             )
         finally:
+            # clear so a reused Trainer doesn't stop immediately on the
+            # next fit (pre-arming request_stop() before fit still works)
+            self._stop_requested = False
             if installed:
                 import signal
 
@@ -242,6 +249,9 @@ class Trainer:
                 )
                 state.step += 1
                 if self._stop_requested:
+                    if (cfg.profile_dir and 2 <= state.step < 5):
+                        # a trace is in flight; close it before leaving
+                        jax.profiler.stop_trace()
                     self._log({"event": "stopped", "epoch": epoch,
                                "step": state.step})
                     state.epoch = epoch  # resume re-runs this epoch
@@ -377,6 +387,10 @@ class Trainer:
 
         edits = total = 0
         w_edits = w_total = 0
+        # WER only makes sense when decoded text has whitespace word
+        # boundaries (char modes); phone tokenizers join with '/' or
+        # per-phone spaces and JA has no word boundaries
+        word_level = not hasattr(tokenizer, "_separator")
         for batch, n_real in self._iter_counted(loader):
             (audio, audio_len), (text, text_len) = batch
             ids, out_len = decode(state.params, state.extra,
@@ -393,13 +407,16 @@ class Trainer:
             e, t = error_rate(refs, hyps)
             edits += e
             total += t
-            we, wt = error_rate(
-                [r.split() for r in refs], [h.split() for h in hyps]
-            )
-            w_edits += we
-            w_total += wt
-        return {"cer": edits / max(total, 1),
-                "wer": w_edits / max(w_total, 1)}
+            if word_level:
+                we, wt = error_rate(
+                    [r.split() for r in refs], [h.split() for h in hyps]
+                )
+                w_edits += we
+                w_total += wt
+        rates = {"cer": edits / max(total, 1)}
+        if word_level:
+            rates["wer"] = w_edits / max(w_total, 1)
+        return rates
 
     def run_eval(
         self, model, datamodule, state: TrainState, stage: str = "test"
