@@ -100,6 +100,17 @@ def test_overfit_asr_and_transcribe(tmp_path):
     # overfit on 4 clips: transcripts come back near-verbatim
     assert float(np.mean(cers)) < 0.25, list(zip(hyps, refs))
 
+    # beam search on genuinely trained logits must be at least as good
+    # as greedy (on peaked overfit logits they typically coincide)
+    beam_pipe = ASRPipeline(
+        model, {"params": params, **extra}, batch_size=4,
+        buckets_sec=(2.0,), beam_size=8,
+    )
+    beam_hyps = beam_pipe.transcribe(wavs)
+    beam_cers = [_char_error_rate(h, r) for h, r in zip(beam_hyps, refs)]
+    assert float(np.mean(beam_cers)) <= float(np.mean(cers)) + 1e-9, (
+        list(zip(beam_hyps, hyps, refs)))
+
 
 @pytest.mark.slow
 def test_tts_to_asr_round_trip(tmp_path):
