@@ -11,6 +11,14 @@ import (backends have not initialized yet at conftest time).
 
 import os
 
+# Coarse collate buckets: every dummy-corpus batch (clips 0.4-1.2 s,
+# texts <= 48 tokens) lands in ONE padded shape, so each fit compiles a
+# single train step instead of one per bucket — and the shape is
+# identical across tests, so the persistent cache hits across the suite.
+# 128 stays a multiple of 64 for the bucketing assertions in test_data.
+os.environ.setdefault("VOICE100_TPU_TIME_BUCKET", "128")
+os.environ.setdefault("VOICE100_TPU_TEXT_BUCKET", "48")
+
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -28,5 +36,7 @@ _cache_dir = os.environ.get(
     os.path.join(os.path.dirname(__file__), ".jax_cache"),
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persist even sub-millisecond compiles: a suite run dispatches
+# thousands of tiny eager programs, and loading beats recompiling
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

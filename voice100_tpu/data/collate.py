@@ -19,6 +19,7 @@ shape.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -37,8 +38,14 @@ __all__ = [
 ]
 
 BLANK_IDX = 0
-TIME_BUCKET = 64   # frames (mel 10ms hop: 0.64 s granularity)
-TEXT_BUCKET = 16   # tokens
+# Bucket granularity trades padding waste against the number of distinct
+# batch shapes XLA compiles (one train step per shape). The env overrides
+# let small-corpus runs (tests, smoke fits) collapse every batch into a
+# single shape so the whole fit compiles exactly one train step.
+TIME_BUCKET = int(
+    os.environ.get("VOICE100_TPU_TIME_BUCKET", "64")
+)  # frames (mel 10ms hop: 0.64 s granularity)
+TEXT_BUCKET = int(os.environ.get("VOICE100_TPU_TEXT_BUCKET", "16"))  # tokens
 
 
 def _bucket(n: int, bucket: int) -> int:
