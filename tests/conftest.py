@@ -35,6 +35,18 @@ _cache_dir = os.environ.get(
     "VOICE100_TPU_TEST_CACHE",
     os.path.join(os.path.dirname(__file__), ".jax_cache"),
 )
+# Stale entries accumulate as tests evolve (nothing evicts them);
+# reset the cache when it outgrows a sane bound so CI artifact sync
+# doesn't erode the compile-time savings.
+if os.path.isdir(_cache_dir):
+    _size = sum(
+        e.stat().st_size for e in os.scandir(_cache_dir) if e.is_file()
+    )
+    if _size > 500 * 1024 * 1024:
+        import shutil
+
+        shutil.rmtree(_cache_dir, ignore_errors=True)
+
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 # persist even sub-millisecond compiles: a suite run dispatches
 # thousands of tiny eager programs, and loading beats recompiling

@@ -100,15 +100,18 @@ def test_overfit_asr_and_transcribe(tmp_path):
     # overfit on 4 clips: transcripts come back near-verbatim
     assert float(np.mean(cers)) < 0.25, list(zip(hyps, refs))
 
-    # beam search on genuinely trained logits must be at least as good
-    # as greedy (on peaked overfit logits they typically coincide)
+    # beam search on genuinely trained logits tracks greedy quality
+    # (on peaked overfit logits they typically coincide). Beam
+    # maximizes sequence posterior, not CER, so a strict <= is not a
+    # guaranteed invariant on un-peaked logits — allow a small margin
+    # while still catching real decoder regressions.
     beam_pipe = ASRPipeline(
         model, {"params": params, **extra}, batch_size=4,
         buckets_sec=(2.0,), beam_size=8,
     )
     beam_hyps = beam_pipe.transcribe(wavs)
     beam_cers = [_char_error_rate(h, r) for h, r in zip(beam_hyps, refs)]
-    assert float(np.mean(beam_cers)) <= float(np.mean(cers)) + 1e-9, (
+    assert float(np.mean(beam_cers)) <= float(np.mean(cers)) + 0.05, (
         list(zip(beam_hyps, hyps, refs)))
 
 

@@ -38,14 +38,39 @@ __all__ = [
 ]
 
 BLANK_IDX = 0
-# Bucket granularity trades padding waste against the number of distinct
-# batch shapes XLA compiles (one train step per shape). The env overrides
-# let small-corpus runs (tests, smoke fits) collapse every batch into a
-# single shape so the whole fit compiles exactly one train step.
-TIME_BUCKET = int(
-    os.environ.get("VOICE100_TPU_TIME_BUCKET", "64")
-)  # frames (mel 10ms hop: 0.64 s granularity)
-TEXT_BUCKET = int(os.environ.get("VOICE100_TPU_TEXT_BUCKET", "16"))  # tokens
+TIME_BUCKET = 64   # frames (mel 10ms hop: 0.64 s granularity)
+TEXT_BUCKET = 16   # tokens
+
+
+def _env_bucket(name: str, default: int) -> int:
+    """Bucket granularity trades padding waste against the number of
+    distinct batch shapes XLA compiles (one train step per shape). The
+    env overrides let small-corpus runs (tests, smoke fits) collapse
+    every batch into a single shape so a whole fit compiles exactly one
+    train step. Read at call time so setting the env after import works.
+    """
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        value = int(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be a positive integer, got {raw!r}")
+    if value <= 0:
+        raise ValueError(f"{name} must be a positive integer, got {raw!r}")
+    return value
+
+
+def _time_bucket(override: int = None) -> int:
+    if override is not None:
+        return override
+    return _env_bucket("VOICE100_TPU_TIME_BUCKET", TIME_BUCKET)
+
+
+def _text_bucket(override: int = None) -> int:
+    if override is not None:
+        return override
+    return _env_bucket("VOICE100_TPU_TEXT_BUCKET", TEXT_BUCKET)
 
 
 def _bucket(n: int, bucket: int) -> int:
@@ -69,10 +94,12 @@ def pad_stack(
     return out, lengths
 
 
-def collate_audio_text(batch, time_bucket: int = TIME_BUCKET,
-                       text_bucket: int = TEXT_BUCKET):
+def collate_audio_text(batch, time_bucket: int = None,
+                       text_bucket: int = None):
     """Mel-mode batches (reference generate_audio_text_batch,
     data_modules.py:446-455)."""
+    time_bucket = _time_bucket(time_bucket)
+    text_bucket = _text_bucket(text_bucket)
     audio_items = [b[0] for b in batch]
     text_items = [b[1] for b in batch]
     audio, audio_len = pad_stack(audio_items, BLANK_AUDIO, time_bucket)
@@ -80,10 +107,12 @@ def collate_audio_text(batch, time_bucket: int = TIME_BUCKET,
     return (audio, audio_len), (text, text_len)
 
 
-def collate_world_text(batch, time_bucket: int = TIME_BUCKET,
-                       text_bucket: int = TEXT_BUCKET):
+def collate_world_text(batch, time_bucket: int = None,
+                       text_bucket: int = None):
     """WORLD-mode batches (reference generate_audio_text_align_batch,
     data_modules.py:458-474)."""
+    time_bucket = _time_bucket(time_bucket)
+    text_bucket = _text_bucket(text_bucket)
     f0s = [b[0][0] for b in batch]
     spcs = [b[0][1] for b in batch]
     codeaps = [b[0][2] for b in batch]
@@ -95,10 +124,12 @@ def collate_world_text(batch, time_bucket: int = TIME_BUCKET,
     return (f0, f0_len, spc, codeap), (text, text_len)
 
 
-def collate_world_text_target(batch, time_bucket: int = TIME_BUCKET,
-                              text_bucket: int = TEXT_BUCKET):
+def collate_world_text_target(batch, time_bucket: int = None,
+                              text_bucket: int = None):
     """Multi-task batches (reference
     generate_audio_text_align_target_batch, data_modules.py:477-496)."""
+    time_bucket = _time_bucket(time_bucket)
+    text_bucket = _text_bucket(text_bucket)
     (features, texts), targets = (
         ([b[0] for b in batch], [b[1] for b in batch]),
         [b[2] for b in batch],
@@ -111,9 +142,10 @@ def collate_world_text_target(batch, time_bucket: int = TIME_BUCKET,
     return (f0, f0_len, spc, codeap), (text, text_len), (target, target_len)
 
 
-def collate_text_align(batch, text_bucket: int = TEXT_BUCKET):
+def collate_text_align(batch, text_bucket: int = None):
     """Duration-model batches (reference generate_text_align_batch,
     data_modules.py:673-682)."""
+    text_bucket = _text_bucket(text_bucket)
     texts = [b[0] for b in batch]
     aligns = [b[1] for b in batch]
     text, text_len = pad_stack(texts, BLANK_IDX, text_bucket)
