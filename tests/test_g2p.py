@@ -43,10 +43,11 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy; the dominant residual
-    # error class is unstressed-vowel reduction (full vowel vs schwa)
-    assert exact / total > 0.42, f"word-exact {exact}/{total}"
-    assert match / denom > 0.77, f"phone accuracy {match / denom:.3f}"
+    # hard floor, not typical-word accuracy. Measured 0.512/0.814 after
+    # the silent-cluster, ea/ow/ch, -ive/-ide/-ion rules and the
+    # unstressed-vowel reduction pass; floors leave a small margin.
+    assert exact / total > 0.49, f"word-exact {exact}/{total}"
+    assert match / denom > 0.80, f"phone accuracy {match / denom:.3f}"
 
 
 def test_lts_regular_words():
@@ -62,9 +63,43 @@ def test_lts_regular_words():
         "check": "CH EH K",
         "phone": "F OW N",
         "knight": "N AY T",
+        # silent-cluster rules
+        "whistle": "W IH S AH L",
+        "fasten": "F AE S AH N",
+        "batch": "B AE CH",
+        # ea -> EH contexts
+        "stealth": "S T EH L TH",
+        "feather": "F EH DH ER",
+        # ow -> AW contexts (bowl keeps OW)
+        "crowd": "K R AW D",
+        "howl": "HH AW L",
+        "bowl": "B OW L",
+        # Greek ch -> K
+        "chrome": "K R OW M",
+        "chemist": "K EH M IH S T",
+        # -ive/-ide magic-e split
+        "festive": "F EH S T IH V",
+        "survive": "S ER V AY V",
+        "decide": "D IH S AY D",
+        # l/n + ion -> Y (lion keeps its vowel)
+        "billion": "B IH L Y AH N",
+        "dominion": "D AA M IH N Y AH N",
     }
     for word, want in cases.items():
-        assert _strip(g._lts(word)) == want.split(), word
+        assert _strip(g._lts(word)) == want.split(), (
+            word, g._lts(word))
+
+
+def test_unstressed_vowel_reduction():
+    """The schwa pass: reducible unstressed vowels adjacent to primary
+    stress reduce; word-final vowels keep quality except spelled 'a'."""
+    g = _bare_engine()
+    assert g._lts("kitchen") == ["K", "IH1", "CH", "AH0", "N"]
+    # final spelled 'a' is schwa even though final vowels are protected
+    assert g._lts("vanilla")[-1] == "AH0"
+    # final 'y'/'o' vowels keep their quality
+    assert g._lts("heavy")[-1] == "IY0"
+    assert g._lts("window")[-1] == "OW0"
 
 
 def test_suffix_voicing():

@@ -758,6 +758,48 @@ class G2P:
                 out.append(p)
             else:
                 out.append(p)
+        return cls._reduce_unstressed(out, word)
+
+    # vowels whose spelling pronunciation most often reduces to schwa
+    # when unstressed (the dominant LTS error class measured against
+    # the gold lexicon)
+    _REDUCIBLE = {"AE", "AA", "EH", "AO", "EY"}
+
+    @classmethod
+    def _reduce_unstressed(cls, phones: List[str], word: str = "") -> List[str]:
+        """Unstressed-vowel reduction: a reducible vowel in the syllable
+        adjacent to the primary stress reduces to schwa (English stress
+        alternation puts secondary stress two syllables away, so the
+        adjacent syllable is the reliably reduced one). Word-final
+        vowels keep their quality ("window", "monday") — except a
+        final spelled 'a', which is essentially always schwa ("sofa",
+        "banana")."""
+        if (
+            word.endswith("a")
+            and phones
+            and phones[-1].endswith("0")
+            and phones[-1][:-1] in ("AE", "AA", "EY")
+        ):
+            phones = phones[:-1] + ["AH0"]
+        vowel_idx = [
+            i for i, p in enumerate(phones)
+            if p[:-1] in _STRESSABLE or p[:-1] == "AH"
+        ]
+        prim = [k for k, i in enumerate(vowel_idx)
+                if phones[i].endswith("1")]
+        if not prim:
+            return phones
+        prim_syl = prim[0]
+        out = list(phones)
+        for k, i in enumerate(vowel_idx):
+            p = phones[i]
+            if (
+                p.endswith("0")
+                and p[:-1] in cls._REDUCIBLE
+                and i != len(phones) - 1
+                and abs(k - prim_syl) == 1
+            ):
+                out[i] = "AH0"
         return out
 
 
