@@ -395,6 +395,19 @@ class TTSPipeline:
             method=AlignTextToAudio.predict,
         )
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _durations(self, variables, text, text_len):
+        return self.align_model.apply(
+            variables, text, text_len, method=TextToAlignText.predict
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _expand(self, variables, text, durations, text_len, out_len):
+        return self.align_model.apply(
+            variables, text, durations, text_len, out_len,
+            method=TextToAlignText.align,
+        )
+
     def synthesize(self, texts: List[str]) -> List[np.ndarray]:
         encoded = [self.tokenizer(self.phonemizer(t)) for t in texts]
         text_bucket = _bucket(
@@ -417,10 +430,10 @@ class TTSPipeline:
             text = jax.device_put(text, sharding)
             text_len = jax.device_put(text_len, sharding)
 
-        # first pass for capacity, then the bucketed expansion
-        durations = self.align_model.apply(
-            self.align_variables, jnp.asarray(text), jnp.asarray(text_len),
-            method=TextToAlignText.predict,
+        # first pass for capacity, then the bucketed expansion (both
+        # jitted: one compile per text/frame bucket)
+        durations = self._durations(
+            self.align_variables, jnp.asarray(text), jnp.asarray(text_len)
         )
         mask = (
             np.arange(text_bucket)[None, :] < text_len[:, None]
@@ -431,10 +444,9 @@ class TTSPipeline:
         need = int(np.max(totals)) + text_bucket + 16
         out_len = _bucket(need, self.frame_buckets)
 
-        aligntext, aligntext_len = self.align_model.apply(
+        aligntext, aligntext_len = self._expand(
             self.align_variables, jnp.asarray(text), durations,
             jnp.asarray(text_len), out_len,
-            method=TextToAlignText.align,
         )
         f0, feat, codeap = self._acoustics(
             self.audio_variables, aligntext, aligntext_len
