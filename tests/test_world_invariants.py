@@ -141,3 +141,67 @@ def test_dio_jax_noise_is_unvoiced():
     noise = rng.randn(FS).astype(np.float64) * 0.3
     f0, _ = dio_jax(noise, FS)
     assert np.mean(f0 > 0) < 0.2
+
+
+def _glottal_speech(f0_start=120.0, f0_end=300.0, seconds=1.2,
+                    formants=(600.0, 1200.0, 2600.0), snr_db=20.0):
+    """Speech-like stimulus: glottal impulse train with an F0 glide,
+    filtered by a cascade of formant resonators, plus noise. Unlike the
+    resynthesized-WORLD stimuli above, this signal was never shaped by
+    the synthesizer under test, so F0 tracking is exercised on an
+    independent speech-like source. Returns (wav, f0_per_frame)."""
+    n = int(seconds * FS)
+    t = np.arange(n) / FS
+    f_inst = f0_start + (f0_end - f0_start) * t / seconds
+    phase = np.cumsum(f_inst) / FS
+    # impulse at every phase wrap (glottal closure instants)
+    pulses = np.zeros(n)
+    pulses[np.flatnonzero(np.diff(np.floor(phase)) > 0) + 1] = 1.0
+    # cascade of 2nd-order resonators (biquad recurrences)
+    wav = pulses
+    for fc, bw in zip(formants, (90.0, 110.0, 170.0)):
+        r = np.exp(-np.pi * bw / FS)
+        a1 = 2 * r * np.cos(2 * np.pi * fc / FS)
+        a2 = -r * r
+        out = np.zeros(n)
+        y1 = y2 = 0.0
+        for i in range(n):
+            y = wav[i] + a1 * y1 + a2 * y2
+            out[i] = y
+            y2, y1 = y1, y
+        wav = out
+    wav = wav / np.abs(wav).max()
+    rng = np.random.RandomState(7)
+    noise = rng.randn(n)
+    noise *= np.sqrt(np.mean(wav ** 2) / np.mean(noise ** 2)) * (
+        10.0 ** (-snr_db / 20.0)
+    )
+    wav = wav + noise
+    n_frames = int(seconds * 1000 / FRAME_PERIOD) + 1
+    f0_frames = np.interp(
+        np.arange(n_frames) * FRAME_PERIOD / 1000.0, t, f_inst
+    )
+    return wav, f0_frames
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_f0_tracking_on_glottal_source(backend):
+    """F0 glide 120->300 Hz on a glottal-pulse source the synthesizer
+    never touched: the tracker must follow without octave errors. This
+    models the real-speech risk (octave flips silently poisoning TTS
+    training data) that pure re-synthesis invariants can't see."""
+    wav, f0_true = _glottal_speech()
+    f0_est, _, _ = _analyze(wav, backend)
+    n = min(len(f0_true), len(f0_est))
+    f0_true, f0_est = f0_true[:n], f0_est[:n]
+    interior = np.zeros(n, bool)
+    interior[8:-8] = True
+    voiced = interior & (f0_est > 0)
+    # the whole stimulus is voiced: the tracker must not drop much
+    assert float(voiced.sum()) / interior.sum() > 0.9, (
+        backend, float(voiced.sum()) / interior.sum())
+    rel = np.abs(f0_est[voiced] - f0_true[voiced]) / f0_true[voiced]
+    assert float(np.sqrt(np.mean(rel ** 2))) < 0.03, (
+        backend, float(np.sqrt(np.mean(rel ** 2))))
+    assert float(np.mean(rel > 0.2)) < 0.02, (
+        backend, float(np.mean(rel > 0.2)))  # octave errors
