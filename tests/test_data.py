@@ -421,3 +421,55 @@ def test_world_cache_warming_on_device_backend(tmp_path, monkeypatch):
     # voicing decisions broadly agree between the trackers
     agree = np.mean((host[0] > 0) == (dev[0] > 0))
     assert agree > 0.8, agree
+
+
+def test_loader_abandoned_iterator_stops_producer():
+    """Breaking out of a prefetching loader mid-epoch (graceful stop,
+    a raising train step) must not leave the producer thread blocked on
+    its queue forever."""
+    import gc
+    import threading
+    import time
+
+    from voice100_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.full((4,), i, np.float32)
+
+    base_threads = threading.active_count()
+    for _ in range(3):
+        loader = DataLoader(
+            DS(), batch_size=4, collate_fn=np.stack, prefetch=2
+        )
+        for j, _ in enumerate(loader):
+            if j == 1:
+                break  # abandon mid-epoch
+        del loader
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > base_threads:
+        assert time.time() < deadline, "leaked producer threads"
+        time.sleep(0.05)
+
+    # full consumption and error propagation still behave
+    assert sum(
+        1 for _ in DataLoader(
+            DS(), batch_size=4, collate_fn=np.stack, prefetch=2
+        )
+    ) == 16
+
+    class BadDS(DS):
+        def __getitem__(self, i):
+            if i == 10:
+                raise RuntimeError("boom")
+            return super().__getitem__(i)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in DataLoader(
+            BadDS(), batch_size=4, collate_fn=np.stack, prefetch=2
+        ):
+            pass

@@ -96,23 +96,41 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer is gone, so an
+            # abandoned iterator (graceful stop mid-epoch, an exception
+            # in the train step) can't leave this thread blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is sentinel:
-                break
-            yield batch
-        t.join()
+        try:
+            while True:
+                batch = q.get()
+                if batch is sentinel:
+                    break
+                yield batch
+            t.join()
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
         if error:
             raise error[0]
