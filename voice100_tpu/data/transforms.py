@@ -226,7 +226,14 @@ class EncodedCacheDataset:
                     arrays = (
                         to_save if isinstance(to_save, tuple) else (to_save,)
                     )
-                    np.savez(cachefile, *arrays)
+                    # atomic publish: a crash mid-write (or two DP
+                    # processes sharing a cache dir) must never leave a
+                    # truncated .npz behind — a corrupt entry would be
+                    # recomputed on every epoch
+                    # (np.savez appends .npz when missing, so keep it)
+                    tmpfile = f"{cachefile}.{os.getpid()}.tmp.npz"
+                    np.savez(tmpfile, *arrays)
+                    os.replace(tmpfile, cachefile)
                 except Exception:
                     logger.warning("Failed to save audio cache", exc_info=True)
         if self.save_mcep:
