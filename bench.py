@@ -340,11 +340,18 @@ def _make_asr_model():
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--metric", default="asr", choices=["asr", "tts", "train"]
+        "--metric", default="asr", choices=["asr", "tts", "train", "all"]
     )
     parser.add_argument("--precision", default="32",
                         choices=["32", "16", "bf16"])
     args = parser.parse_args()
+    if args.metric == "all":
+        # convenience sweep (one JSON line per metric); the driver
+        # contract stays the default single-metric single-line output
+        for fn in (_flagship_asr, _tts_bench,
+                   lambda: _train_bench(args.precision)):
+            print(json.dumps(fn()), flush=True)
+        return
     if args.metric == "asr":
         result = _flagship_asr()
     elif args.metric == "tts":
