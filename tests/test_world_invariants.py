@@ -143,6 +143,30 @@ def test_dio_jax_noise_is_unvoiced():
     assert np.mean(f0 > 0) < 0.2
 
 
+@pytest.mark.parametrize("use_mcep", [False, True])
+def test_22khz_round_trip_preserves_frame_count(use_mcep):
+    """At 22.05 kHz the hop is fractional (220.5 samples): synthesis
+    must round the TOTAL length, not truncate per frame, or re-analysis
+    loses a frame and durations drift 0.23% (the reference's second
+    WORLD configuration, voice100/vocoder.py:34-39)."""
+    fs = 22050
+    t = np.arange(int(0.6 * fs)) / fs
+    f_inst = 180.0 * (1.0 + 0.02 * np.sin(2 * np.pi * 4.0 * t))
+    wav = np.sin(2 * np.pi * np.cumsum(f_inst) / fs)
+    wav += 0.3 * np.sin(4 * np.pi * np.cumsum(f_inst) / fs)
+
+    v = WORLDVocoder(sample_rate=fs, use_mcep=use_mcep)
+    f0, feat, codeap = v.encode(wav)
+    out = np.asarray(v.decode(f0, feat, codeap))
+    assert out.shape[0] == int(round((len(f0) - 1) * fs * 0.01)) + 1
+    f0b, _, _ = v.encode(out.astype(np.float64))
+    assert len(f0b) == len(f0)
+    both = (f0 > 0) & (f0b > 0)
+    rel = np.abs(f0b[both] - f0[both]) / f0[both]
+    assert float(np.sqrt(np.mean(rel ** 2))) < 0.03
+    assert float(np.mean((f0 > 0) == (f0b > 0))) > 0.95
+
+
 def _glottal_speech(f0_start=120.0, f0_end=300.0, seconds=1.2,
                     formants=(600.0, 1200.0, 2600.0), snr_db=20.0):
     """Speech-like stimulus: glottal impulse train with an F0 glide,

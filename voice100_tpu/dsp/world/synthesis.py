@@ -163,8 +163,10 @@ def synthesize_fn(
     spectrogram = jnp.asarray(spectrogram, jnp.float32)
     aperiodicity = jnp.asarray(aperiodicity, jnp.float32)
     n_frames = f0.shape[0]
-    hop = int(fs * frame_period / 1000.0)
-    out_len = (n_frames - 1) * hop + 1
+    # fractional hop (e.g. 220.5 samples at 22.05 kHz): rounding the
+    # TOTAL keeps duration exact and matches the NumPy/C++ twins —
+    # truncating per-frame would shorten output 0.23% at 22.05 kHz
+    out_len = int(round((n_frames - 1) * fs * frame_period / 1000.0)) + 1
     fft_size = (spectrogram.shape[1] - 1) * 2
     # static pulse capacity: the densest possible pulse train
     max_rate = 420.0  # a touch above the 400 Hz f0 ceiling

@@ -456,10 +456,12 @@ class TTSPipeline:
         batch_wav = self.vocoder.decode_batch(
             f0, feat, np.asarray(codeap), audio_lens
         )
-        hop = int(self.sample_rate * self.vocoder.frame_period / 1000)
+        hop = self.sample_rate * self.vocoder.frame_period / 1000.0
         wavs = []
         for i in range(len(texts)):
-            n_samples = max(int(audio_lens[i]) - 1, 1) * hop + 1
+            # round the total, not per-frame: hop is fractional at
+            # 22.05 kHz (matches the synthesizers' length math)
+            n_samples = int(round(max(int(audio_lens[i]) - 1, 1) * hop)) + 1
             wav = batch_wav[i, :n_samples]
             wavs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
         return wavs
