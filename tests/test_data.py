@@ -171,6 +171,31 @@ def test_mcep_matrices_roundtrip():
     )
 
 
+def test_cache_salt_keys_on_sample_rate():
+    """A 22.05 kHz run must not read features cached at 16 kHz: the salt
+    folds in non-default sample rates (the reference keys on vocoder
+    alone, data_modules.py:545, and can silently serve stale features).
+    The 16 kHz salt stays byte-identical to the vocoder name so existing
+    caches remain valid."""
+    from voice100_tpu.data import AudioTextDataModule
+
+    salts = {
+        sr: AudioTextDataModule(
+            vocoder="world", sample_rate=sr, batch_size=2
+        ).cache_salt
+        for sr in (16000, 22050)
+    }
+    assert salts[16000] == b"world"
+    assert salts[22050] != salts[16000]
+    # world and world_mcep still share one cache at either rate
+    assert (
+        AudioTextDataModule(
+            vocoder="world_mcep", sample_rate=22050, batch_size=2
+        ).cache_salt
+        == salts[22050]
+    )
+
+
 def test_cache_corruption_recovers(corpus, tmp_path):
     """A corrupt cache file is ignored and features recompute
     (reference behavior: voice100/data_modules.py:213-227)."""

@@ -57,10 +57,15 @@ class AudioTextDataModule:
         self.data_dir = data_dir
         self.cache_dir = cache_dir
         # world and world_mcep share one (mcep-form) cache
-        # (reference data_modules.py:545)
+        # (reference data_modules.py:545). Non-default sample rates get
+        # their own salt so a 22.05 kHz run over a cache dir populated at
+        # 16 kHz can't silently read back stale 16 kHz features (the
+        # reference keys on vocoder alone and has this footgun).
         self.cache_salt = (
             "world" if vocoder == "world_mcep" else vocoder
         ).encode("utf-8")
+        if sample_rate != 16000:
+            self.cache_salt += f"@{sample_rate}".encode("utf-8")
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
