@@ -171,6 +171,43 @@ def test_mcep_matrices_roundtrip():
     )
 
 
+def test_world_datamodule_22050(tmp_path):
+    """The 22.05 kHz WORLD path end to end through the datamodule:
+    n_fft 1024 / mcep 34 / codeap 2 (reference vocoder.py:34-39), so
+    the packed feature dim is 1 + 513 + 2 = 516 and every batch is
+    finite. Locks in the fractional-hop (220.5 samples/frame) handling
+    across analysis + collate."""
+    from corpus_fixture import make_dummy_corpus
+    from voice100_tpu.data import AudioTextDataModule
+
+    root = make_dummy_corpus(
+        str(tmp_path / "data"), n_clips=4, sample_rate=22050
+    )
+    del root
+    data = AudioTextDataModule(
+        vocoder="world",
+        dataset="dummy_en",
+        sample_rate=22050,
+        data_dir=str(tmp_path / "data"),
+        cache_dir=str(tmp_path / "cache"),
+        batch_size=2,
+        valid_ratio=0.25,
+    )
+    assert data.audio_size == 516
+    data.setup("fit")
+    n = 0
+    for (f0, f0_len, spc, codeap), (text, text_len) in (
+        data.train_dataloader()
+    ):
+        assert spc.shape[2] == 513 and codeap.shape[2] == 2
+        assert f0.shape[1] == spc.shape[1] == codeap.shape[1]
+        assert np.isfinite(spc).all() and np.isfinite(f0).all()
+        assert (f0_len <= f0.shape[1]).all()
+        assert (text_len <= text.shape[1]).all()
+        n += f0.shape[0]
+    assert n >= 3  # 3 train clips, padded to full batches
+
+
 def test_cache_salt_keys_on_sample_rate():
     """A 22.05 kHz run must not read features cached at 16 kHz: the salt
     folds in non-default sample rates (the reference keys on vocoder
