@@ -43,11 +43,14 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.512/0.814 after
-    # the silent-cluster, ea/ow/ch, -ive/-ide/-ion rules and the
-    # unstressed-vowel reduction pass; floors leave a small margin.
-    assert exact / total > 0.49, f"word-exact {exact}/{total}"
-    assert match / denom > 0.80, f"phone accuracy {match / denom:.3f}"
+    # hard floor, not typical-word accuracy. Measured 0.636/0.863
+    # (stress-stripped; 0.611/0.842 with stress) after the
+    # prefix-destressing pass (a-/be-/de-/re-/in-/con-/ex-...), the
+    # word-final anchoring of the % suffix context, silent b/h/n
+    # clusters, and the -ity/-ily/-ible/-age/-ent reduction rules;
+    # floors leave a small margin.
+    assert exact / total > 0.61, f"word-exact {exact}/{total}"
+    assert match / denom > 0.84, f"phone accuracy {match / denom:.3f}"
 
 
 def test_lts_regular_words():

@@ -722,6 +722,71 @@ class G2P:
     _FINAL_STRESS = ("ee", "oon", "esque", "ique", "ade", "eer",
                      "ette", "aire")
 
+    # Consonant sequences that can open an English syllable.  A
+    # word-initial "a" followed by a legal onset leaves the "a" as an
+    # open unstressed syllable (about, across, asleep); an illegal
+    # cluster closes the first syllable, which then carries stress
+    # (after, answer, anger).  Measured on the gold lexicon: 69% of
+    # a-initial polysyllables destress the first vowel.
+    _LEGAL_ONSETS = frozenset(
+        "bl br cl cr dr fl fr gl gr pl pr sl tr thr shr".split()
+    )
+    # Prefixes that reject stress (be-lieve, de-cide, re-turn); applied
+    # only before a single non-doubled consonant.  Gold-lexicon rates:
+    # be- 92%, de- 88%, re- 64% first-vowel-unstressed.
+    _UNSTRESSED_PREFIXES = ("be", "de", "re", "in", "im", "con", "oc",
+                            "per", "to")
+    # a-initial words whose first syllable does carry stress despite a
+    # legal onset shape, plus prefix-rule exceptions (nouns that keep
+    # first-syllable stress: REcipe, REsearch...).
+    _PREFIX_STRESS_EXCEPTIONS = frozenset(
+        """any anybody anyone anything anywhere area areas able ably
+        apron aprons acre acres agent agents alien aliens april
+        access accident accidents application applications average
+        exercise exercises expert experts extra exit exits exile excellent
+        recipe recipes research restaurant restaurants rendezvous
+        record records region regions recent refuge rebel regular
+        regularly depot depots decade decades demon demons
+        """.split()
+    )
+
+    @classmethod
+    def _prefix_destresses(cls, word: str) -> bool:
+        """True when the word's first syllable is an unstressed prefix
+        and primary stress belongs on the second vowel."""
+        if not word or word in cls._PREFIX_STRESS_EXCEPTIONS:
+            return False
+        vowels = "aeiouy"
+        if word.startswith("ex") and len(word) >= 4:
+            return True
+        if word[0] == "a" and len(word) >= 3:
+            run = ""
+            for ch in word[1:]:
+                if ch in vowels:
+                    break
+                run += ch
+            if not run or len(run) > 3:
+                return False
+            if len(word) <= 1 + len(run):  # no second syllable
+                return False
+            if len(run) == 1:
+                return True
+            if run[0] == run[1] and len(run) == 2:
+                # geminate spelling = single onset (attack, appear)
+                return True
+            return run in cls._LEGAL_ONSETS
+        for pfx in cls._UNSTRESSED_PREFIXES:
+            if (
+                word.startswith(pfx)
+                and len(word) >= len(pfx) + 3
+                and word[len(pfx)] not in vowels
+                and word[len(pfx)] != word[len(pfx) + 1]  # beTTer
+                # single C, or a Cl/Cr/Cw onset (beTWeen)
+                and word[len(pfx) + 1] in vowels + "lrw"
+            ):
+                return True
+        return False
+
     @classmethod
     def _apply_stress(cls, phones: List[str], word: str = "") -> List[str]:
         """Heuristic stress: primary on the first full vowel, except
@@ -748,6 +813,12 @@ class G2P:
                 pos -= 1
         elif idxs and any(word.endswith(sfx) for sfx in cls._FINAL_STRESS):
             target = idxs[-1]
+        elif len(idxs) >= 2 and cls._prefix_destresses(word):
+            target = idxs[1]
+            # the destressed prefix "a" is always schwa (about, ago)
+            if word[0] == "a":
+                phones = list(phones)
+                phones[idxs[0]] = "AX"
         out: List[str] = []
         for i, p in enumerate(phones):
             if p == "AX":
@@ -923,7 +994,7 @@ def _match_right(text: str, pos: int, pattern: str) -> bool:
                 p += 1
             else:
                 return False
-        elif c == "%":  # suffix: e / er / es / ed / ely / ing
+        elif c == "%":  # word-final suffix: e / er / es / ed / ely / ing
             if text.startswith("ing", p):
                 p += 3
             elif text[p:p + 1] == "e":
@@ -934,6 +1005,11 @@ def _match_right(text: str, pos: int, pattern: str) -> bool:
                 else:
                     p += 1
             else:
+                return False
+            # NRL suffixes end the word (possibly via a further suffix:
+            # -edly, -ers, -ingly...); a following stem letter means
+            # this was not a suffix at all ("gen-er-al")
+            if p < n and text[p] not in " sdlyr":
                 return False
         else:
             return False
