@@ -62,3 +62,34 @@ def test_reference_asr_base_model_shapes():
     v = model.init(jax.random.PRNGKey(0), audio, lengths)
     logits, out_len = model.apply(v, audio, lengths)
     assert logits.shape == (1, 32, 29)
+
+
+def test_vocab_size_mismatch_fails_fast():
+    """A model/tokenizer vocab mismatch must abort with a clear error
+    instead of training to a nan CTC loss (out-of-range labels)."""
+    from voice100_tpu.training.cli import build_from_config
+
+    config = {
+        "model": {
+            "class_path": "voice100_tpu.models.AudioToAlignText",
+            "init_args": {
+                "vocab_size": 44,  # phone vocab is actually 71
+                "audio_size": 64,
+                "encoder_settings": [[32, False, 3, 2, 1, False]],
+                "decoder_num_layers": 1,
+                "decoder_hidden_size": 32,
+            },
+        },
+        "data": {
+            "class_path": "voice100_tpu.data.AudioTextDataModule",
+            "init_args": {
+                "vocoder": "mel",
+                "dataset": "dummy_en",
+                "language": "en",
+                "use_phone": True,
+                "batch_size": 4,
+            },
+        },
+    }
+    with pytest.raises(SystemExit, match="vocab_size=44 does not match"):
+        build_from_config(config, {})

@@ -88,6 +88,28 @@ def build_from_config(config: Dict[str, Any], overrides: Dict[str, Any]):
     )
     data = data_cls(**_filter_kwargs(data_cls, data_kwargs))
 
+    # Fail fast on model/data size mismatches: out-of-range labels make
+    # the CTC loss silently nan (the reference v1 CLIs avoid this by
+    # passing vocab_size=data.vocab_size, train_asr.py:29-32; the v2
+    # YAML path trusts the config and can disagree with the tokenizer).
+    # audio_size is only a shared contract for audio-INPUT (CTC) models;
+    # TTS models reuse the name for their output width (2*f0 + logspc +
+    # 2*codeap, reference models/_tts_v2.py:34), which legitimately
+    # differs from the data feature width.
+    checks = ["vocab_size"]
+    if hasattr(model, "ctc_best_path") or hasattr(model, "greedy_decode"):
+        checks.append("audio_size")
+    for attr in checks:
+        m_val = getattr(model, attr, None)
+        d_val = getattr(data, attr, None)
+        if m_val is not None and d_val is not None and m_val != d_val:
+            raise SystemExit(
+                f"[cli] model.{attr}={m_val} does not match "
+                f"data.{attr}={d_val} (language/use_phone/vocoder "
+                f"determine the data side); fix the config's "
+                f"model.init_args.{attr}"
+            )
+
     trainer_cfg = config.get("trainer") or {}
     monitor = "val_loss"
     every_n = 10
