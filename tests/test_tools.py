@@ -202,6 +202,23 @@ def test_world_pipeline_and_update_samples(workdir):
     assert wav.shape[1] > 1000
     assert np.isfinite(wav).all()
 
+    # golden-audio determinism: regenerating the same text from the
+    # same checkpoints must be bit-identical (catches nondeterminism
+    # anywhere in tokenize -> align -> decode -> WORLD synthesis)
+    paths2 = make_samples(
+        align_config=align_cfg,
+        align_ckpt_path=os.path.join(align_ckpt, "last"),
+        audio_config=tts_cfg,
+        audio_ckpt_path=os.path.join(tts_ckpt, "last"),
+        sample_texts=["hello world"],
+        language="en",
+        output_prefix=str(workdir / "sample_rerun"),
+        audio_stat=stat_path,
+        use_phone=False,
+    )
+    with open(paths[0], "rb") as a, open(paths2[0], "rb") as b:
+        assert a.read() == b.read(), "sample synthesis is nondeterministic"
+
 
 def test_export_stablehlo(workdir, tmp_path):
     """Export the tiny ASR checkpoint as StableHLO and reload-run it."""
