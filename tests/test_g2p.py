@@ -49,8 +49,8 @@ def test_lts_accuracy_vs_gold_lexicon():
     # word-final anchoring of the % suffix context, silent b/h/n
     # clusters, and the -ity/-ily/-ible/-age/-ent reduction rules;
     # floors leave a small margin.
-    assert exact / total > 0.61, f"word-exact {exact}/{total}"
-    assert match / denom > 0.84, f"phone accuracy {match / denom:.3f}"
+    assert exact / total > 0.62, f"word-exact {exact}/{total}"
+    assert match / denom > 0.85, f"phone accuracy {match / denom:.3f}"
 
 
 def test_lts_regular_words():

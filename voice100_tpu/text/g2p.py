@@ -719,8 +719,8 @@ class G2P:
         "uous": 2, "itive": 2, "graphy": 2, "logy": 2, "metry": 2,
         "pathy": 2,
     }
-    _FINAL_STRESS = ("ee", "oon", "esque", "ique", "ade", "eer",
-                     "ette", "aire")
+    _FINAL_STRESS = ("ee", "eed", "teen", "oon", "esque", "ique", "ade",
+                     "eer", "ette", "aire")
 
     # Consonant sequences that can open an English syllable.  A
     # word-initial "a" followed by a legal onset leaves the "a" as an
@@ -735,7 +735,7 @@ class G2P:
     # only before a single non-doubled consonant.  Gold-lexicon rates:
     # be- 92%, de- 88%, re- 64% first-vowel-unstressed.
     _UNSTRESSED_PREFIXES = ("be", "de", "re", "in", "im", "con", "oc",
-                            "per", "to")
+                            "per", "to", "dis")
     # a-initial words whose first syllable does carry stress despite a
     # legal onset shape, plus prefix-rule exceptions (nouns that keep
     # first-syllable stress: REcipe, REsearch...).
@@ -744,6 +744,7 @@ class G2P:
         apron aprons acre acres agent agents alien aliens april
         access accident accidents application applications average
         exercise exercises expert experts extra exit exits exile excellent
+        influence influences income into instant instance industry
         recipe recipes research restaurant restaurants rendezvous
         record records region regions recent refuge rebel regular
         regularly depot depots decade decades demon demons
