@@ -29,6 +29,28 @@ __all__ = ["ctc_loss", "ctc_viterbi_align", "ViterbiResult"]
 _NEG_INF = -1e30
 
 
+def _use_pallas_ctc(blank: int) -> bool:
+    """TPU defaults to the fused Pallas lattice kernels (ctc_pallas.py):
+    the lax.scan pays ~130 ms/step in per-step overhead at asr_en_base
+    shapes, ~77% of the whole training step. Same gating policy as the
+    LSTM kernels (ops/lstm.py:229-256): single-device TPU only (the
+    kernel does not auto-partition under GSPMD), override with
+    VOICE100_TPU_CTC_KERNEL=pallas|scan. The kernel is blank=0 only
+    (the framework's tokenizers reserve id 0, text/tokenizers.py)."""
+    import os
+
+    if blank != 0:
+        return False
+    forced = os.environ.get("VOICE100_TPU_CTC_KERNEL")
+    if forced == "pallas":
+        return True
+    if forced == "scan":
+        return False
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    return len(jax.devices()) == 1
+
+
 def _extend_with_blanks(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
     """``[B, L] -> [B, 2L+1]`` blank-interleaved labels."""
     batch, label_len = targets.shape
@@ -55,6 +77,21 @@ def ctc_loss(
         reduction: 'mean' (torch default: per-sample loss divided by its
             target length, then batch mean), 'sum', or 'none'.
     """
+    if _use_pallas_ctc(blank):
+        from .ctc_pallas import ctc_ll_pallas
+
+        loss = -ctc_ll_pallas(
+            log_probs, targets, input_lengths, target_lengths
+        )
+        if zero_infinity:
+            loss = jnp.where(loss >= -_NEG_INF / 2, 0.0, loss)
+        if reduction == "none":
+            return loss
+        if reduction == "sum":
+            return jnp.sum(loss)
+        denom = jnp.maximum(target_lengths, 1).astype(loss.dtype)
+        return jnp.mean(loss / denom)
+
     batch, time, _ = log_probs.shape
     z = _extend_with_blanks(targets, blank)  # [B, S]
     s_len = z.shape[1]
