@@ -94,3 +94,29 @@ def test_ctc_loss_dispatch_unchanged_on_cpu():
 
     assert not ctc_mod._use_pallas_ctc(0)
     assert not ctc_mod._use_pallas_ctc(1)
+
+
+def test_viterbi_pallas_matches_scan():
+    """Paths are integer-exact vs the scan Viterbi (which is itself
+    exact-match tested vs the reference NumPy DP in test_models.py)."""
+    from voice100_tpu.ops.ctc import ctc_viterbi_align
+    from voice100_tpu.ops.ctc_pallas import ctc_viterbi_pallas
+
+    rng = np.random.RandomState(3)
+    B, T, V, L = 5, 41, 11, 9
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(B, T, V).astype(np.float32))
+    )
+    tgt = jnp.asarray(rng.randint(1, V, size=(B, L)).astype(np.int32))
+    tgt = tgt.at[0].set(jnp.asarray([2, 2, 3, 3, 1, 1, 4, 4, 5]))
+    il = jnp.asarray([41, 33, 25, 41, 20], jnp.int32)
+    tl = jnp.asarray([9, 6, 4, 9, 2], jnp.int32)
+    ref = ctc_viterbi_align(lp, tgt, il, tl)
+    score, path, labels = ctc_viterbi_pallas(lp, tgt, il, tl, True)
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(ref.score), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(ref.path))
+    np.testing.assert_array_equal(
+        np.asarray(labels), np.asarray(ref.labels)
+    )

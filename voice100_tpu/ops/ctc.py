@@ -179,6 +179,14 @@ def ctc_viterbi_align(
     outputs are zeroed like the reference's padded batching
     (_asr_v2.py:117-118).
     """
+    if max_move == 3 and _use_pallas_ctc(blank):
+        from .ctc_pallas import ctc_viterbi_pallas
+
+        score, path, labels = ctc_viterbi_pallas(
+            log_probs, targets, input_lengths, target_lengths
+        )
+        return ViterbiResult(score=score, path=path, labels=labels)
+
     batch, time, _ = log_probs.shape
     z = _extend_with_blanks(targets, blank)
     s_len = z.shape[1]

@@ -374,3 +374,177 @@ def _ctc_ll_bwd(interpret, res, g_ll):
 
 
 ctc_ll_pallas.defvjp(_ctc_ll_fwd, _ctc_ll_bwd)
+
+
+# --- Viterbi forced alignment ---------------------------------------------
+#
+# Same lattice, max semiring, plus the backtrace. The reference transition
+# rule (voice100/models/align.py:18-66, max_move=3) gates only the
+# landing state of a 2-slot move on blanks — different from the loss's
+# skip gate. Both time loops (forward and backtrace) are fused kernels;
+# the backtrace carries the lattice position as an integer extracted
+# from a one-hot lane comparison (per-row dynamic indexing is not a
+# vector op; `lanes == pos` is).  Not differentiable (alignment is a
+# decoding op); ops/ctc.py keeps the scan for CPU/multi-device.
+
+def _vit_fwd_kernel(active_ref, lpz_ref, alpha0_ref, isblank_ref,
+                    valid_ref, alpha_out_ref, move_out_ref, a_ref):
+    t = pl.program_id(0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, a_ref.shape, 1)
+    is_blank = isblank_ref[...] != 0
+    valid = valid_ref[...] != 0
+
+    @pl.when(t == 0)
+    def _():
+        a_ref[...] = alpha0_ref[...]
+
+    for k in range(BLOCK_T):
+        is_first = (t == 0) & (k == 0)
+        alpha = a_ref[...]
+        c1 = _shift_right(alpha, 1, lanes)
+        c2 = jnp.where(is_blank, _NEG_INF, _shift_right(alpha, 2, lanes))
+        # first-max-wins tie-break, like jnp.argmax over [move0..move2]
+        best = alpha
+        bm = jnp.zeros_like(lanes)
+        upd1 = c1 > best
+        best = jnp.where(upd1, c1, best)
+        bm = jnp.where(upd1, 1, bm)
+        upd2 = c2 > best
+        best = jnp.where(upd2, c2, best)
+        bm = jnp.where(upd2, 2, bm)
+        new = best + lpz_ref[k]
+        new = jnp.where(valid, new, _NEG_INF)
+        active = active_ref[k][:, None] != 0
+        new = jnp.where(active & ~is_first, new, alpha)
+        bm = jnp.where(active & ~is_first, bm, 0)
+        a_ref[...] = new
+        alpha_out_ref[k] = new
+        move_out_ref[k] = bm
+
+
+def _vit_bt_kernel(move_ref, final_ref, path_out_ref, pos_ref):
+    """Reverse grid over time. pos_ref is a [B, 128] broadcast of the
+    current lattice position; step t emits the position at time t and
+    steps to t-1 via the recorded move."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        pos_ref[...] = final_ref[...]
+
+    s_pad = move_ref.shape[-1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (pos_ref.shape[0], s_pad), 1)
+    for k in range(BLOCK_T):
+        pos = pos_ref[...]  # [B, 128] (all lanes equal)
+        path_out_ref[BLOCK_T - 1 - k] = pos
+        onehot = lanes == pos[:, :1]
+        move = jnp.sum(
+            jnp.where(onehot, move_ref[BLOCK_T - 1 - k], 0),
+            axis=1, keepdims=True,
+        )  # [B, 1]
+        pos_ref[...] = jnp.broadcast_to(pos[:, :1] - move, pos.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ctc_viterbi_pallas(log_probs, targets, input_lengths, target_lengths,
+                       interpret=False):
+    """Fused Viterbi alignment: returns (score[B], path[B,T],
+    labels[B,T]) matching ops/ctc.py ctc_viterbi_align (max_move=3,
+    blank=0)."""
+    batch, time, _ = log_probs.shape
+    label_len = targets.shape[1]
+    s_len = 2 * label_len + 1
+    s_pad = max(-(-s_len // 128) * 128, 128)
+    z = jnp.zeros((batch, s_len), dtype=jnp.int32)
+    z = z.at[:, 1::2].set(targets.astype(jnp.int32))
+    s_idx = jnp.arange(s_len)
+    valid = s_idx[None, :] < (2 * target_lengths[:, None] + 1)
+    pad = ((0, 0), (0, s_pad - s_len))
+    is_blank = jnp.pad(z == 0, pad).astype(jnp.int32)
+    valid_p = jnp.pad(valid, pad).astype(jnp.int32)
+    onehot = jax.nn.one_hot(z, log_probs.shape[2], dtype=log_probs.dtype)
+    lp_z = jnp.einsum("bsv,btv->bts", onehot, log_probs)
+    lp_z = jnp.pad(lp_z, ((0, 0), (0, 0), (0, s_pad - s_len)))
+
+    lanes = jnp.arange(s_pad)
+    alpha0 = jnp.where(
+        (lanes[None, :] < 2) & (valid_p != 0), lp_z[:, 0], _NEG_INF
+    ).astype(jnp.float32)
+
+    pad_t = -(-time // BLOCK_T) * BLOCK_T
+    lpz_t = jnp.pad(
+        jnp.swapaxes(lp_z, 0, 1), ((0, pad_t - time), (0, 0), (0, 0))
+    )
+    active = (
+        jnp.arange(pad_t)[:, None] < input_lengths[None, :]
+    ).astype(jnp.int32)
+
+    alpha_all, moves = pl.pallas_call(
+        _vit_fwd_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((pad_t, batch, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((pad_t, batch, s_pad), jnp.int32),
+        ],
+        grid=(pad_t // BLOCK_T,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_T, batch), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_T, batch, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK_T, batch, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_T, batch, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((batch, s_pad), jnp.float32)],
+        interpret=interpret,
+    )(active, lpz_t, alpha0, is_blank, valid_p)
+
+    alpha_last = alpha_all[time - 1][:, :s_len]
+    end = 2 * target_lengths
+    a_last = jnp.take_along_axis(alpha_last, end[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha_last, jnp.maximum(end - 1, 0)[:, None], axis=1
+    )[:, 0]
+    take_last = a_last > a_prev
+    final_pos = jnp.where(take_last, end, jnp.maximum(end - 1, 0))
+    score = jnp.where(take_last, a_last, a_prev)
+
+    # moves[t] recorded the advance used to arrive AT time t (0 at t=0)
+    final_b = jnp.broadcast_to(
+        final_pos.astype(jnp.int32)[:, None], (batch, 128)
+    )
+    path_t = pl.pallas_call(
+        _vit_bt_kernel,
+        out_shape=jax.ShapeDtypeStruct((pad_t, batch, 128), jnp.int32),
+        grid=(pad_t // BLOCK_T,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_T, batch, s_pad),
+                         lambda i, n=pad_t // BLOCK_T: (n - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_T, batch, 128),
+            lambda i, n=pad_t // BLOCK_T: (n - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((batch, 128), jnp.int32)],
+        interpret=interpret,
+    )(moves, final_b)
+    path = jnp.swapaxes(path_t[:time, :, 0], 0, 1)  # [B, T]
+
+    frame_mask = jnp.arange(time)[None, :] < input_lengths[:, None]
+    path = jnp.where(frame_mask, path, 0)
+    labels = jnp.take_along_axis(z, path, axis=1)
+    labels = jnp.where(frame_mask, labels, 0)
+    return score, path, labels
