@@ -361,7 +361,7 @@ def test_pallas_bilstm_grads_match_scan():
         return jnp.sum(bilstm(p, xx, lengths) * cotangent)
 
     def loss_pallas(p, xx):
-        return jnp.sum(_bilstm_op(p, xx, lengths) * cotangent)
+        return jnp.sum(_bilstm_op(False, p, xx, lengths) * cotangent)
 
     want_p, want_x = jax.grad(loss_scan, argnums=(0, 1))(params, x)
     got_p, got_x = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
@@ -378,6 +378,37 @@ def test_pallas_bilstm_grads_match_scan():
     # default; exact parity is covered by test_pallas_bilstm_matches_scan
     # with f32 streaming)
     np.testing.assert_allclose(
-        _bilstm_op(params, x, lengths), bilstm(params, x, lengths),
+        _bilstm_op(False, params, x, lengths),
+        bilstm(params, x, lengths),
         rtol=2e-2, atol=2e-3,
     )
+
+
+def test_pallas_bilstm_bf16_grads_close_to_f32():
+    """The bf16 mixed-precision Pallas path (bf16 projections and
+    gradient matmuls, f32 recurrence) stays close to the f32 gradients
+    - loose tolerance, it is a reduced-precision mode."""
+    from voice100_tpu.ops.lstm import init_lstm_params
+    from voice100_tpu.ops.lstm_pallas import _bilstm_op
+
+    batch, time, d_in, hidden = 3, 11, 6, 8
+    params = init_lstm_params(
+        jax.random.PRNGKey(0), d_in, hidden, num_layers=1
+    )[0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, time, d_in))
+    lengths = jnp.asarray([11, 7, 4], jnp.int32)
+    cotangent = jax.random.normal(
+        jax.random.PRNGKey(2), (batch, time, 2 * hidden)
+    )
+
+    def loss(bf16, p, xx):
+        return jnp.sum(_bilstm_op(bf16, p, xx, lengths) * cotangent)
+
+    want_p, want_x = jax.grad(loss, argnums=(1, 2))(False, params, x)
+    got_p, got_x = jax.grad(loss, argnums=(1, 2))(True, params, x)
+    np.testing.assert_allclose(got_x, want_x, rtol=0.1, atol=0.02)
+    for direction in ("fwd", "bwd"):
+        np.testing.assert_allclose(
+            got_p[direction]["w_ih"], want_p[direction]["w_ih"],
+            rtol=0.1, atol=0.02,
+        )

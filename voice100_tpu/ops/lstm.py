@@ -242,10 +242,9 @@ def _use_pallas_kernel(dropout_rng, compute_dtype=None) -> bool:
         return True
     if forced == "scan":
         return False
-    if compute_dtype is not None:
-        # an explicit reduced-precision request (TrainerConfig
-        # precision / VOICE100_TPU_MATMUL_DTYPE) is only honored by the
-        # scan; don't silently ignore it
+    if compute_dtype is not None and compute_dtype != jnp.bfloat16:
+        # only bf16 has a Pallas mixed-precision path (bf16 projections
+        # and streaming, f32 recurrence); other dtypes keep the scan
         return False
     backend = jax.default_backend()
     if backend in ("cpu", "gpu"):
@@ -274,7 +273,9 @@ def multilayer_bilstm(
             if use_pallas:
                 from .lstm_pallas import bilstm_pallas
 
-                out = bilstm_pallas(layer, out, lengths)
+                out = bilstm_pallas(
+                    layer, out, lengths, compute_dtype=compute_dtype
+                )
             else:
                 out = bilstm(
                     layer, out, lengths, compute_dtype=compute_dtype

@@ -161,8 +161,10 @@ def _bilstm_pallas_impl(layer_params, x, lengths, interpret: bool = False):
 # grid axis — the backward streams five tensors plus W_hh and would
 # not fit VMEM otherwise.
 
-BLOCK_T_TRAIN = 8   # timesteps per grid step (>= 8: TPU tiling)
-BLOCK_B_TRAIN = 32  # batch rows per grid step (VMEM budget)
+BLOCK_T_TRAIN = 4   # timesteps per grid step
+BLOCK_B_TRAIN = 64  # batch rows per grid step: full-batch matmul rows
+# (M=64 vs 32 doubles MXU row utilization; BLOCK_T drops to 4 to keep
+# the streamed blocks inside the VMEM budget)
 
 
 def _kernel_train_fwd(valid_ref, xg_ref, whh_ref, out_ref, hseq_ref,
@@ -375,19 +377,30 @@ def _lstm_train_bwd_dir(xg, w_hh_t, lengths, h_seq, c_seq, dout,
     return dg[:time, :batch], h_prev[:time, :batch]
 
 
-def _dir_xg(p, x, reverse):
-    xg = jnp.swapaxes(x @ p["w_ih"].T + p["b_ih"] + p["b_hh"], 0, 1)
+def _dir_xg(p, x, reverse, bf16=False):
+    if bf16:
+        # bf16 operands, f32 accumulation: the input projection is the
+        # largest matmul in the step and is not recurrence-critical
+        prod = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), p["w_ih"].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xg = jnp.swapaxes(prod + p["b_ih"] + p["b_hh"], 0, 1)
+        xg = xg.astype(jnp.bfloat16)  # stream bf16, kernels read f32
+    else:
+        xg = jnp.swapaxes(x @ p["w_ih"].T + p["b_ih"] + p["b_hh"], 0, 1)
     return xg[::-1] if reverse else xg  # [T, B, 4H]
 
 
-@jax.custom_vjp
-def _bilstm_op(layer_params, x, lengths):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bilstm_op(bf16, layer_params, x, lengths):
     # CPU can only interpret Pallas; real backends compile it
     interpret = jax.default_backend() == "cpu"
     return _bilstm_pallas_impl(layer_params, x, lengths, interpret=interpret)
 
 
-def _bilstm_op_fwd(layer_params, x, lengths):
+def _bilstm_op_fwd(bf16, layer_params, x, lengths):
     interpret = jax.default_backend() == "cpu"
     lengths32 = lengths.astype(jnp.int32)
     outs = {}
@@ -395,7 +408,7 @@ def _bilstm_op_fwd(layer_params, x, lengths):
     for direction, reverse in (("fwd", False), ("bwd", True)):
         p = layer_params[direction]
         out, h_seq, c_seq = _lstm_train_fwd_dir(
-            _dir_xg(p, x, reverse), p["w_hh"].T, lengths32,
+            _dir_xg(p, x, reverse, bf16), p["w_hh"].T, lengths32,
             reverse=reverse, interpret=interpret,
         )
         outs[direction] = out[::-1] if reverse else out
@@ -407,8 +420,16 @@ def _bilstm_op_fwd(layer_params, x, lengths):
     return result, (layer_params, x, lengths, states)
 
 
-def _bilstm_op_bwd(residuals, g):
+def _bilstm_op_bwd(bf16, residuals, g):
     import numpy as np
+
+    def mm(eq, a, b):
+        if bf16:
+            return jnp.einsum(
+                eq, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.einsum(eq, a, b)
 
     layer_params, x, lengths, states = residuals
     hidden = states["fwd"][0].shape[-1]
@@ -427,20 +448,22 @@ def _bilstm_op_bwd(residuals, g):
         dout = jnp.swapaxes(gslice, 0, 1)
         if reverse:
             dout = dout[::-1]
+        if bf16:
+            dout = dout.astype(jnp.bfloat16)
         dg, h_prev = _lstm_train_bwd_dir(
-            _dir_xg(p, x, reverse), p["w_hh"].T, lengths32,
+            _dir_xg(p, x, reverse, bf16), p["w_hh"].T, lengths32,
             h_seq, c_seq, dout, reverse=reverse, interpret=interpret,
         )
         if reverse:  # back to natural time order for the big matmuls
             dg = dg[::-1]
             h_prev = h_prev[::-1]
         d_params[direction] = {
-            "w_ih": jnp.einsum("tbg,tbd->gd", dg, x_tm),
-            "w_hh": jnp.einsum("tbg,tbh->gh", dg, h_prev),
+            "w_ih": mm("tbg,tbd->gd", dg, x_tm),
+            "w_hh": mm("tbg,tbh->gh", dg, h_prev),
             "b_ih": jnp.sum(dg, axis=(0, 1)),
             "b_hh": jnp.sum(dg, axis=(0, 1)),
         }
-        d_x = d_x + jnp.einsum("tbg,gd->tbd", dg, p["w_ih"])
+        d_x = d_x + mm("tbg,gd->tbd", dg, p["w_ih"])
     d_x = jnp.swapaxes(d_x, 0, 1)  # [B, T, D]
     d_len = np.zeros(lengths.shape, jax.dtypes.float0)
     return d_params, d_x, d_len
@@ -449,14 +472,19 @@ def _bilstm_op_bwd(residuals, g):
 _bilstm_op.defvjp(_bilstm_op_fwd, _bilstm_op_bwd)
 
 
-def bilstm_pallas(layer_params, x, lengths, interpret: bool = False):
+def bilstm_pallas(layer_params, x, lengths, interpret: bool = False,
+                  compute_dtype=None):
     """Drop-in replacement for ops.lstm.bilstm -> ``[B, T, 2H]``.
 
-    Differentiable: forward runs the Pallas kernel; gradients fall back
-    to the scan implementation via a custom VJP.
+    Differentiable via the custom-VJP train kernel pair.
+    ``compute_dtype=jnp.bfloat16`` runs the input projections, the
+    weight/input gradient matmuls, and the kernel streaming in bf16
+    with f32 accumulation; the recurrence itself stays f32 (in-loop
+    casts measured 3.3x slower, PLAN.md dead ends).
     """
     if interpret:
         return _bilstm_pallas_impl(
             layer_params, x, lengths, interpret=True
         )
-    return _bilstm_op(layer_params, x, lengths)
+    return _bilstm_op(compute_dtype == jnp.bfloat16, layer_params, x,
+                      lengths)
