@@ -43,14 +43,15 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.636/0.863
-    # (stress-stripped; 0.611/0.842 with stress) after the
-    # prefix-destressing pass (a-/be-/de-/re-/in-/con-/ex-...), the
-    # word-final anchoring of the % suffix context, silent b/h/n
-    # clusters, and the -ity/-ily/-ible/-age/-ent reduction rules;
-    # floors leave a small margin.
-    assert exact / total > 0.62, f"word-exact {exact}/{total}"
-    assert match / denom > 0.85, f"phone accuracy {match / denom:.3f}"
+    # hard floor, not typical-word accuracy. Measured 0.687/0.881
+    # (stress-stripped; 0.660 with stress) after the prefix-destressing
+    # passes (a-/be-/de-/re-/suc-/ob-/pre- + s-cluster onsets), the
+    # own/ower/ongue/ogue vowel splits, silent onset clusters
+    # (ps-/pn-/gn-/-gm), word-initial dia-/ide-/nine-, the -gue vowel
+    # rules, and the -ccess/-cess retained-vowel rules; floors leave a
+    # small margin.
+    assert exact / total > 0.67, f"word-exact {exact}/{total}"
+    assert match / denom > 0.87, f"phone accuracy {match / denom:.3f}"
 
 
 def test_lts_regular_words():

@@ -735,7 +735,8 @@ class G2P:
     # only before a single non-doubled consonant.  Gold-lexicon rates:
     # be- 92%, de- 88%, re- 64% first-vowel-unstressed.
     _UNSTRESSED_PREFIXES = ("be", "de", "re", "in", "im", "con", "oc",
-                            "per", "to", "dis")
+                            "per", "to", "dis", "suc", "sug", "sup",
+                            "sus", "ob", "pre")
     # a-initial words whose first syllable does carry stress despite a
     # legal onset shape, plus prefix-rule exceptions (nouns that keep
     # first-syllable stress: REcipe, REsearch...).
@@ -782,8 +783,11 @@ class G2P:
                 and len(word) >= len(pfx) + 3
                 and word[len(pfx)] not in vowels
                 and word[len(pfx)] != word[len(pfx) + 1]  # beTTer
-                # single C, or a Cl/Cr/Cw onset (beTWeen)
-                and word[len(pfx) + 1] in vowels + "lrw"
+                # single C, a Cl/Cr/Cw onset (beTWeen), or an s+C
+                # cluster (reSTore, deSPair, deSTroy)
+                and (word[len(pfx) + 1] in vowels + "lrw"
+                     or (word[len(pfx)] == "s"
+                         and word[len(pfx) + 1] not in vowels))
             ):
                 return True
         return False
@@ -816,10 +820,15 @@ class G2P:
             target = idxs[-1]
         elif len(idxs) >= 2 and cls._prefix_destresses(word):
             target = idxs[1]
-            # the destressed prefix "a" is always schwa (about, ago)
+            # the destressed prefix "a" is always schwa (about, ago);
+            # destressed e-prefixes raise to IH (bIHlieve, rIHturn,
+            # dIHspair - CMU writes the reduced e-prefix vowel as IH0)
             if word[0] == "a":
                 phones = list(phones)
                 phones[idxs[0]] = "AX"
+            elif word[1] == "e" and phones[idxs[0]] == "EH":
+                phones = list(phones)
+                phones[idxs[0]] = "IH"
         out: List[str] = []
         for i, p in enumerate(phones):
             if p == "AX":
@@ -863,12 +872,16 @@ class G2P:
             return phones
         prim_syl = prim[0]
         out = list(phones)
+        # final "-cess" keeps its full vowel (CMU gives it secondary
+        # stress: access AE1 K S EH2 S, princess, process)
+        last_keep = vowel_idx[-1] if word.endswith("cess") else None
         for k, i in enumerate(vowel_idx):
             p = phones[i]
             if (
                 p.endswith("0")
                 and p[:-1] in cls._REDUCIBLE
                 and i != len(phones) - 1
+                and i != last_keep
                 and abs(k - prim_syl) == 1
             ):
                 out[i] = "AH0"
