@@ -322,6 +322,91 @@ def _train_bench(precision: str = "32"):
     }
 
 
+def _train_tts_bench(precision: str = "32"):
+    """TTS training throughput: audio-seconds of WORLD targets consumed
+    per wall second for the tts_en_base recipe (batch 64, 10 s clips:
+    500 aligned-text tokens -> 1000 WORLD frames at the 10 ms hop).
+    Exercises the encoder biLSTM, the conv decoder, and all five
+    WORLD-loss streams."""
+    import optax
+    from voice100_tpu.models import AlignTextToAudio
+    from voice100_tpu.training.tasks import make_task
+
+    if precision in ("16", "bf16"):
+        from voice100_tpu.ops.lstm import set_default_compute_dtype
+
+        set_default_compute_dtype(jnp.bfloat16)
+
+    model = AlignTextToAudio(vocab_size=29)
+    batch, text_len, frames = 64, 500, 1000
+    rng = np.random.RandomState(0)
+    f0 = np.where(
+        rng.rand(batch, frames) < 0.3,
+        0.0,
+        80.0 + 170.0 * rng.rand(batch, frames),
+    ).astype(np.float32)
+    batch_data = (
+        (
+            f0,
+            np.full((batch,), frames, np.int32),
+            rng.randn(batch, frames, model.logspc_size).astype(np.float32),
+            (-1.0 + 0.8 * rng.randn(batch, frames, model.codeap_size))
+            .astype(np.float32),
+        ),
+        (
+            rng.randint(1, 29, size=(batch, text_len)).astype(np.int32),
+            np.full((batch,), text_len, np.int32),
+        ),
+    )
+    task = make_task(model)
+    batch_data = jax.device_put(batch_data)
+    variables = dict(task.init(jax.random.PRNGKey(0), batch_data))
+    params = variables.pop("params")
+    extra = variables
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(1e-3)
+    )
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, extra, opt_state, batch, key):
+        def loss_fn(p):
+            loss, metrics, new_extra = task.loss(
+                p, extra, batch, key, train=True
+            )
+            return loss, new_extra
+
+        grads, new_extra = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_extra, opt_state
+
+    key = jax.random.PRNGKey(0)
+    params, extra, opt_state = step(params, extra, opt_state, batch_data, key)
+    _ = np.asarray(jax.tree_util.tree_leaves(params)[0])[:1]
+
+    def timed(iters):
+        nonlocal params, extra, opt_state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, extra, opt_state = step(
+                params, extra, opt_state, batch_data, key
+            )
+        _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
+        return time.perf_counter() - t0
+
+    iters = 20
+    elapsed_n = timed(iters)
+    elapsed_1 = min(timed(1), timed(1))
+    elapsed = max(elapsed_n - elapsed_1, 1e-6) / (iters - 1) * iters
+    throughput = batch * (frames / 100.0) * iters / elapsed
+    return {
+        "metric": "tts_en_base_train_audio_seconds_per_second",
+        "value": round(throughput, 2),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(throughput / 3600.0, 3),
+    }
+
+
 def _make_asr_model():
     from voice100_tpu.models import AudioToAlignText
 
@@ -340,7 +425,8 @@ def _make_asr_model():
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--metric", default="asr", choices=["asr", "tts", "train", "all"]
+        "--metric", default="asr",
+        choices=["asr", "tts", "train", "train_tts", "all"],
     )
     parser.add_argument("--precision", default="32",
                         choices=["32", "16", "bf16"])
@@ -349,13 +435,16 @@ def main() -> None:
         # convenience sweep (one JSON line per metric); the driver
         # contract stays the default single-metric single-line output
         for fn in (_flagship_asr, _tts_bench,
-                   lambda: _train_bench(args.precision)):
+                   lambda: _train_bench(args.precision),
+                   lambda: _train_tts_bench(args.precision)):
             print(json.dumps(fn()), flush=True)
         return
     if args.metric == "asr":
         result = _flagship_asr()
     elif args.metric == "tts":
         result = _tts_bench()
+    elif args.metric == "train_tts":
+        result = _train_tts_bench(args.precision)
     else:
         result = _train_bench(args.precision)
     print(json.dumps(result))
