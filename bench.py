@@ -244,36 +244,25 @@ def _tts_bench():
     }
 
 
-def _train_bench(precision: str = "32"):
-    """Training throughput: audio-seconds consumed per wall second for
-    the asr_en_base recipe (batch 64, ~10 s clips, augmentation on).
-    ``precision="16"`` runs the recurrent matmuls in bf16 (f32 master
-    weights), as TrainerConfig.precision does."""
-    import optax
-    from voice100_tpu.training.tasks import make_task
-
+def _set_precision(precision: str) -> None:
     if precision in ("16", "bf16"):
         from voice100_tpu.ops.lstm import set_default_compute_dtype
 
         set_default_compute_dtype(jnp.bfloat16)
 
-    model = _make_asr_model()
-    batch, frames = 64, 1000
-    rng = np.random.RandomState(0)
-    batch_data = (
-        (
-            rng.randn(batch, frames, 64).astype(np.float32),
-            np.full((batch,), frames, np.int32),
-        ),
-        (
-            rng.randint(1, 29, size=(batch, 128)).astype(np.int32),
-            np.full((batch,), 128, np.int32),
-        ),
-    )
+
+def _measure_train_step(model, batch_data, audio_seconds_per_iter,
+                        metric):
+    """Shared training-throughput harness: jitted step (grad + clip +
+    adam), warm-up, N-iteration timing with single-iteration dispatch
+    overhead subtracted (tunnel methodology, see module docstring)."""
+    import optax
+    from voice100_tpu.training.tasks import make_task
+
     task = make_task(model)
     # pin the batch on device once: training consumes an on-device,
-    # prefetched batch; re-uploading 16 MB per step through the
-    # tunneled link would measure the link, not the train step
+    # prefetched batch; re-uploading it per step through the tunneled
+    # link would measure the link, not the train step
     batch_data = jax.device_put(batch_data)
     variables = dict(task.init(jax.random.PRNGKey(0), batch_data))
     params = variables.pop("params")
@@ -313,13 +302,38 @@ def _train_bench(precision: str = "32"):
     elapsed_n = timed(iters)
     elapsed_1 = min(timed(1), timed(1))
     elapsed = max(elapsed_n - elapsed_1, 1e-6) / (iters - 1) * iters
-    throughput = batch * 10.0 * iters / elapsed
+    throughput = audio_seconds_per_iter * iters / elapsed
     return {
-        "metric": "asr_en_base_train_audio_seconds_per_second",
+        "metric": metric,
         "value": round(throughput, 2),
         "unit": "audio_s_per_s",
         "vs_baseline": round(throughput / 3600.0, 3),  # 1h audio/s scale
     }
+
+
+def _train_bench(precision: str = "32"):
+    """Training throughput: audio-seconds consumed per wall second for
+    the asr_en_base recipe (batch 64, ~10 s clips, augmentation on).
+    ``precision="16"`` runs the recurrent matmuls in bf16 (f32 master
+    weights), as TrainerConfig.precision does."""
+    _set_precision(precision)
+    model = _make_asr_model()
+    batch, frames = 64, 1000
+    rng = np.random.RandomState(0)
+    batch_data = (
+        (
+            rng.randn(batch, frames, 64).astype(np.float32),
+            np.full((batch,), frames, np.int32),
+        ),
+        (
+            rng.randint(1, 29, size=(batch, 128)).astype(np.int32),
+            np.full((batch,), 128, np.int32),
+        ),
+    )
+    return _measure_train_step(
+        model, batch_data, batch * 10.0,
+        "asr_en_base_train_audio_seconds_per_second",
+    )
 
 
 def _train_tts_bench(precision: str = "32"):
@@ -328,15 +342,9 @@ def _train_tts_bench(precision: str = "32"):
     500 aligned-text tokens -> 1000 WORLD frames at the 10 ms hop).
     Exercises the encoder biLSTM, the conv decoder, and all five
     WORLD-loss streams."""
-    import optax
     from voice100_tpu.models import AlignTextToAudio
-    from voice100_tpu.training.tasks import make_task
 
-    if precision in ("16", "bf16"):
-        from voice100_tpu.ops.lstm import set_default_compute_dtype
-
-        set_default_compute_dtype(jnp.bfloat16)
-
+    _set_precision(precision)
     model = AlignTextToAudio(vocab_size=29)
     batch, text_len, frames = 64, 500, 1000
     rng = np.random.RandomState(0)
@@ -358,53 +366,10 @@ def _train_tts_bench(precision: str = "32"):
             np.full((batch,), text_len, np.int32),
         ),
     )
-    task = make_task(model)
-    batch_data = jax.device_put(batch_data)
-    variables = dict(task.init(jax.random.PRNGKey(0), batch_data))
-    params = variables.pop("params")
-    extra = variables
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(1.0), optax.adam(1e-3)
+    return _measure_train_step(
+        model, batch_data, batch * (frames / 100.0),
+        "tts_en_base_train_audio_seconds_per_second",
     )
-    opt_state = optimizer.init(params)
-
-    @jax.jit
-    def step(params, extra, opt_state, batch, key):
-        def loss_fn(p):
-            loss, metrics, new_extra = task.loss(
-                p, extra, batch, key, train=True
-            )
-            return loss, new_extra
-
-        grads, new_extra = jax.grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_extra, opt_state
-
-    key = jax.random.PRNGKey(0)
-    params, extra, opt_state = step(params, extra, opt_state, batch_data, key)
-    _ = np.asarray(jax.tree_util.tree_leaves(params)[0])[:1]
-
-    def timed(iters):
-        nonlocal params, extra, opt_state
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            params, extra, opt_state = step(
-                params, extra, opt_state, batch_data, key
-            )
-        _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
-        return time.perf_counter() - t0
-
-    iters = 20
-    elapsed_n = timed(iters)
-    elapsed_1 = min(timed(1), timed(1))
-    elapsed = max(elapsed_n - elapsed_1, 1e-6) / (iters - 1) * iters
-    throughput = batch * (frames / 100.0) * iters / elapsed
-    return {
-        "metric": "tts_en_base_train_audio_seconds_per_second",
-        "value": round(throughput, 2),
-        "unit": "audio_s_per_s",
-        "vs_baseline": round(throughput / 3600.0, 3),
-    }
 
 
 def _make_asr_model():

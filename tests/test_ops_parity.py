@@ -408,7 +408,8 @@ def test_pallas_bilstm_bf16_grads_close_to_f32():
     got_p, got_x = jax.grad(loss, argnums=(1, 2))(True, params, x)
     np.testing.assert_allclose(got_x, want_x, rtol=0.1, atol=0.02)
     for direction in ("fwd", "bwd"):
-        np.testing.assert_allclose(
-            got_p[direction]["w_ih"], want_p[direction]["w_ih"],
-            rtol=0.1, atol=0.02,
-        )
+        for name in ("w_ih", "w_hh", "b_ih", "b_hh"):
+            np.testing.assert_allclose(
+                got_p[direction][name], want_p[direction][name],
+                rtol=0.1, atol=0.02, err_msg=f"{direction}/{name}",
+            )

@@ -229,11 +229,12 @@ def bilstm(
 def _use_pallas_kernel(dropout_rng, compute_dtype=None) -> bool:
     """TPU defaults to the Pallas kernels: the grid-over-time inference
     kernel (2.2x over the scan on v5e) and, under differentiation, the
-    custom-VJP pair (state-saving forward + reverse-grid backward,
-    +16% training throughput at asr_en_base scale, gradients equal to
-    differentiating the scan). Override with
-    VOICE100_TPU_LSTM_KERNEL=pallas|scan; the scan also honors the
-    bf16 precision knob, which the Pallas path ignores (f32)."""
+    direction-fused custom-VJP pair (state-saving forward +
+    reverse-grid backward; gradients equal to differentiating the
+    scan). Override with VOICE100_TPU_LSTM_KERNEL=pallas|scan. The
+    bf16 precision knob routes to the Pallas mixed-precision path
+    (bf16 projections/streaming/gradient matmuls, f32 recurrence);
+    other reduced dtypes are only honored by the scan."""
     import os
 
     del dropout_rng  # training and inference both default to Pallas

@@ -184,15 +184,22 @@ _TRAIN_COMPILER_PARAMS = pltpu.CompilerParams(
 
 def _block_t_train(bf16: bool, backward: bool) -> int:
     # empirically fastest VMEM-feasible tiles (see header table);
-    # trace-time tuning overrides for probing new hardware
+    # tuning overrides for probing new hardware. Read OUTSIDE the
+    # jitted wrappers (the value is a static jit argument), so a
+    # changed override takes effect on the next call's retrace.
     import os
 
-    override = os.environ.get(
-        "VOICE100_TPU_LSTM_BT_BWD" if backward else
-        "VOICE100_TPU_LSTM_BT_FWD"
-    )
+    name = ("VOICE100_TPU_LSTM_BT_BWD" if backward else
+            "VOICE100_TPU_LSTM_BT_FWD")
+    override = os.environ.get(name)
     if override:
-        return int(override)
+        try:
+            value = int(override)
+        except ValueError:
+            raise ValueError(f"{name}={override!r}: not an integer")
+        if value < 1:
+            raise ValueError(f"{name}={value}: must be >= 1")
+        return value
     if backward:
         return 2 if bf16 else 1
     return 2 if bf16 else 4
@@ -321,14 +328,14 @@ def _pad_tb(a, pad_t, pad_b):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _lstm_train_fwd_pair(xg_f, xg_b, whh2, lengths, interpret=False):
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def _lstm_train_fwd_pair(xg_f, xg_b, whh2, lengths, block_t,
+                         interpret=False):
     """Both directions in one kernel. xg_f/xg_b [T, B, 4H] (xg_b
     pre-reversed in time, f32 or bf16), whh2 [2, H, 4H] ->
     per-direction (out, h_seq, c_seq) [T, B, H] tuples."""
     time, batch, gates4 = xg_f.shape
     hidden = gates4 // 4
-    block_t = _block_t_train(xg_f.dtype == jnp.bfloat16, backward=False)
     pad_t = -(-time // block_t) * block_t
     pad_b = -(-batch // BLOCK_B_TRAIN) * BLOCK_B_TRAIN
     xg_f = _pad_tb(xg_f, pad_t, pad_b)
@@ -372,16 +379,15 @@ def _lstm_train_fwd_pair(xg_f, xg_b, whh2, lengths, interpret=False):
             (trim(out_b), trim(hs_b), trim(cs_b)))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def _lstm_train_bwd_pair(xg_f, xg_b, whh2, lengths, states, dout_f,
-                         dout_b, interpret=False):
+                         dout_b, block_t, interpret=False):
     """Both directions' dG in one kernel; returns per-direction
     (dg [T, B, 4H], h_prev [T, B, H]) tuples. dg streams out in bf16
     when xg streams in bf16."""
     time, batch, gates4 = xg_f.shape
     hidden = gates4 // 4
     bf16 = xg_f.dtype == jnp.bfloat16
-    block_t = _block_t_train(bf16, backward=True)
     pad_t = -(-time // block_t) * block_t
     pad_b = -(-batch // BLOCK_B_TRAIN) * BLOCK_B_TRAIN
     n_t = pad_t // block_t
@@ -478,6 +484,7 @@ def _bilstm_op_fwd(bf16, layer_params, x, lengths):
     xg_b = _dir_xg(layer_params["bwd"], x, True, bf16)
     (out_f, hs_f, cs_f), (out_b, hs_b, cs_b) = _lstm_train_fwd_pair(
         xg_f, xg_b, _stack_whh(layer_params), lengths32,
+        block_t=_block_t_train(bf16, backward=False),
         interpret=interpret,
     )
     result = jnp.concatenate(
@@ -512,7 +519,8 @@ def _bilstm_op_bwd(bf16, residuals, g):
         dout_b = dout_b.astype(jnp.bfloat16)
     pair = _lstm_train_bwd_pair(
         xg_f, xg_b, _stack_whh(layer_params), lengths32, states,
-        dout_f, dout_b, interpret=interpret,
+        dout_f, dout_b, block_t=_block_t_train(bf16, backward=True),
+        interpret=interpret,
     )
 
     d_params = {}
