@@ -41,9 +41,21 @@ def _uniform_init(bound: float):
     return init
 
 
+def _matmul_dtype():
+    """bf16 compute dtype for the conv/matmul-heavy blocks when the
+    trainer's precision knob (ops.lstm.set_default_compute_dtype) or
+    VOICE100_TPU_MATMUL_DTYPE requests it; None = input dtype."""
+    from ..ops.lstm import default_compute_dtype
+
+    return (jnp.bfloat16
+            if default_compute_dtype() == jnp.bfloat16 else None)
+
+
 class ConvLayerBlock(nn.Module):
     """Conv1d + channel LayerNorm + exact GELU
-    (voice100/models/_layers_v2.py:29-56)."""
+    (voice100/models/_layers_v2.py:29-56). Under the bf16 precision
+    knob the conv runs in bf16 (f32 params); LayerNorm/GELU stay
+    f32."""
 
     out_channels: int
     kernel_size: int
@@ -54,13 +66,17 @@ class ConvLayerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: [B, T, C]
+        dtype = _matmul_dtype()
         x = nn.Conv(
             features=self.out_channels,
             kernel_size=(self.kernel_size,),
             strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             use_bias=self.use_bias,
+            dtype=dtype,
         )(x)
+        if dtype is not None:
+            x = x.astype(jnp.float32)
         x = nn.LayerNorm(epsilon=1e-5)(x)
         return jax.nn.gelu(x, approximate=False)
 
@@ -84,6 +100,9 @@ class ConvTransposeLayerBlock(nn.Module):
             (self.kernel_size, in_ch, self.out_channels),
         )
         pad = self.kernel_size - 1 - self.padding
+        # stays f32 regardless of the precision knob: bf16 transposed
+        # (lhs-dilated) convs measured SLOWER on v5e (tts train 13,494
+        # -> 11,512 audio-s/s), unlike the regular conv blocks
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
