@@ -89,11 +89,12 @@ def test_ctc_pallas_repeats_and_infeasible():
 
 def test_ctc_loss_dispatch_unchanged_on_cpu():
     """On CPU the public ctc_loss keeps the scan path (kernel gating,
-    ops/ctc.py:_use_pallas_ctc); forcing the env flips it."""
+    ops/ctc.py:_ctc_mode); a kernel_sharding mesh or the env override
+    flips it."""
     import voice100_tpu.ops.ctc as ctc_mod
 
-    assert not ctc_mod._use_pallas_ctc(0)
-    assert not ctc_mod._use_pallas_ctc(1)
+    assert ctc_mod._ctc_mode(0, batch=8) == "scan"
+    assert ctc_mod._ctc_mode(1, batch=8) == "scan"
 
 
 def test_viterbi_pallas_matches_scan():

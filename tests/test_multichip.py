@@ -60,15 +60,22 @@ def _batch(batch=8, time_frames=32):
     )
 
 
-def _one_step_losses(data_axis, model_axis):
+def _one_step_losses(data_axis, model_axis, shard_kernels=False):
     """Run one Adam train step on a (data x model) mesh.
 
+    With ``shard_kernels`` the step is traced under
+    ``kernel_sharding(mesh)`` so the Pallas LSTM/CTC kernels run
+    per-shard via shard_map (interpret mode on this CPU platform).
     Returns (loss_before_update, loss_after_update) as floats.
     """
+    import contextlib
+
+    from voice100_tpu.parallel.mesh import kernel_sharding
     from voice100_tpu.training.tasks import make_task
 
     devices = jax.devices()[: data_axis * model_axis]
     mesh = make_mesh(devices, data=data_axis, model=model_axis)
+    ctx = kernel_sharding(mesh) if shard_kernels else contextlib.nullcontext()
     model = _small_model()
     task = make_task(model)
     batch_data = _batch()
@@ -95,9 +102,12 @@ def _one_step_losses(data_axis, model_axis):
 
     sharded = shard_batch(batch_data, mesh)
     rng = jax.random.PRNGKey(1)
-    params, opt_state, metrics = train_step(params, opt_state, sharded, rng)
-    loss_before = float(metrics["loss"])
-    loss_after = float(loss_fn(params, sharded, rng)[0])
+    with ctx:
+        params, opt_state, metrics = train_step(
+            params, opt_state, sharded, rng
+        )
+        loss_before = float(metrics["loss"])
+        loss_after = float(loss_fn(params, sharded, rng)[0])
     return loss_before, loss_after
 
 
@@ -109,6 +119,80 @@ def test_dp_tp_numerics_match_single_device():
     np.testing.assert_allclose(dp4_tp2, single, rtol=0, atol=2e-5)
     # sanity: training actually moved the loss
     assert single[1] < single[0]
+
+
+def test_dp_kernel_path_matches_single_device():
+    """DP(8) with the Pallas kernels under shard_map (the real-hardware
+    fast path, VERDICT round-2 item 1): one full train step — forward,
+    custom-VJP backward, Adam update — must match the single-device
+    scan step. Proves shard_map's conservative psum transposition
+    produces the correct replicated-parameter gradients around the
+    pallas_call custom VJPs."""
+    from voice100_tpu.ops import ctc as ctc_mod, lstm as lstm_mod
+
+    single = _one_step_losses(1, 1)
+    dp8_kernel = _one_step_losses(8, 1, shard_kernels=True)
+    assert lstm_mod.last_kernel_mode() == "shard"
+    assert ctc_mod.last_kernel_mode() == "shard"
+    # LSTM kernel-vs-scan numerics differ at f32 rounding level; the
+    # post-update loss compounds one Adam step on top
+    np.testing.assert_allclose(dp8_kernel, single, rtol=0, atol=1e-4)
+
+
+def test_viterbi_shard_path_exact():
+    """Forced alignment through the sharded Pallas Viterbi matches the
+    single-device scan exactly (integer path/labels, f32 score)."""
+    from voice100_tpu.ops import ctc as ctc_mod
+    from voice100_tpu.parallel.mesh import kernel_sharding
+
+    rng = np.random.RandomState(3)
+    batch, time_frames, vocab, label_len = 8, 24, 12, 6
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(batch, time_frames, vocab), jnp.float32)
+    )
+    targets = jnp.asarray(
+        rng.randint(1, vocab, (batch, label_len)), jnp.int32
+    )
+    in_len = jnp.asarray([24, 20, 17, 24, 9, 12, 24, 15], jnp.int32)
+    tgt_len = jnp.asarray([6, 4, 6, 3, 2, 6, 5, 1], jnp.int32)
+    ref = ctc_mod.ctc_viterbi_align(lp, targets, in_len, tgt_len)
+
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    with kernel_sharding(mesh):
+        @jax.jit
+        def align(lp, tg, il, tl):
+            return ctc_mod.ctc_viterbi_align(lp, tg, il, tl)
+
+        got = align(*shard_batch((lp, targets, in_len, tgt_len), mesh))
+    assert ctc_mod.last_kernel_mode() == "shard"
+    np.testing.assert_allclose(got.score, ref.score, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(got.path, ref.path)
+    np.testing.assert_array_equal(got.labels, ref.labels)
+
+
+def test_trainer_engages_kernel_sharding_when_forced(monkeypatch):
+    """Trainer._kernel_ctx returns the kernel_sharding context for a
+    pure-DP mesh when VOICE100_TPU_SHARD_KERNELS=1 (and a nullcontext
+    for TP meshes, where the weights themselves are sharded)."""
+    import contextlib
+
+    from voice100_tpu.parallel.mesh import active_kernel_mesh
+    from voice100_tpu.training.trainer import Trainer, TrainerConfig
+
+    trainer = Trainer(TrainerConfig())
+    monkeypatch.setenv("VOICE100_TPU_SHARD_KERNELS", "1")
+    trainer.mesh = make_mesh(jax.devices(), data=8, model=1)
+    with trainer._kernel_ctx():
+        assert active_kernel_mesh() is trainer.mesh
+    assert active_kernel_mesh() is None
+
+    trainer.mesh = make_mesh(jax.devices(), data=4, model=2)
+    assert isinstance(trainer._kernel_ctx(), contextlib.nullcontext)
+
+    # explicit opt-out wins even on a DP mesh
+    monkeypatch.setenv("VOICE100_TPU_SHARD_KERNELS", "0")
+    trainer.mesh = make_mesh(jax.devices(), data=8, model=1)
+    assert isinstance(trainer._kernel_ctx(), contextlib.nullcontext)
 
 
 def test_driver_dryrun_multichip():

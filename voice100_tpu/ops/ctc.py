@@ -29,26 +29,68 @@ __all__ = ["ctc_loss", "ctc_viterbi_align", "ViterbiResult"]
 _NEG_INF = -1e30
 
 
-def _use_pallas_ctc(blank: int) -> bool:
-    """TPU defaults to the fused Pallas lattice kernels (ctc_pallas.py):
-    the lax.scan pays ~130 ms/step in per-step overhead at asr_en_base
-    shapes, ~77% of the whole training step. Same gating policy as the
-    LSTM kernels (ops/lstm.py:229-256): single-device TPU only (the
-    kernel does not auto-partition under GSPMD), override with
-    VOICE100_TPU_CTC_KERNEL=pallas|scan. The kernel is blank=0 only
-    (the framework's tokenizers reserve id 0, text/tokenizers.py)."""
+# Last mode picked at trace time ('pallas'|'shard'|'scan'); for path
+# reporting by the driver dryrun and the trainer logs.
+_LAST_KERNEL_MODE = None
+
+
+def last_kernel_mode():
+    return _LAST_KERNEL_MODE
+
+
+def _ctc_mode(blank: int, batch: int) -> str:
+    """Pick the CTC implementation at trace time.
+
+    'pallas': the fused lattice kernels (ctc_pallas.py) — the lax.scan
+    pays ~130 ms/step in per-step overhead at asr_en_base shapes, ~77%
+    of the whole training step. Default on single-device TPU.
+    'shard': the same kernels per-shard via jax.shard_map over the
+    'data' axis of the mesh declared by parallel.mesh.kernel_sharding
+    (pallas_call does not auto-partition under GSPMD).
+    'scan': the lax.scan lattice (CPU/GPU, blank != 0, tensor-parallel
+    meshes).
+
+    Override with VOICE100_TPU_CTC_KERNEL=pallas|scan. The kernels are
+    blank=0 only (the framework's tokenizers reserve id 0,
+    text/tokenizers.py).
+    """
+    import logging
     import os
 
     if blank != 0:
-        return False
+        return "scan"
     forced = os.environ.get("VOICE100_TPU_CTC_KERNEL")
     if forced == "pallas":
-        return True
+        return "pallas"
     if forced == "scan":
-        return False
+        return "scan"
+    from ..parallel.mesh import active_kernel_mesh
+
+    mesh = active_kernel_mesh()
+    if mesh is not None:
+        data = mesh.shape.get("data", 1)
+        if batch % max(data, 1) == 0:
+            return "shard"
+        logging.getLogger(__name__).warning(
+            "kernel_sharding mesh active but batch %d is not divisible "
+            "by the data axis (%d); falling back to the scan CTC",
+            batch, data,
+        )
+        return "scan"
     if jax.default_backend() in ("cpu", "gpu"):
-        return False
-    return len(jax.devices()) == 1
+        return "scan"
+    if len(jax.devices()) == 1:
+        return "pallas"
+    logging.getLogger(__name__).warning(
+        "multi-device run without parallel.mesh.kernel_sharding: the "
+        "Pallas CTC kernels fall back to lax.scan (slower)."
+    )
+    return "scan"
+
+
+def _kernel_interpret() -> bool:
+    # CPU can only interpret Pallas; real backends compile it
+    return jax.default_backend() == "cpu"
 
 
 def _extend_with_blanks(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
@@ -77,12 +119,29 @@ def ctc_loss(
         reduction: 'mean' (torch default: per-sample loss divided by its
             target length, then batch mean), 'sum', or 'none'.
     """
-    if _use_pallas_ctc(blank):
+    global _LAST_KERNEL_MODE
+    mode = _ctc_mode(blank, batch=log_probs.shape[0])
+    _LAST_KERNEL_MODE = mode
+    if mode != "scan":
         from .ctc_pallas import ctc_ll_pallas
 
-        loss = -ctc_ll_pallas(
-            log_probs, targets, input_lengths, target_lengths
-        )
+        if mode == "shard":
+            from ..parallel.mesh import active_kernel_mesh, data_shard_map
+
+            interpret = _kernel_interpret()
+
+            def _per_shard(lp, tg, il, tl):
+                return ctc_ll_pallas(lp, tg, il, tl, interpret)
+
+            ll = data_shard_map(
+                _per_shard, active_kernel_mesh(), n_batch_args=4,
+            )(log_probs, targets, input_lengths, target_lengths)
+        else:
+            ll = ctc_ll_pallas(
+                log_probs, targets, input_lengths, target_lengths,
+                _kernel_interpret(),
+            )
+        loss = -ll
         if zero_infinity:
             loss = jnp.where(loss >= -_NEG_INF / 2, 0.0, loss)
         if reduction == "none":
@@ -179,12 +238,29 @@ def ctc_viterbi_align(
     outputs are zeroed like the reference's padded batching
     (_asr_v2.py:117-118).
     """
-    if max_move == 3 and _use_pallas_ctc(blank):
+    global _LAST_KERNEL_MODE
+    mode = _ctc_mode(blank, batch=log_probs.shape[0]) if max_move == 3 \
+        else "scan"
+    _LAST_KERNEL_MODE = mode
+    if mode != "scan":
         from .ctc_pallas import ctc_viterbi_pallas
 
-        score, path, labels = ctc_viterbi_pallas(
-            log_probs, targets, input_lengths, target_lengths
-        )
+        if mode == "shard":
+            from ..parallel.mesh import active_kernel_mesh, data_shard_map
+
+            interpret = _kernel_interpret()
+
+            def _per_shard(lp, tg, il, tl):
+                return ctc_viterbi_pallas(lp, tg, il, tl, interpret)
+
+            score, path, labels = data_shard_map(
+                _per_shard, active_kernel_mesh(), n_batch_args=4,
+            )(log_probs, targets, input_lengths, target_lengths)
+        else:
+            score, path, labels = ctc_viterbi_pallas(
+                log_probs, targets, input_lengths, target_lengths,
+                _kernel_interpret(),
+            )
         return ViterbiResult(score=score, path=path, labels=labels)
 
     batch, time, _ = log_probs.shape

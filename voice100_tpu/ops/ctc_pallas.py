@@ -171,9 +171,14 @@ def _prep(log_probs, targets, input_lengths, target_lengths):
     pad = ((0, 0), (0, s_pad - s_len))
     # emissions via a one-hot MXU matmul: an XLA gather of [B,T,S]
     # takes ~100 ms at asr_en_base shapes (element-wise gather path);
-    # the equivalent batched matmul is ~0.5 GFLOP, microseconds
-    onehot = jax.nn.one_hot(z, log_probs.shape[2], dtype=log_probs.dtype)
-    lp_z = jnp.einsum("bsv,btv->bts", onehot, log_probs)  # [B, T, S]
+    # the equivalent batched matmul is ~0.5 GFLOP, microseconds.
+    # The lattice always runs f32: log-semiring sums lose too much in
+    # bf16, so a mixed-precision caller's log_probs are upcast here
+    # (the VJP casts the cotangent back to the primal dtype).
+    onehot = jax.nn.one_hot(z, log_probs.shape[2], dtype=jnp.float32)
+    lp_z = jnp.einsum(
+        "bsv,btv->bts", onehot, log_probs.astype(jnp.float32)
+    )  # [B, T, S]
     lp_z = jnp.pad(lp_z, ((0, 0), (0, 0), (0, s_pad - s_len)))
     return (
         z,
@@ -325,8 +330,10 @@ def _ctc_ll_fwd_impl(log_probs, targets, input_lengths, target_lengths,
     )
     alpha_last = alpha_all[-1][:, :s_len]
     ll, a_last, a_prev = _ll_from_alpha(alpha_last, target_lengths, s_len)
-    # v_probe's static shape carries the vocab size into the backward
-    v_probe = jnp.zeros((log_probs.shape[2],), jnp.float32)
+    # v_probe's static shape carries the vocab size into the backward,
+    # and its dtype the primal log_probs dtype (the cotangent must match
+    # it even if a mixed-precision caller passes bf16 log_probs)
+    v_probe = jnp.zeros((log_probs.shape[2],), log_probs.dtype)
     res = (z, can_skip, valid, lp_z, alpha_all, ll, a_last, a_prev,
            input_lengths, target_lengths, v_probe)
     return ll, res
@@ -364,7 +371,9 @@ def _ctc_ll_bwd(interpret, res, g_ll):
     grad_e = jnp.swapaxes(grad_e, 0, 1)[..., :s_len]  # [B, T, S]
     # scatter to vocab as one MXU matmul: [B,T,S] x [B,S,V] -> [B,T,V]
     onehot = jax.nn.one_hot(z, vocab, dtype=grad_e.dtype)  # [B, S, V]
-    grad_lp = jnp.einsum("bts,bsv->btv", grad_e, onehot)
+    grad_lp = jnp.einsum(
+        "bts,bsv->btv", grad_e, onehot
+    ).astype(v_probe.dtype)
     import numpy as _np
     from jax import dtypes as _dtypes
 

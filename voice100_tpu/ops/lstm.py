@@ -226,34 +226,73 @@ def bilstm(
     return jnp.concatenate([out_f, out_b], axis=-1)
 
 
-def _use_pallas_kernel(dropout_rng, compute_dtype=None) -> bool:
-    """TPU defaults to the Pallas kernels: the grid-over-time inference
+# Last kernel mode picked at trace time ('pallas'|'shard'|'scan'); for
+# path reporting by the driver dryrun and the trainer logs.
+_LAST_KERNEL_MODE = None
+
+
+def last_kernel_mode():
+    return _LAST_KERNEL_MODE
+
+
+def _kernel_mode(dropout_rng, compute_dtype=None, batch: int = 0) -> str:
+    """Pick the LSTM implementation at trace time.
+
+    'pallas': direct Pallas kernels — the grid-over-time inference
     kernel (2.2x over the scan on v5e) and, under differentiation, the
-    direction-fused custom-VJP pair (state-saving forward +
-    reverse-grid backward; gradients equal to differentiating the
-    scan). Override with VOICE100_TPU_LSTM_KERNEL=pallas|scan. The
-    bf16 precision knob routes to the Pallas mixed-precision path
-    (bf16 projections/streaming/gradient matmuls, f32 recurrence);
-    other reduced dtypes are only honored by the scan."""
+    direction-fused custom-VJP pair. Default on single-device TPU.
+    'shard': the same kernels wrapped in jax.shard_map over the 'data'
+    axis of the mesh declared via parallel.mesh.kernel_sharding — the
+    data-parallel fast path (pallas_call does not auto-partition under
+    GSPMD, so without this a sharded mesh loses the kernel speedup).
+    'scan': the lax.scan fallback (CPU/GPU, non-bf16 reduced dtypes,
+    tensor-parallel meshes where the weights themselves are sharded).
+
+    Override with VOICE100_TPU_LSTM_KERNEL=pallas|scan. The bf16
+    precision knob routes to the Pallas mixed-precision path (bf16
+    projections/streaming/gradient matmuls, f32 recurrence); other
+    reduced dtypes are only honored by the scan.
+    """
+    import logging
     import os
 
     del dropout_rng  # training and inference both default to Pallas
     forced = os.environ.get("VOICE100_TPU_LSTM_KERNEL")
     if forced == "pallas":
-        return True
+        return "pallas"
     if forced == "scan":
-        return False
+        return "scan"
     if compute_dtype is not None and compute_dtype != jnp.bfloat16:
         # only bf16 has a Pallas mixed-precision path (bf16 projections
         # and streaming, f32 recurrence); other dtypes keep the scan
-        return False
+        return "scan"
+    from ..parallel.mesh import active_kernel_mesh
+
+    mesh = active_kernel_mesh()
+    if mesh is not None:
+        data = mesh.shape.get("data", 1)
+        if batch % max(data, 1) == 0:
+            return "shard"
+        logging.getLogger(__name__).warning(
+            "kernel_sharding mesh active but batch %d is not divisible "
+            "by the data axis (%d); falling back to the scan LSTM",
+            batch, data,
+        )
+        return "scan"
     backend = jax.default_backend()
     if backend in ("cpu", "gpu"):
-        return False
-    # multi-chip: pallas_call does not auto-partition under GSPMD, so
-    # sharded meshes keep the scan (force with the env var if the
-    # batch is replicated per chip)
-    return len(jax.devices()) == 1
+        return "scan"
+    if len(jax.devices()) == 1:
+        return "pallas"
+    # multi-chip without a kernel_sharding declaration: the kernels
+    # cannot partition; warn because this forfeits ~6x step throughput
+    logging.getLogger(__name__).warning(
+        "multi-device run without parallel.mesh.kernel_sharding: the "
+        "Pallas LSTM kernels fall back to lax.scan (slower). Train "
+        "through Trainer with a pure-DP mesh, or wrap the step trace "
+        "in kernel_sharding(mesh)."
+    )
+    return "scan"
 
 
 def multilayer_bilstm(
@@ -267,16 +306,32 @@ def multilayer_bilstm(
     """Stacked (bi)LSTM with inter-layer dropout (torch convention:
     applied to every layer's output except the last, training only —
     pass ``dropout_rng=None`` for eval)."""
-    use_pallas = _use_pallas_kernel(dropout_rng, compute_dtype)
+    global _LAST_KERNEL_MODE
+    mode = _kernel_mode(dropout_rng, compute_dtype, batch=x.shape[0])
+    _LAST_KERNEL_MODE = mode
+    shard_fn = None
+    if mode == "shard":
+        from ..parallel.mesh import active_kernel_mesh, data_shard_map
+        from .lstm_pallas import bilstm_pallas
+
+        def _per_shard(p, o, ln):
+            return bilstm_pallas(p, o, ln, compute_dtype=compute_dtype)
+
+        shard_fn = data_shard_map(
+            _per_shard, active_kernel_mesh(),
+            n_batch_args=2, n_static_args=1,
+        )
     out = x
     for i, layer in enumerate(params):
         if "bwd" in layer:
-            if use_pallas:
+            if mode == "pallas":
                 from .lstm_pallas import bilstm_pallas
 
                 out = bilstm_pallas(
                     layer, out, lengths, compute_dtype=compute_dtype
                 )
+            elif mode == "shard":
+                out = shard_fn(layer, out, lengths)
             else:
                 out = bilstm(
                     layer, out, lengths, compute_dtype=compute_dtype

@@ -17,6 +17,7 @@ dry run.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence
 
 import jax
@@ -30,6 +31,8 @@ __all__ = [
     "infer_param_spec",
     "shard_params",
     "shard_batch",
+    "kernel_sharding",
+    "active_kernel_mesh",
 ]
 
 
@@ -77,6 +80,63 @@ def fit_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
             batch_size, n, model, data, model, n - used,
         )
     return make_mesh(jax.devices()[:used], data=data, model=model)
+
+
+# ----------------------------------------------------------------------
+# Kernel sharding context: lets the Pallas fast paths (ops/lstm.py,
+# ops/ctc.py) compose with a data-parallel mesh. pallas_call does not
+# auto-partition under GSPMD, so on a sharded mesh the ops must wrap
+# their kernels in jax.shard_map over the 'data' axis — but the ops are
+# called deep inside a model's apply with no mesh in scope. The Trainer
+# (training/trainer.py) enters this context for the duration of a fit
+# when the layout is pure DP (model axis == 1, batch over 'data',
+# params replicated), and the ops pick the mesh up at TRACE time.
+#
+# Trace-time semantics: a step function jitted while the context is
+# active bakes the shard_map in; entering/exiting the context does not
+# affect already-compiled programs.
+_KERNEL_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def kernel_sharding(mesh: Optional[Mesh]):
+    """Declare that batch-leading arrays inside jitted code are sharded
+    over ``mesh`` axis 'data' with parameters replicated across it.
+
+    Under this context the Pallas LSTM/CTC kernels run per-shard via
+    ``jax.shard_map`` instead of silently falling back to the scan
+    implementations. Only valid for pure-DP layouts (weights must not be
+    sharded over a 'model' axis); the Trainer enforces that before
+    entering.
+    """
+    global _KERNEL_MESH
+    prev = _KERNEL_MESH
+    _KERNEL_MESH = mesh
+    try:
+        yield
+    finally:
+        _KERNEL_MESH = prev
+
+
+def active_kernel_mesh() -> Optional[Mesh]:
+    """The mesh declared by :func:`kernel_sharding`, or None."""
+    return _KERNEL_MESH
+
+
+def data_shard_map(fn, mesh: Mesh, n_batch_args: int, n_static_args: int = 0):
+    """Wrap ``fn(*replicated, *batched)`` in shard_map over 'data'.
+
+    The first ``n_static_args`` arguments are replicated (P()); the last
+    ``n_batch_args`` are sharded on their leading axis (P('data')).
+    ``check_vma=False`` because pallas_call is not varying-axis aware;
+    shard_map's transpose then conservatively psums cotangents of the
+    replicated arguments, which is exactly the DP gradient all-reduce.
+    """
+    in_specs = (P(),) * n_static_args + (P("data"),) * n_batch_args
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
+        check_vma=False,
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -26,7 +26,9 @@ import jax
 import numpy as np
 import optax
 
-from ..parallel.mesh import fit_mesh_for_batch, shard_batch, shard_params
+from ..parallel.mesh import (
+    fit_mesh_for_batch, kernel_sharding, shard_batch, shard_params,
+)
 from .tasks import Task, make_task
 from .checkpoint import save_checkpoint, restore_checkpoint
 
@@ -47,13 +49,16 @@ class TrainerConfig:
     log_path: Optional[str] = None
     # capture a jax.profiler trace of training steps 2..4 into this dir
     profile_dir: Optional[str] = None
-    # "32" (default) or "bf16": run the recurrent matmuls in bfloat16
-    # with f32 states/accumulation and f32 master weights — the
-    # TPU-native equivalent of the reference's --trainer.precision 16
-    # recipes (/root/reference/README.md:187-190). "16" is accepted as
-    # an alias for bf16. Applies to the scan LSTM path; on TPU the
-    # default Pallas training kernels run f32 and ignore this knob
-    # (set VOICE100_TPU_LSTM_KERNEL=scan to combine them).
+    # "32" (default) or "bf16": mixed-precision training with f32
+    # master weights — the TPU-native equivalent of the reference's
+    # --trainer.precision 16 recipes (/root/reference/README.md:187-190);
+    # "16" is accepted as an alias for bf16. bf16 routes the Pallas
+    # LSTM train kernels to their mixed-precision path (bf16 input
+    # projections / streaming / gradient matmuls, f32 recurrence and
+    # accumulation — ops/lstm.py _kernel_mode, ops/lstm_pallas.py) and runs
+    # the v2 conv blocks in bf16 (models/layers.py); transposed convs
+    # stay f32 (measured slower in bf16). The scan LSTM path honors the
+    # same knob by casting its matmul operands.
     precision: str = "32"
 
 
@@ -211,10 +216,11 @@ class Trainer:
                     pass
 
         try:
-            return self._fit_loop(
-                cfg, task, model, datamodule, state, rng,
-                train_loader, val_loader, train_step, eval_step,
-            )
+            with self._kernel_ctx():
+                return self._fit_loop(
+                    cfg, task, model, datamodule, state, rng,
+                    train_loader, val_loader, train_step, eval_step,
+                )
         finally:
             # clear so a reused Trainer doesn't stop immediately on the
             # next fit (pre-arming request_stop() before fit still works)
@@ -224,6 +230,41 @@ class Trainer:
 
                 for sig, old in installed:
                     signal.signal(sig, old)
+
+    def _kernel_ctx(self):
+        """Context under which step functions are traced.
+
+        Pure-DP multi-device meshes declare kernel_sharding so the
+        Pallas LSTM/CTC fast paths run per-shard via shard_map instead
+        of silently falling back to the scans (the round-2 perf cliff:
+        ~6x step throughput on a pod slice). Engaged by default on TPU
+        backends; on CPU/GPU (where the kernels only run in interpret
+        mode) set VOICE100_TPU_SHARD_KERNELS=1 to force it — the
+        multichip tests and driver dryrun do.
+        """
+        import contextlib
+        import logging
+
+        mesh = self.mesh
+        if mesh is None or mesh.shape.get("data", 1) <= 1:
+            return contextlib.nullcontext()
+        log = logging.getLogger(__name__)
+        if mesh.shape.get("model", 1) > 1:
+            if jax.default_backend() not in ("cpu", "gpu"):
+                log.warning(
+                    "tensor-parallel mesh (model=%d): the Pallas "
+                    "LSTM/CTC kernels fall back to lax.scan because "
+                    "the weights are sharded; expect lower step "
+                    "throughput than a pure-DP layout",
+                    mesh.shape["model"],
+                )
+            return contextlib.nullcontext()
+        forced = os.environ.get("VOICE100_TPU_SHARD_KERNELS")
+        if forced == "0":
+            return contextlib.nullcontext()
+        if jax.default_backend() in ("cpu", "gpu") and forced != "1":
+            return contextlib.nullcontext()
+        return kernel_sharding(mesh)
 
     def request_stop(self) -> None:
         """Programmatic equivalent of SIGTERM: stop after the current
@@ -248,6 +289,14 @@ class Trainer:
                     )
                 )
                 state.step += 1
+                if state.step == 1:
+                    from ..ops import ctc as _ctc, lstm as _lstm
+
+                    self._log({
+                        "event": "kernel_path",
+                        "lstm": _lstm.last_kernel_mode() or "n/a",
+                        "ctc": _ctc.last_kernel_mode() or "n/a",
+                    })
                 if self._stop_requested:
                     if (cfg.profile_dir and 2 <= state.step < 5):
                         # a trace is in flight; close it before leaving
@@ -437,4 +486,5 @@ class Trainer:
         _, eval_step = self._make_step_fns(
             task, task.make_optimizer(1)
         )
-        return self.evaluate(eval_step, state, loader)
+        with self._kernel_ctx():
+            return self.evaluate(eval_step, state, loader)
