@@ -30,28 +30,62 @@ def test_lts_accuracy_vs_gold_lexicon():
     engine alone must stay above these floors on it (the lexicon skews
     toward irregular words, so this is a hard set)."""
     g = _bare_engine()
-    exact = total = match = denom = 0
+    exact = with_stress = stress_only = total = match = denom = 0
     for word, gold in _LEXICON.items():
         if not word.isalpha():
             continue
-        pred = _strip(g._lts(word))
-        goldp = _strip(gold.split())
+        raw = g._lts(word)
+        goldraw = gold.split()
+        pred = _strip(raw)
+        goldp = _strip(goldraw)
         total += 1
         exact += int(pred == goldp)
+        with_stress += int(raw == goldraw)
+        stress_only += int(pred == goldp and raw != goldraw)
         sm = difflib.SequenceMatcher(a=goldp, b=pred)
         match += sum(b.size for b in sm.get_matching_blocks())
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.687/0.881
-    # (stress-stripped; 0.660 with stress) after the prefix-destressing
-    # passes (a-/be-/de-/re-/suc-/ob-/pre- + s-cluster onsets), the
-    # own/ower/ongue/ogue vowel splits, silent onset clusters
-    # (ps-/pn-/gn-/-gm), word-initial dia-/ide-/nine-, the -gue vowel
-    # rules, and the -ccess/-cess retained-vowel rules; floors leave a
-    # small margin.
-    assert exact / total > 0.67, f"word-exact {exact}/{total}"
-    assert match / denom > 0.87, f"phone accuracy {match / denom:.3f}"
+    # hard floor, not typical-word accuracy. Measured 0.721 stripped
+    # AND with-stress (phone acc 0.891, stress-only misses 0) after
+    # the round-3 passes: the secondary-stress placement rules
+    # (_apply_secondary), the ear/eer r-coloring split, the ch->K
+    # contexts, the our/or families, -dge/-age, and the function-word
+    # stress table; floors leave a small margin.
+    assert exact / total > 0.71, f"word-exact {exact}/{total}"
+    assert match / denom > 0.88, f"phone accuracy {match / denom:.3f}"
+    assert with_stress / total > 0.71, (
+        f"with-stress exact {with_stress}/{total}"
+    )
+    # stress-only error mass (stripped-correct but mis-stressed):
+    # measured 0, gate well under the round-2 verdict's <15 target
+    assert stress_only <= 8, f"stress-only misses {stress_only}"
+
+
+def test_lts_emits_secondary_stress():
+    """The *2 phones are first-class model vocabulary (reference
+    voice100/text.py:19-31); the rules engine must produce them
+    (round-2 verdict item 4: rules-prepared phone corpora previously
+    never contained a third of the stressed-vowel inventory)."""
+    g = _bare_engine()
+    cases = {
+        "information": "IH2",   # full first vowel 2 before the primary
+        "understand": "AH2",
+        "guarantee": "EH2",
+        "secretary": "EH2",     # -ary suffix vowel
+        "dialogue": "AO2",      # retained full vowel, closed final
+        "monday": "EY2",        # word-final spelled -ay
+    }
+    for word, want in cases.items():
+        phones = g._lts(word)
+        assert want in phones, (word, phones)
+    # and a gold-set-wide emission count: dozens of words carry *2
+    n_with_2 = sum(
+        1 for w in _LEXICON if w.isalpha()
+        and any(p.endswith("2") for p in g._lts(w))
+    )
+    assert n_with_2 >= 40, n_with_2
 
 
 def test_lts_regular_words():
@@ -147,7 +181,7 @@ def test_suffix_aware_stress():
         "university": "ER1",     # before -ity (two suffix vowels)
         "electricity": "IH1",
         "photographic": "AE1",   # before -ic
-        "engineer": "IY1",       # final
+        "engineer": "IH1",       # final (CMU: ... N IH1 R)
         "unique": "IY1",
     }
     for word, want in cases.items():

@@ -117,6 +117,12 @@ def _bilstm_pallas_call(xg, w_hh, lengths, interpret=False):
             bytes_accessed=pad_t * 2 * batch * (gates4 + hidden) * 4,
             transcendentals=pad_t * 2 * batch * hidden * 5,
         ),
+        # long sequences (e.g. 12 s clips -> 608 LSTM frames at batch
+        # 64) need > the default 16 MB scoped vmem, like the train
+        # kernels (_TRAIN_COMPILER_PARAMS)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(valid, xg, w_hh)
     return out[:time]

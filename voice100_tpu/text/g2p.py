@@ -720,7 +720,17 @@ class G2P:
         "pathy": 2,
     }
     _FINAL_STRESS = ("ee", "eed", "teen", "oon", "esque", "ique", "ade",
-                     "eer", "ette", "aire")
+                     "eer", "ette", "aire", "stand")
+
+    # compounds/function words whose SECOND element carries the primary
+    # (CMUdict: into IH0 N T UW1, without W IH0 TH AW1 T, sometimes
+    # S AH0 M T AY1 M Z ...) — the first-vowel heuristic has no way to
+    # see the morpheme boundary
+    _SECOND_STRESS_WORDS = frozenset(
+        """into without although throughout sometimes therein whereas
+        whereby wherein herself himself itself myself yourself
+        themselves ourselves idea ideas""".split()
+    )
 
     # Consonant sequences that can open an English syllable.  A
     # word-initial "a" followed by a legal onset leaves the "a" as an
@@ -735,7 +745,7 @@ class G2P:
     # only before a single non-doubled consonant.  Gold-lexicon rates:
     # be- 92%, de- 88%, re- 64% first-vowel-unstressed.
     _UNSTRESSED_PREFIXES = ("be", "de", "re", "in", "im", "con", "oc",
-                            "per", "to", "dis", "suc", "sug", "sup",
+                            "per", "dis", "suc", "sug", "sup",
                             "sus", "ob", "pre")
     # a-initial words whose first syllable does carry stress despite a
     # legal onset shape, plus prefix-rule exceptions (nouns that keep
@@ -749,6 +759,7 @@ class G2P:
         recipe recipes research restaurant restaurants rendezvous
         record records region regions recent refuge rebel regular
         regularly depot depots decade decades demon demons
+        exodus exorcist exorcists exoskeleton exoskeletons
         """.split()
     )
 
@@ -760,6 +771,11 @@ class G2P:
             return False
         vowels = "aeiouy"
         if word.startswith("ex") and len(word) >= 4:
+            return True
+        # to- destresses only before the d/g/m/n stems (today, together,
+        # tomorrow, tonight) — a bare "to" + w/t (tower, total) keeps
+        # first-syllable stress
+        if word.startswith("to") and len(word) >= 5 and word[2] in "dgmn":
             return True
         if word[0] == "a" and len(word) >= 3:
             run = ""
@@ -818,6 +834,8 @@ class G2P:
                 pos -= 1
         elif idxs and any(word.endswith(sfx) for sfx in cls._FINAL_STRESS):
             target = idxs[-1]
+        elif len(idxs) >= 2 and word in cls._SECOND_STRESS_WORDS:
+            target = idxs[1]
         elif len(idxs) >= 2 and cls._prefix_destresses(word):
             target = idxs[1]
             # the destressed prefix "a" is always schwa (about, ago);
@@ -839,7 +857,102 @@ class G2P:
                 out.append(p)
             else:
                 out.append(p)
-        return cls._reduce_unstressed(out, word)
+        if word in cls._FUNCTION_WORD_STRESS:
+            tag = cls._FUNCTION_WORD_STRESS[word]
+            out = [
+                p[:-1] + tag if p[-1] in "012" else p for p in out
+            ]
+        out = cls._reduce_unstressed(out, word)
+        return cls._apply_secondary(out, word)
+
+    # CMUdict's stress on monosyllabic function words is lexical (of
+    # AH1 V but in IH0 N, her HH ER0); the heuristic defaults to 1,
+    # which is wrong for exactly these
+    _FUNCTION_WORD_STRESS = {"of": "1", "in": "0", "her": "0",
+                             "the": "0", "a": "0"}
+
+    # full vowels that keep secondary stress in an unstressed CLOSED
+    # final syllable (catalogue AO2 G, diaphragm AE2 M, almost OW2 S T,
+    # demonstrate EY2 T); EH/IH/AH instead reduce or stay 0 there
+    # (comment K AA1 M EH0 N T)
+    _FINAL_FULL = frozenset(["AE", "AA", "AO", "OW", "AY", "AW", "OY",
+                             "UW", "EY"])
+
+    @classmethod
+    def _apply_secondary(cls, phones: List[str], word: str) -> List[str]:
+        """Secondary-stress placement after primary assignment and
+        vowel reduction (CMUdict conventions; the `*2` tokens are
+        first-class model vocabulary, reference voice100/text.py:19-31).
+
+        Rules, each measured on the gold lexicon:
+        * dual primary on -teen numerals (thirteen TH ER1 T IY1 N);
+        * a full first vowel >= 2 syllables before the primary takes 2
+          (information IH2 ... EY1, guarantee G EH2 ... IY1);
+        * the -ary/-ery/-ory suffix vowel >= 2 syllables after the
+          primary takes 2 (secretary ... T EH2 R IY0);
+        * a retained full vowel in a closed final syllable after the
+          primary takes 2 (dialogue D AY1 AH0 L AO2 G), as does a
+          word-final spelled -ay (monday M AH1 N D EY2) — but spelled
+          -ow stays reduced (window W IH1 N D OW0).
+        """
+        vowel_idx = [i for i, p in enumerate(phones) if p[-1:] in "012"]
+        prim = [k for k, i in enumerate(vowel_idx)
+                if phones[i].endswith("1")]
+        if not prim or len(vowel_idx) < 2:
+            return phones
+        out = list(phones)
+        first_k, last_k = 0, len(vowel_idx) - 1
+        first_i, last_i = vowel_idx[0], vowel_idx[-1]
+
+        # CMUdict gives the -teen numerals dual primaries (thirteen
+        # TH ER1 T IY1 N) — except sixteen/eighteen (S IH0, EY0)
+        if (
+            word.endswith("teen") and first_k < prim[0]
+            and word not in ("sixteen", "eighteen")
+        ):
+            if phones[first_i][:-1] in _STRESSABLE:
+                out[first_i] = phones[first_i][:-1] + "1"
+                return out
+
+        if (
+            prim[0] - first_k >= 2
+            and phones[first_i].endswith("0")
+            and phones[first_i][:-1] in _STRESSABLE
+        ):
+            out[first_i] = phones[first_i][:-1] + "2"
+
+        if (
+            word.endswith(("ary", "ery", "ory", "aries", "eries",
+                           "ories"))
+            and len(vowel_idx) >= 4
+            and last_k - 1 > prim[-1] + 1
+        ):
+            sfx_i = vowel_idx[last_k - 1]
+            if phones[sfx_i][:-1] in ("EH", "AO") and (
+                phones[sfx_i].endswith("0")
+            ):
+                out[sfx_i] = phones[sfx_i][:-1] + "2"
+                return out
+
+        if last_k > prim[-1]:
+            p_last = phones[last_i]
+            closed = last_i < len(phones) - 1
+            if p_last.endswith("0") and p_last[:-1] in cls._FINAL_FULL:
+                if closed and not word.endswith(("ow", "ows")):
+                    out[last_i] = p_last[:-1] + "2"
+                elif (not closed and p_last[:-1] == "EY"
+                        and word.endswith(("ay", "ays"))):
+                    out[last_i] = p_last[:-1] + "2"
+            elif p_last.endswith("0") and word in cls._SECONDARY_FINAL:
+                # compounds whose reduced-looking final vowel is a full
+                # morpheme (in+come IH1 N K AH2 M, ac+cess AE1 K S EH2 S)
+                out[last_i] = p_last[:-1] + "2"
+        return out
+
+    _SECONDARY_FINAL = frozenset(
+        """income incomes somewhat somewhere anywhere everywhere
+        access accesses process processes""".split()
+    )
 
     # vowels whose spelling pronunciation most often reduces to schwa
     # when unstressed (the dominant LTS error class measured against
@@ -854,7 +967,10 @@ class G2P:
         adjacent syllable is the reliably reduced one). Word-final
         vowels keep their quality ("window", "monday") — except a
         final spelled 'a', which is essentially always schwa ("sofa",
-        "banana")."""
+        "banana"). -teen numerals keep their FIRST vowel full (CMUdict
+        gives it a primary: fourteen F AO1 R T IY1 N) while medial ones
+        still reduce (seventeen S EH1 V AH0 N T IY1 N)."""
+        protect_first = word.endswith("teen")
         if (
             word.endswith("a")
             and phones
@@ -883,6 +999,7 @@ class G2P:
                 and i != len(phones) - 1
                 and i != last_keep
                 and abs(k - prim_syl) == 1
+                and not (protect_first and k == 0)
             ):
                 out[i] = "AH0"
         return out
