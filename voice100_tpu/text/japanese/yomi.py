@@ -21,102 +21,66 @@ import re
 from typing import List, Tuple
 
 from .kana import hira2kata
+from .readings import COMPOUNDS, KUN, ON
 
 __all__ = ["text2kata"]
 
 _SYMBOL_TOKENS = set("・、。？！")
 _NO_YOMI_TOKENS = set("「」『』―（）［］[]　…")
 
-# Longest-match phrase/word lexicon (surface -> katakana reading).
-_LEXICON: Tuple[Tuple[str, str], ...] = tuple(
-    sorted(
-        {
-            "こんにちは": "コンニチワ",
-            "こんばんは": "コンバンワ",
-            "世界": "セカイ",
-            "日本": "ニホン",
-            "日本語": "ニホンゴ",
-            "東寺": "トウジ",
-            "五大明王": "ゴダイミョウオウ",
-            "明王": "ミョウオウ",
-            "主要": "シュヨウ",
-            "中央": "チュウオウ",
-            "牛乳": "ギュウニュウ",
-            "音声": "オンセイ",
-            "認識": "ニンシキ",
-            "合成": "ゴウセイ",
-            "学習": "ガクシュウ",
-            "東京": "トウキョウ",
-            "明日": "アシタ",
-            "今日": "キョウ",
-            "昨日": "キノウ",
-            "時間": "ジカン",
-            "人間": "ニンゲン",
-            "電話": "デンワ",
-            "言葉": "コトバ",
-        }.items(),
-        key=lambda kv: -len(kv[0]),
-    )
-)
-
-# Single-kanji fallback readings (dominant on/kun reading).
-_KANJI1 = {
-    "世": "セ", "界": "カイ", "東": "トウ", "寺": "ジ", "五": "ゴ",
-    "大": "ダイ", "明": "ミョウ", "王": "オウ", "呼": "ヨ", "主": "シュ",
-    "要": "ヨウ", "中": "チュウ", "央": "オウ", "配": "ハイ", "多": "オオ",
-    "風": "フウ", "牛": "ギュウ", "乳": "ニュウ", "白": "シロ",
-    "一": "イチ", "二": "ニ", "三": "サン", "四": "ヨン", "六": "ロク",
-    "七": "ナナ", "八": "ハチ", "九": "キュウ", "十": "ジュウ",
-    "百": "ヒャク", "千": "セン", "万": "マン", "円": "エン",
-    "人": "ヒト", "日": "ニチ", "月": "ツキ", "火": "ヒ", "水": "ミズ",
-    "木": "キ", "金": "キン", "土": "ツチ", "年": "ネン", "時": "ジ",
-    "分": "フン", "間": "カン", "上": "ウエ", "下": "シタ", "左": "ヒダリ",
-    "右": "ミギ", "前": "マエ", "後": "アト", "小": "ショウ", "山": "ヤマ",
-    "川": "カワ", "田": "タ", "口": "クチ", "目": "メ", "手": "テ",
-    "足": "アシ", "耳": "ミミ", "力": "チカラ", "男": "オトコ",
-    "女": "オンナ", "子": "コ", "学": "ガク", "生": "セイ", "先": "セン",
-    "私": "ワタシ", "本": "ホン", "文": "ブン", "字": "ジ", "名": "ナ",
-    "声": "コエ", "音": "オト", "新": "シン", "古": "フル", "高": "タカ",
-    "安": "ヤス", "長": "ナガ", "短": "ミジカ", "国": "コク", "語": "ゴ",
-    "車": "クルマ", "駅": "エキ", "店": "ミセ", "家": "イエ", "空": "ソラ",
-    "海": "ウミ", "雨": "アメ", "花": "ハナ", "犬": "イヌ", "猫": "ネコ",
-    "魚": "サカナ", "肉": "ニク", "米": "コメ", "茶": "チャ", "酒": "サケ",
-    "食": "ショク", "飲": "ノ", "見": "ミ", "聞": "キ", "話": "ハナシ",
-    "読": "ヨ", "書": "カ", "行": "イ", "来": "キ", "出": "デ",
-    "入": "イ", "立": "タ", "歩": "アル", "走": "ハシ", "思": "オモ",
-    "知": "シ", "作": "ツク", "使": "ツカ", "持": "モ", "待": "マ",
-    "買": "カ", "売": "ウ", "開": "ヒラ", "閉": "ト", "始": "ハジ",
-    "終": "オ", "動": "ウゴ", "止": "ト", "送": "オク", "着": "ツ",
-}
-
 _HIRA_RX = re.compile(r"[ぁ-んー]+")
 _KATA_RX = re.compile(r"[ァ-ヶー]+")
 _ASCII_RX = re.compile(r"[0-9A-Za-z]+")
+_KANJI_RX = re.compile(r"[一-龯々]+")
+
+# Compound keys bucketed by first char, longest first, so the scanner
+# tries only plausible matches at each position.
+_BY_FIRST: dict = {}
+for _surface, _reading in COMPOUNDS.items():
+    _BY_FIRST.setdefault(_surface[0], []).append((_surface, _reading))
+for _lst in _BY_FIRST.values():
+    _lst.sort(key=lambda kv: -len(kv[0]))
 
 
 class LexiconReader:
-    """Dictionary-free segmentation with embedded readings."""
+    """Dictionary-free segmentation with embedded readings.
+
+    Policy (tables in ``readings.py``): longest-match ``COMPOUNDS``
+    first at every position; an unmatched single kanji — standing alone
+    or followed by okurigana — takes its ``KUN`` reading; unmatched
+    kanji inside a multi-kanji run take ``ON`` (the dominant jukugo
+    reading). Kana passes through; a lone は between tokens is the
+    topic particle (ワ). Unknown tokens pass through unchanged, as the
+    reference does for words MeCab cannot read."""
 
     def tokens(self, text: str) -> List[Tuple[str, str]]:
         out: List[Tuple[str, str]] = []
         i = 0
         n = len(text)
         while i < n:
-            matched = False
-            for surface, reading in _LEXICON:
-                if text.startswith(surface, i):
-                    out.append((surface, reading))
-                    i += len(surface)
-                    matched = True
-                    break
-            if matched:
+            surface_reading = self._match_compound(text, i)
+            if surface_reading is not None:
+                out.append(surface_reading)
+                i += len(surface_reading[0])
                 continue
             ch = text[i]
             m = _HIRA_RX.match(text, i)
             if m:
                 run = m.group(0)
-                # A lone は between non-hiragana is the topic particle.
-                yomi = "ワ" if run == "は" else hira2kata(run)
+                if run == "へ":
+                    # a lone へ between non-hiragana is the directional
+                    # particle, pronounced エ
+                    yomi = "エ"
+                elif run.startswith("は") and out and out[-1][1]:
+                    # は opening a hiragana run right after a read word
+                    # is (almost always) the topic particle: ワ
+                    yomi = "ワ" + hira2kata(run[1:])
+                elif len(run) >= 2 and run.endswith("は"):
+                    # ... as is a run-final は before kanji/punctuation
+                    # (子供たちは公園で, それでは。)
+                    yomi = hira2kata(run[:-1]) + "ワ"
+                else:
+                    yomi = hira2kata(run)
                 out.append((run, yomi))
                 i = m.end()
                 continue
@@ -130,12 +94,52 @@ class LexiconReader:
                 out.append((m.group(0), ""))  # no reading: pass through
                 i = m.end()
                 continue
-            if ch in _KANJI1:
-                out.append((ch, _KANJI1[ch]))
-            else:
-                out.append((ch, ""))
+            m = _KANJI_RX.match(text, i)
+            if m:
+                i = self._kanji_run(text, i, m.end(), out)
+                continue
+            out.append((ch, ""))
             i += 1
         return out
+
+    @staticmethod
+    def _match_compound(text: str, i: int):
+        for surface, reading in _BY_FIRST.get(text[i], ()):
+            if text.startswith(surface, i):
+                return surface, reading
+        return None
+
+    def _kanji_run(self, text: str, i: int, end: int,
+                   out: List[Tuple[str, str]]) -> int:
+        """Consume one maximal kanji run [i, end) with compound-first,
+        then KUN (isolated / okurigana-final) or ON (inside-run)."""
+        run_len = end - i
+        pos = i
+        while pos < end:
+            hit = self._match_compound(text, pos)
+            if hit is not None and pos + len(hit[0]) <= end:
+                out.append(hit)
+                pos += len(hit[0])
+                continue
+            ch = text[pos]
+            if ch == "々" and out and out[-1][1]:
+                # iteration mark: repeat the previous reading with the
+                # common voicing left alone (人々 is in COMPOUNDS)
+                out.append((ch, out[-1][1]))
+                pos += 1
+                continue
+            # a run-final kanji right before hiragana is a verb/adj stem
+            # with okurigana (kun); inside a jukugo run it's on
+            isolated = run_len == 1 or (
+                pos == end - 1 and _HIRA_RX.match(text, end) is not None
+            )
+            if isolated:
+                yomi = KUN.get(ch) or ON.get(ch) or ""
+            else:
+                yomi = ON.get(ch) or KUN.get(ch) or ""
+            out.append((ch, yomi))
+            pos += 1
+        return end
 
 
 class MecabReader:
