@@ -36,16 +36,25 @@ _cache_dir = os.environ.get(
     os.path.join(os.path.dirname(__file__), ".jax_cache"),
 )
 # Stale entries accumulate as tests evolve (nothing evicts them);
-# reset the cache when it outgrows a sane bound so CI artifact sync
-# doesn't erode the compile-time savings.
+# evict the OLDEST entries when the cache outgrows a sane bound so CI
+# artifact sync doesn't erode the compile-time savings. Eviction (not
+# a wipe) keeps concurrent pytest processes sharing the dir from
+# deleting entries a sibling is actively writing.
 if os.path.isdir(_cache_dir):
-    _size = sum(
-        e.stat().st_size for e in os.scandir(_cache_dir) if e.is_file()
-    )
+    _entries = [
+        (e.stat().st_mtime, e.stat().st_size, e.path)
+        for e in os.scandir(_cache_dir) if e.is_file()
+    ]
+    _size = sum(s for _, s, _ in _entries)
     if _size > 500 * 1024 * 1024:
-        import shutil
-
-        shutil.rmtree(_cache_dir, ignore_errors=True)
+        for _, s, p in sorted(_entries):
+            try:
+                os.unlink(p)
+            except OSError:
+                continue
+            _size -= s
+            if _size <= 400 * 1024 * 1024:
+                break
 
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 # persist even sub-millisecond compiles: a suite run dispatches

@@ -317,6 +317,12 @@ def ctc_ll_pallas(log_probs, targets, input_lengths, target_lengths,
 
 def _ctc_ll_fwd_impl(log_probs, targets, input_lengths, target_lengths,
                      interpret):
+    # the lattice recurrence is numerically f32 regardless of the
+    # caller's precision (a bf16 log-sum-exp chain over hundreds of
+    # frames loses the tail); the cotangent is returned in the caller's
+    # dtype via v_probe below
+    caller_dtype = log_probs.dtype
+    log_probs = log_probs.astype(jnp.float32)
     z, can_skip, valid, lp_z, s_len, s_pad = _prep(
         log_probs, targets, input_lengths, target_lengths
     )
@@ -333,7 +339,7 @@ def _ctc_ll_fwd_impl(log_probs, targets, input_lengths, target_lengths,
     # v_probe's static shape carries the vocab size into the backward,
     # and its dtype the primal log_probs dtype (the cotangent must match
     # it even if a mixed-precision caller passes bf16 log_probs)
-    v_probe = jnp.zeros((log_probs.shape[2],), log_probs.dtype)
+    v_probe = jnp.zeros((log_probs.shape[2],), caller_dtype)
     res = (z, can_skip, valid, lp_z, alpha_all, ll, a_last, a_prev,
            input_lengths, target_lengths, v_probe)
     return ll, res
