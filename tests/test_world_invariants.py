@@ -92,12 +92,25 @@ def _metrics(pitch: float, backend: str = "numpy"):
         np.sqrt(np.mean((log_true[both] - log_est[both]) ** 2))
         * 20.0 / np.log(10.0)
     )
+    # floored log-spectral distortion: both envelopes clamped at
+    # 45 dB below the per-frame peak before comparing — standard LSD
+    # practice, and the honest dynamic range here: deeper detail is
+    # below the stimulus' own aperiodic noise floor and is dominated by
+    # analysis-window sidelobe leakage that the published CheapTrick
+    # shares (docs/world_metrics.md has the decomposition; a
+    # lower-leakage Blackman window measured WORSE end-to-end)
+    floor = log_true.max(axis=1, keepdims=True) - 45.0 * np.log(10) / 20
+    err_f = (np.maximum(log_est, floor) - np.maximum(log_true, floor))
+    lsd45_db = float(
+        np.sqrt(np.mean(err_f[both] ** 2)) * 20.0 / np.log(10.0)
+    )
     return {
         "pitch": pitch,
         "f0_rmse_rel": f0_rmse_rel,
         "voicing_acc": voicing_acc,
         "octave_rate": octave_rate,
         "envelope_rmse_db": sc_db,
+        "envelope_lsd45_db": lsd45_db,
         "n_voiced": int(both.sum()),
     }
 
@@ -113,7 +126,12 @@ def test_world_reanalysis_invariants(pitch, backend):
     assert m["f0_rmse_rel"] < 0.01, m
     assert m["octave_rate"] < 0.01, m
     assert m["voicing_acc"] > 0.97, m
-    assert m["envelope_rmse_db"] < 8.0, m
+    # full-range gate leaves ~0.6 dB headroom over the measured worst
+    # case (5.90 dB at 320 Hz) so regressions can't hide under it
+    assert m["envelope_rmse_db"] < 6.5, m
+    # and the perceptually-meaningful gate: 45 dB-floored LSD under
+    # 5 dB at every pitch (measured 1.1-3.4 dB)
+    assert m["envelope_lsd45_db"] < 5.0, m
 
 
 def test_dio_no_octave_jumps_within_vibrato():

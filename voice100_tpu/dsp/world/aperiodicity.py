@@ -142,3 +142,71 @@ def d4c(
     pyworld.d4c as used in voice100/vocoder.py:72."""
     coded = band_aperiodicity(x, f0, positions, fs)
     return decode_aperiodicity(coded, fs, fft_size)
+
+
+def band_aperiodicity_gd(
+    x: np.ndarray,
+    f0: np.ndarray,
+    positions: np.ndarray,
+    fs: int,
+) -> np.ndarray:
+    """D4C-style static-group-delay band aperiodicity, ``[T, n_bands]``
+    dB — an estimator independent of the comb-correlation path above.
+
+    Principle (Morise 2016's D4C): in a periodic band every harmonic is
+    phase-locked to the same glottal epoch, so the group delay
+    ``tau(w) = Re(conj(X) . F{n x[n]}) / |X|^2`` is constant across the
+    band; aperiodic energy randomizes it. The phase of one period,
+    ``theta(w) = 2 pi tau(w) f0 / fs``, is mapped to the unit circle and
+    its power-weighted circular resultant ``r = |sum P e^{j theta}| /
+    sum P`` measures band periodicity (invariant to the common epoch, so
+    no explicit trend removal is needed). The aperiodic amplitude ratio
+    is ``sqrt(1 - r)``, the same convention as the comb-correlation
+    estimator, whose agreement with this one is pinned by
+    ``tests/test_world_aperiodicity.py``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    f0 = np.asarray(f0, dtype=np.float64)
+    n_bands = get_num_aperiodicities(fs)
+    eff_f0 = np.where(f0 > 0, f0, 200.0)
+
+    # 4-period Hanning window (harmonics resolved: main lobe f0/2)
+    win_len = 1024
+    while win_len < int(4 * fs / 80.0):
+        win_len *= 2
+    offsets = np.arange(win_len) - win_len // 2
+    centers = np.round(positions * fs).astype(np.int32)
+    idx = np.clip(centers[:, None] + offsets[None, :], 0, x.shape[0] - 1)
+    seg = x[idx]  # [T, W]
+    half = 2.0 * fs / eff_f0  # [T] samples: 2 periods each side
+    phase = offsets[None, :] / half[:, None]
+    window = np.where(
+        np.abs(phase) <= 1.0, 0.5 + 0.5 * np.cos(np.pi * phase), 0.0
+    )
+    w_seg = seg * window
+
+    spec = np.fft.rfft(w_seg, axis=1)  # X(w)
+    spec_t = np.fft.rfft(w_seg * offsets[None, :], axis=1)  # F{n x[n]}
+    power = spec.real**2 + spec.imag**2
+    tau = (spec.real * spec_t.real + spec.imag * spec_t.imag) / (
+        power + np.finfo(np.float64).tiny
+    )  # group delay in samples, per bin
+    theta = 2.0 * np.pi * tau * (eff_f0 / fs)[:, None]
+
+    freqs = np.arange(spec.shape[1]) * fs / win_len
+    out = np.empty((f0.shape[0], n_bands))
+    for b in range(n_bands):
+        center = _FREQ_INTERVAL * (b + 1)
+        mask = (freqs >= center - _FREQ_INTERVAL) & (
+            freqs < center + _FREQ_INTERVAL
+        )
+        p_band = power[:, mask]
+        resultant = np.abs(
+            (p_band * np.exp(1j * theta[:, mask])).sum(axis=1)
+        )
+        r = resultant / (p_band.sum(axis=1) + np.finfo(np.float64).tiny)
+        ratio = np.sqrt(np.clip(1.0 - r, _SAFE_MIN**2, 1.0))
+        out[:, b] = np.clip(20.0 * np.log10(ratio), _FLOOR_DB, 0.0)
+    return np.where(
+        (f0 > 0)[:, None], out, 20.0 * np.log10(1.0 - _SAFE_MIN)
+    )
