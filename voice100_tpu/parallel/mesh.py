@@ -31,6 +31,7 @@ __all__ = [
     "infer_param_spec",
     "shard_params",
     "shard_batch",
+    "pad_batch_to_multiple",
     "kernel_sharding",
     "active_kernel_mesh",
 ]
@@ -53,33 +54,69 @@ def make_mesh(
 
 
 def fit_mesh_for_batch(batch_size: int, model: int = 1) -> Mesh:
-    """Mesh whose 'data' axis evenly divides ``batch_size``.
+    """Mesh sized for wall-clock-optimal DP over ``batch_size``.
 
-    Uses the largest divisor of batch_size that fits the available
-    devices; surplus devices stay out of the mesh (models this small
-    prefer a clean DP layout over padding games).
+    Per-device work is ``ceil(batch_size / data)`` rows, so the 'data'
+    axis is chosen to minimize that first (the full fleet always
+    achieves the minimum); among sizes with the same per-device rows it
+    prefers the largest divisor of ``batch_size`` (no padding), else
+    the smallest size (least padding). Non-divisible batches are padded
+    by replicating trailing samples (:func:`pad_batch_to_multiple`,
+    applied by the Trainer) — statistically equivalent to sampling
+    those samples twice in the step. Devices left out of the mesh under
+    this policy never cost wall time (using them would not reduce
+    per-device rows).
     """
     import logging
-    import math
 
     n = len(jax.devices())
     avail = max(1, n // model)
-    data = math.gcd(batch_size, avail)
-    # prefer the largest divisor of batch_size not exceeding avail
-    for d in range(avail, 0, -1):
-        if batch_size % d == 0:
-            data = d
-            break
+    min_rows = -(-batch_size // avail)
+    candidates = [
+        d for d in range(1, avail + 1)
+        if -(-batch_size // d) == min_rows
+    ]
+    divisors = [d for d in candidates if batch_size % d == 0]
+    data = max(divisors) if divisors else min(candidates)
     used = data * model
-    if used < n:
-        logging.getLogger(__name__).warning(
+    log = logging.getLogger(__name__)
+    if batch_size % data != 0:
+        log.warning(
             "fit_mesh_for_batch: batch_size=%d is not divisible by the "
-            "%d available devices (model=%d); using a %dx%d mesh and "
-            "leaving %d device(s) idle. Pick a batch size divisible by "
-            "the device count to use the full fleet.",
-            batch_size, n, model, data, model, n - used,
+            "%dx%d mesh; each batch is padded to %d by replicating "
+            "trailing samples (duplicates carry normal loss weight — "
+            "equivalent to drawing them twice). Pick a batch size "
+            "divisible by %d devices to avoid the padding.",
+            batch_size, data, model, min_rows * data, data,
+        )
+    elif used < n:
+        log.warning(
+            "fit_mesh_for_batch: using a %dx%d mesh and leaving %d "
+            "device(s) idle — with batch_size=%d the idle devices "
+            "could not reduce the %d rows each device already "
+            "processes, so this layout is wall-clock optimal.",
+            data, model, n - used, batch_size, min_rows,
         )
     return make_mesh(jax.devices()[:used], data=data, model=model)
+
+
+def pad_batch_to_multiple(batch, multiple: int):
+    """Pad every array's leading (batch) axis up to a multiple of
+    ``multiple`` by wrap-around replication of real samples — the same
+    convention as the loader's ``pad_to_full`` final-batch padding.
+    Returns ``(batch, n_real)``; no-op when already divisible."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    if not leaves:
+        return batch, 0
+    n_real = leaves[0].shape[0]
+    target = -(-n_real // multiple) * multiple
+    if target == n_real:
+        return batch, n_real
+    idx = np.arange(target) % n_real
+    return (
+        jax.tree_util.tree_map(lambda x: np.asarray(x)[idx], batch),
+        n_real,
+    )
 
 
 # ----------------------------------------------------------------------

@@ -71,6 +71,11 @@ class LexiconReader:
                     # a lone へ between non-hiragana is the directional
                     # particle, pronounced エ
                     yomi = "エ"
+                elif run == "は":
+                    # a lone は between non-hiragana is the topic
+                    # particle regardless of what precedes (brackets,
+                    # symbols): ワ
+                    yomi = "ワ"
                 elif run.startswith("は") and out and out[-1][1]:
                     # は opening a hiragana run right after a read word
                     # is (almost always) the topic particle: ワ

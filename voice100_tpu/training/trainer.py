@@ -27,7 +27,8 @@ import numpy as np
 import optax
 
 from ..parallel.mesh import (
-    fit_mesh_for_batch, kernel_sharding, shard_batch, shard_params,
+    fit_mesh_for_batch, kernel_sharding, pad_batch_to_multiple,
+    shard_batch, shard_params,
 )
 from .tasks import Task, make_task
 from .checkpoint import save_checkpoint, restore_checkpoint
@@ -278,6 +279,11 @@ class Trainer:
             t0 = time.time()
             running = None
             for batch in train_loader:
+                # non-divisible batches ride the full fleet by
+                # replicating trailing samples (fit_mesh_for_batch)
+                batch, _ = pad_batch_to_multiple(
+                    batch, self.mesh.shape["data"]
+                )
                 batch = shard_batch(batch, self.mesh)
                 rng, step_rng = jax.random.split(rng)
                 if cfg.profile_dir and state.step == 2:
