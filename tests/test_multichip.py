@@ -111,6 +111,43 @@ def _one_step_losses(data_axis, model_axis, shard_kernels=False):
     return loss_before, loss_after
 
 
+def test_padded_dp_step_matches_single_device():
+    """A non-divisible batch (9 rows on a 5-wide data mesh) padded by
+    pad_batch_to_multiple must produce the same one-step loss as the
+    identical padded batch on a single device — the wrap-replication
+    rows shard like any other row."""
+    from voice100_tpu.parallel.mesh import pad_batch_to_multiple
+    from voice100_tpu.training.tasks import make_task
+
+    model = _small_model()
+    task = make_task(model)
+    raw = _batch(batch=9)
+    padded, n_real = pad_batch_to_multiple(raw, 5)
+    assert n_real == 9
+    assert jax.tree_util.tree_leaves(padded)[0].shape[0] == 10
+
+    variables = dict(task.init(jax.random.PRNGKey(0), padded))
+    base_params = variables.pop("params")
+    extra = variables
+
+    def one_loss(data_axis):
+        devices = jax.devices()[:data_axis]
+        mesh = make_mesh(devices, data=data_axis, model=1)
+        params = shard_params(base_params, mesh)
+        batch = shard_batch(padded, mesh)
+
+        @jax.jit
+        def loss_of(p, b):
+            loss, _, _ = task.loss(p, extra, b, jax.random.PRNGKey(1),
+                                   train=True)
+            return loss
+
+        return float(loss_of(params, batch))
+
+    np.testing.assert_allclose(one_loss(5), one_loss(1), rtol=0,
+                               atol=2e-5)
+
+
 def test_dp_tp_numerics_match_single_device():
     single = _one_step_losses(1, 1)
     dp8 = _one_step_losses(8, 1)
