@@ -495,21 +495,31 @@ def _train_loader_bench(precision: str = "32"):
         )
     _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
 
-    # end-to-end: loader -> device_put -> train step, 6 epochs
-    total_audio = 0.0
+    # end-to-end: loader -> prefetched device_put -> train step, 6
+    # epochs; the 2-deep DevicePrefetcher issues the upload of batch
+    # N+1 while step N executes, same as Trainer._prefetched
+    from voice100_tpu.data.prefetch import DevicePrefetcher
+
+    audio_acc = []
+
+    def place(batch):
+        (_audio, audio_len), _text = batch
+        audio_acc.append(float(np.sum(audio_len)) / 100.0)
+        return jax.device_put(batch)
+
     t0 = time.perf_counter()
     for ep in range(1, 7):
         loader.set_epoch(ep)
-        for (audio, audio_len), (text, text_len) in loader:
-            total_audio += float(np.sum(audio_len)) / 100.0
-            batch = jax.device_put(
-                ((audio, audio_len), (text, text_len))
-            )
-            params, extra, opt_state = step(
-                params, extra, opt_state, batch, key
-            )
+        prefetcher = DevicePrefetcher(loader, size=2, place=place)
+        try:
+            for batch in prefetcher:
+                params, extra, opt_state = step(
+                    params, extra, opt_state, batch, key
+                )
+        finally:
+            prefetcher.close()
     _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
-    e2e_rate = total_audio / (time.perf_counter() - t0)
+    e2e_rate = sum(audio_acc) / (time.perf_counter() - t0)
 
     # pinned-batch rate at the SAME bucket shape for the ratio
     pinned_audio = float(np.sum(first_batch[0][1])) / 100.0

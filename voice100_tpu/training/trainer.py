@@ -272,19 +272,33 @@ class Trainer:
         step, saving the 'last' checkpoint."""
         self._stop_requested = True
 
+    def _prefetched(self, loader):
+        """Pad + shard + device_put batches with a 2-deep background
+        window so the host->device upload of batch N+1 overlaps the
+        step for batch N (data/prefetch.py; the reference hides the
+        same latency behind DataLoader workers,
+        voice100/data_modules.py:628-666)."""
+        from ..data.prefetch import DevicePrefetcher
+
+        data_axis = self.mesh.shape["data"]
+
+        def place(batch):
+            batch, _ = pad_batch_to_multiple(batch, data_axis)
+            return shard_batch(batch, self.mesh)
+
+        prefetcher = DevicePrefetcher(loader, size=2, place=place)
+        try:
+            yield from prefetcher
+        finally:
+            prefetcher.close()
+
     def _fit_loop(self, cfg, task, model, datamodule, state, rng,
                   train_loader, val_loader, train_step, eval_step):
         for epoch in range(state.epoch, cfg.max_epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
             running = None
-            for batch in train_loader:
-                # non-divisible batches ride the full fleet by
-                # replicating trailing samples (fit_mesh_for_batch)
-                batch, _ = pad_batch_to_multiple(
-                    batch, self.mesh.shape["data"]
-                )
-                batch = shard_batch(batch, self.mesh)
+            for batch in self._prefetched(train_loader):
                 rng, step_rng = jax.random.split(rng)
                 if cfg.profile_dir and state.step == 2:
                     jax.profiler.start_trace(cfg.profile_dir)
