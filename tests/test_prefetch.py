@@ -62,15 +62,17 @@ def test_prefetch_overlaps_producer_and_consumer():
 
     def gen():
         for i in range(8):
-            time.sleep(0.02)
+            time.sleep(0.04)
             yield i
 
     t0 = time.perf_counter()
     n = 0
     for _ in DevicePrefetcher(gen(), size=2, place=lambda x: x):
-        time.sleep(0.02)
+        time.sleep(0.04)
         n += 1
     elapsed = time.perf_counter() - t0
     assert n == 8
-    # serial would be ~0.32s; overlapped ~0.18s. Generous bound for CI.
-    assert elapsed < 0.29, elapsed
+    # serial would be ~0.64s; overlapped ~0.36s. The 0.55 bound keeps
+    # ~90ms of scheduler-jitter headroom while still failing if the
+    # pipeline ever serializes.
+    assert elapsed < 0.55, elapsed

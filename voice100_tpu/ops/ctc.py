@@ -89,8 +89,9 @@ def _ctc_mode(blank: int, batch: int) -> str:
 
 
 def _kernel_interpret() -> bool:
-    # CPU can only interpret Pallas; real backends compile it
-    return jax.default_backend() == "cpu"
+    from ..parallel.mesh import pallas_interpret
+
+    return pallas_interpret()
 
 
 def _extend_with_blanks(targets: jnp.ndarray, blank: int) -> jnp.ndarray:

@@ -469,8 +469,9 @@ def _dir_xg(p, x, reverse, bf16=False):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _bilstm_op(bf16, layer_params, x, lengths):
-    # CPU can only interpret Pallas; real backends compile it
-    interpret = jax.default_backend() == "cpu"
+    from ..parallel.mesh import pallas_interpret
+
+    interpret = pallas_interpret()
     return _bilstm_pallas_impl(layer_params, x, lengths, interpret=interpret)
 
 
@@ -482,7 +483,9 @@ def _stack_whh(layer_params):
 
 
 def _bilstm_op_fwd(bf16, layer_params, x, lengths):
-    interpret = jax.default_backend() == "cpu"
+    from ..parallel.mesh import pallas_interpret
+
+    interpret = pallas_interpret()
     lengths32 = lengths.astype(jnp.int32)
     # xg is saved as a residual: the backward would otherwise recompute
     # both input projections (the two largest matmuls in the layer)
@@ -514,7 +517,9 @@ def _bilstm_op_bwd(bf16, residuals, g):
 
     layer_params, x, lengths, states, xg_f, xg_b = residuals
     hidden = states["fwd"][0].shape[-1]
-    interpret = jax.default_backend() == "cpu"
+    from ..parallel.mesh import pallas_interpret
+
+    interpret = pallas_interpret()
     lengths32 = lengths.astype(jnp.int32)
     x_tm = jnp.swapaxes(x, 0, 1)  # [T, B, D]
 

@@ -37,6 +37,13 @@ __all__ = [
 ]
 
 
+def pallas_interpret() -> bool:
+    """Whether Pallas kernels must run in interpret mode: only TPU
+    backends compile the pltpu kernels; anything else (cpu tests, a
+    forced GPU shard run) would fail to lower at trace time."""
+    return jax.default_backend() in ("cpu", "gpu")
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data: Optional[int] = None,

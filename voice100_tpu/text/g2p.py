@@ -720,7 +720,16 @@ class G2P:
         "pathy": 2,
     }
     _FINAL_STRESS = ("ee", "eed", "teen", "oon", "esque", "ique", "ade",
-                     "eer", "ette", "aire", "stand")
+                     "eer", "ette", "aire")
+
+    @classmethod
+    def _final_stressed(cls, word: str) -> bool:
+        # -stand carries final primary only in the under-/with- family
+        # (understand, withstand); first-element compounds (grandstand,
+        # handstand, kickstand) keep initial stress
+        if word.endswith("stand") and word.startswith(("under", "with")):
+            return True
+        return any(word.endswith(sfx) for sfx in cls._FINAL_STRESS)
 
     # compounds/function words whose SECOND element carries the primary
     # (CMUdict: into IH0 N T UW1, without W IH0 TH AW1 T, sometimes
@@ -832,7 +841,7 @@ class G2P:
                     target = vowels[pos]
                     break
                 pos -= 1
-        elif idxs and any(word.endswith(sfx) for sfx in cls._FINAL_STRESS):
+        elif idxs and cls._final_stressed(word):
             target = idxs[-1]
         elif len(idxs) >= 2 and word in cls._SECOND_STRESS_WORDS:
             target = idxs[1]
