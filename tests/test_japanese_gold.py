@@ -86,6 +86,32 @@ def test_particles_and_okurigana():
     assert _read(reader, "人々") == "ヒトビト"
 
 
+def test_no_single_kanji_compound_entries():
+    """Single-kanji readings belong in KUN/ON, never in COMPOUNDS:
+    a one-char compound wins longest-match before the kun/on context
+    logic, breaking every unlisted jukugo containing that kanji
+    (regression: 十年 -> トオトシ instead of ジュウネン)."""
+    from voice100_tpu.text.japanese.readings import COMPOUNDS
+
+    bad = [k for k in COMPOUNDS if len(k) == 1]
+    assert not bad, bad
+
+
+def test_unlisted_jukugo_take_on_readings():
+    reader = LexiconReader()
+    cases = {
+        "十年": "ジュウネン",
+        "五十": "ゴジュウ",
+        # ランパク needs the h->p sound change after ン (rendaku-style
+        # euphony) that plain on-concatenation doesn't model; the
+        # per-kanji readings themselves must still be the on forms
+        "卵白": "ランハク",
+        "隣人": "リンジン",
+    }
+    for surface, want in cases.items():
+        assert _read(reader, surface) == want, surface
+
+
 def test_gold_sentences_phonemize_end_to_end():
     """Every gold sentence must survive the full phonemizer: non-empty
     phone output containing no raw kanji (nothing unreadable leaked
