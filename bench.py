@@ -298,8 +298,13 @@ def _measure_train_step(model, batch_data, audio_seconds_per_iter,
         _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
         return time.perf_counter() - t0
 
+    # min over repeated windows: the tunneled host flips between a
+    # ~fast and a ~1.4x-slow execution state on minute timescales
+    # (host/link contention); a single window lands in whichever state
+    # is active and under-reports the device. min() filters it the same
+    # way the serving bench's best-of-repeats does.
     iters = 20
-    elapsed_n = timed(iters)
+    elapsed_n = min(timed(iters) for _ in range(3))
     elapsed_1 = min(timed(1), timed(1))
     elapsed = max(elapsed_n - elapsed_1, 1e-6) / (iters - 1) * iters
     throughput = audio_seconds_per_iter * iters / elapsed
