@@ -58,6 +58,9 @@ def _flagship_asr():
     wav = rng.randn(n_samples).astype(np.float32)
     wav = np.cumsum(wav)
     wav = (wav - wav.mean()) / (np.abs(wav).max() + 1e-6)
+    # serve what WAV files actually contain — int16 PCM; the pipeline
+    # uploads it raw and normalizes on device (half the upload bytes)
+    wav = (wav * 32767.0).astype(np.int16)
     clips8 = [wav.copy() for _ in range(8 * 4)]
     clips64 = [wav.copy() for _ in range(64 * 2)]
 
@@ -86,8 +89,9 @@ def _flagship_asr():
         "unit": "x_realtime",
         "vs_baseline": round(rtf8 / 100.0, 3),
         "throughput_rtf_batch64": round(rtf64, 2),
-        "note": "waveform-in to transcript-out via ASRPipeline "
-                "(mel frontend + host token decode included)",
+        "note": "waveform-in (int16 PCM) to transcript-out via "
+                "ASRPipeline (mel frontend + host token decode "
+                "included)",
     }
 
 

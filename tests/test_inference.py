@@ -37,6 +37,68 @@ def test_asr_pipeline_transcribes():
         # untrained model: any decodable string is fine, must not crash
 
 
+def test_asr_pipeline_int16_pcm_matches_float():
+    """int16 PCM input uploads raw and is normalized on device by the
+    exact power-of-two 1/32768 — transcripts must match the float32
+    path bit-for-bit, including mixed-dtype batches (where int16
+    entries are scaled on host into the float batch)."""
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.inference import ASRPipeline
+
+    model = AudioToAlignText(
+        audio_size=64,
+        vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1,
+        decoder_hidden_size=16,
+    )
+    audio = jnp.zeros((1, 101, 64))
+    variables = model.init(
+        jax.random.PRNGKey(0), audio, jnp.asarray([101])
+    )
+    pipe = ASRPipeline(model, variables, batch_size=2,
+                       buckets_sec=(0.5, 1.0))
+    rng = np.random.RandomState(1)
+    pcm = [
+        (rng.randn(4000) * 3000).astype(np.int16),
+        (rng.randn(9000) * 3000).astype(np.int16),
+        (rng.randn(2500) * 3000).astype(np.int16),
+    ]
+    floats = [w.astype(np.float32) / 32768.0 for w in pcm]
+    assert pipe.transcribe(pcm) == pipe.transcribe(floats)
+    mixed = [pcm[0], floats[1], pcm[2]]
+    assert pipe.transcribe(mixed) == pipe.transcribe(floats)
+
+
+def test_streaming_feed_int16_matches_float():
+    from voice100_tpu.inference import StreamingASRSession
+
+    rng = np.random.RandomState(2)
+    pcm = (rng.randn(3200) * 3000).astype(np.int16)
+    buffers = []
+    for chunk in (pcm, pcm.astype(np.float32) / 32768.0):
+        s = StreamingASRSession.__new__(StreamingASRSession)
+        s._buffer = np.zeros(0, np.float32)
+        s._committed_ids = []
+        s._since_decode = 0
+        s.chunk = 10 ** 9  # never triggers a device decode
+
+        class _Tok:
+            def decode(self, ids):
+                return ""
+
+            def merge_repeated(self, s):
+                return s
+
+        class _Pipe:
+            tokenizer = _Tok()
+
+        s.pipeline = _Pipe()
+        StreamingASRSession.feed(s, chunk)
+        buffers.append(s._buffer)
+    np.testing.assert_array_equal(buffers[0], buffers[1])
+
+
 def test_tts_pipeline_synthesizes():
     from voice100_tpu.models import TextToAlignText, AlignTextToAudio
     from voice100_tpu.inference import TTSPipeline

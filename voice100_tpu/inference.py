@@ -94,6 +94,12 @@ class ASRPipeline:
 
     def _features(self, wav, wav_len):
         """Shared mel frontend for the jitted decode paths."""
+        if wav.dtype == jnp.int16:
+            # int16 PCM normalized on device: WAV files store 16-bit
+            # samples, and uploading them raw halves host->device
+            # bandwidth vs a host-side float conversion. 1/32768 is a
+            # power of two, so this is bit-exact with dividing on host.
+            wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
         if self.mel_kernel == "pallas":
             from .ops.melspec_pallas import log_mel_spectrogram_pallas
 
@@ -125,7 +131,9 @@ class ASRPipeline:
         return jax.nn.log_softmax(logits, axis=-1), out_len
 
     def transcribe(self, waveforms: List[np.ndarray]) -> List[str]:
-        """Batch transcription; inputs are float32 mono at sample_rate.
+        """Batch transcription; inputs are mono at sample_rate, either
+        float32 in [-1, 1] or int16 PCM (uploaded raw and normalized
+        on device — half the host->device bytes, bit-identical mel).
 
         Inputs longer than the largest bucket stream through a
         :class:`StreamingASRSession` (block decode with right-context
@@ -160,6 +168,9 @@ class ASRPipeline:
         short = [i for i in range(len(waveforms)) if results[i] is None]
         order = [short[j] for j in np.argsort(
             [len(waveforms[i]) for i in short])]
+        pcm16 = all(
+            np.asarray(waveforms[i]).dtype == np.int16 for i in short
+        )
         pending = []
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
@@ -167,11 +178,14 @@ class ASRPipeline:
                 max(len(waveforms[i]) for i in chunk), self.buckets
             )
             batch = np.zeros(
-                (self.batch_size, max_len), np.float32
+                (self.batch_size, max_len),
+                np.int16 if pcm16 else np.float32,
             )
             lengths = np.zeros(self.batch_size, np.int32)
             for row, i in enumerate(chunk):
-                w = waveforms[i][:max_len]
+                w = np.asarray(waveforms[i])[:max_len]
+                if w.dtype == np.int16 and not pcm16:
+                    w = w.astype(np.float32) * (1.0 / 32768.0)
                 batch[row, : len(w)] = w
                 lengths[row] = len(w)
             if self.mesh is not None:
@@ -323,10 +337,14 @@ class StreamingASRSession:
                 self._base = keep_from_abs
 
     def feed(self, chunk: np.ndarray) -> str:
-        """Append audio; returns the transcript committed so far."""
-        self._buffer = np.concatenate(
-            [self._buffer, np.asarray(chunk, np.float32)]
-        )
+        """Append audio; returns the transcript committed so far.
+        Accepts float32 in [-1, 1] or int16 PCM chunks."""
+        chunk = np.asarray(chunk)
+        if chunk.dtype == np.int16:
+            chunk = chunk.astype(np.float32) * (1.0 / 32768.0)
+        else:
+            chunk = chunk.astype(np.float32)
+        self._buffer = np.concatenate([self._buffer, chunk])
         self._since_decode += len(chunk)
         if self._since_decode >= self.chunk:
             self._since_decode = 0
