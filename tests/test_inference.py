@@ -128,6 +128,16 @@ def test_tts_pipeline_synthesizes():
         assert w.size > 100
         assert np.isfinite(w).all()
 
+    # int16 output is the device-side quantization of the float path
+    pcm = pipe.synthesize(["hello world", "ok"], output_dtype=np.int16)
+    for w16, w32 in zip(pcm, wavs):
+        assert w16.dtype == np.int16
+        assert w16.shape == w32.shape
+        expect = np.round(np.clip(w32, -1.0, 1.0) * 32767.0)
+        np.testing.assert_allclose(
+            w16.astype(np.float32), expect, atol=1.0
+        )
+
 
 def test_asr_pipeline_mesh_dp_matches_single_device():
     """Data-parallel serving over an 8-device mesh returns the exact

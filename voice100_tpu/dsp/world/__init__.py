@@ -157,11 +157,14 @@ class WORLDVocoder:
         logspc_or_mcep: np.ndarray,
         codeap: np.ndarray,
         lengths: np.ndarray,
+        dtype=np.float32,
     ) -> np.ndarray:
         """Batched synthesis on-device: ``[B, T]``/``[B, T, D]`` padded
         features -> ``[B, samples]`` waveforms (vmapped over the batch,
         one compiled program per padded length). Frames at/after
-        ``lengths`` are muted."""
+        ``lengths`` are muted. ``dtype=np.int16`` clips and quantizes
+        to 16-bit PCM on device before the fetch — half the
+        device->host bytes, and what a WAV file stores anyway."""
         import jax
         import jax.numpy as jnp
 
@@ -197,4 +200,8 @@ class WORLDVocoder:
                 frame_period=self.frame_period, noise_key=k,
             )
         )(f0, spc, ap, keys)
+        if np.dtype(dtype) == np.int16:
+            wav = jnp.round(
+                jnp.clip(wav, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
         return np.asarray(wav)

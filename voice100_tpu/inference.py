@@ -426,7 +426,12 @@ class TTSPipeline:
             method=TextToAlignText.align,
         )
 
-    def synthesize(self, texts: List[str]) -> List[np.ndarray]:
+    def synthesize(
+        self, texts: List[str], output_dtype=np.float32
+    ) -> List[np.ndarray]:
+        """``output_dtype=np.int16`` quantizes to 16-bit PCM on device
+        before the fetch (half the device->host bytes; int16 is the
+        WAV storage format the waveforms are headed for anyway)."""
         encoded = [self.tokenizer(self.phonemizer(t)) for t in texts]
         text_bucket = _bucket(
             max(len(e) for e in encoded), self.text_buckets
@@ -472,7 +477,7 @@ class TTSPipeline:
         aligntext_len = np.asarray(aligntext_len)
         audio_lens = np.minimum(aligntext_len * 2, np.asarray(f0).shape[1])
         batch_wav = self.vocoder.decode_batch(
-            f0, feat, np.asarray(codeap), audio_lens
+            f0, feat, np.asarray(codeap), audio_lens, dtype=output_dtype
         )
         hop = self.sample_rate * self.vocoder.frame_period / 1000.0
         wavs = []
@@ -481,5 +486,8 @@ class TTSPipeline:
             # 22.05 kHz (matches the synthesizers' length math)
             n_samples = int(round(max(int(audio_lens[i]) - 1, 1) * hop)) + 1
             wav = batch_wav[i, :n_samples]
-            wavs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
+            if batch_wav.dtype == np.int16:
+                wavs.append(wav)  # clipped + quantized on device
+            else:
+                wavs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
         return wavs
