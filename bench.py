@@ -485,6 +485,14 @@ def _train_loader_bench(precision: str = "32"):
 
     @jax.jit
     def step(params, extra, opt_state, batch, key):
+        # upcast bf16-uploaded features on entry (Trainer.train_step
+        # does the same for upload_dtype="auto")
+        batch = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if a.dtype == jnp.bfloat16 else a,
+            batch,
+        )
+
         def loss_fn(p):
             loss, metrics, new_extra = task.loss(
                 p, extra, batch, key, train=True
@@ -511,9 +519,21 @@ def _train_loader_bench(precision: str = "32"):
 
     audio_acc = []
 
+    upload_bf16 = precision in ("16", "bf16")
+
     def place(batch):
         (_audio, audio_len), _text = batch
         audio_acc.append(float(np.sum(audio_len)) / 100.0)
+        if upload_bf16:
+            # mirror Trainer's upload_dtype="auto": float features
+            # upload as bf16 (half the bytes over the link)
+            import ml_dtypes
+
+            batch = jax.tree_util.tree_map(
+                lambda a: a.astype(ml_dtypes.bfloat16)
+                if getattr(a, "dtype", None) == np.float32 else a,
+                batch,
+            )
         return jax.device_put(batch)
 
     t0 = time.perf_counter()

@@ -101,6 +101,21 @@ def test_server_endpoints():
         server.stop()
 
 
+def test_parse_wav_keep_int16_matches_float():
+    """keep_int16 returns the raw PCM samples; scaling them by 1/32768
+    reproduces the default float parse exactly."""
+    rng = np.random.RandomState(3)
+    pcm = (rng.randn(2, 500) * 3000).astype(np.int16)
+    data = write_wav_bytes(pcm, 16000)
+    raw, rate = parse_wav(data, keep_int16=True)
+    assert raw.dtype == np.int16 and rate == 16000
+    np.testing.assert_array_equal(raw, pcm)
+    flt, _ = parse_wav(data)
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) / 32768.0, flt
+    )
+
+
 def test_server_without_models_rejects():
     server = SpeechServer(None, None, port=0)
     port = server.start()

@@ -354,6 +354,33 @@ def test_bf16_precision_training(corpus, tmp_path):
         loss16, loss32)
 
 
+def test_upload_dtype_resolution_and_bf16_padding():
+    """upload_dtype='auto' follows the precision knob; explicit values
+    override it. Padded bf16 batches keep their dtype."""
+    import ml_dtypes
+
+    from voice100_tpu.parallel.mesh import pad_batch_to_multiple
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    assert Trainer(TrainerConfig(precision="16"))._upload_bf16()
+    assert Trainer(TrainerConfig(precision="bf16"))._upload_bf16()
+    assert not Trainer(TrainerConfig(precision="32"))._upload_bf16()
+    assert Trainer(
+        TrainerConfig(precision="32", upload_dtype="bfloat16")
+    )._upload_bf16()
+    assert not Trainer(
+        TrainerConfig(precision="16", upload_dtype="float32")
+    )._upload_bf16()
+
+    audio = np.zeros((3, 5, 4), ml_dtypes.bfloat16)
+    lens = np.full((3,), 5, np.int32)
+    padded, _ = pad_batch_to_multiple(((audio, lens),), 2)
+    ((audio_p, lens_p),) = padded
+    assert audio_p.dtype == ml_dtypes.bfloat16
+    assert audio_p.shape[0] % 2 == 0
+    assert lens_p.dtype == np.int32
+
+
 def test_cli_predict_align_durations(corpus, tmp_path):
     """predict works for the duration model + AlignTextDataModule
     (writes per-token durations)."""

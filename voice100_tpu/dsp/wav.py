@@ -27,8 +27,15 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return parse_wav(data, name=path)
 
 
-def parse_wav(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
-    """Parse in-memory RIFF WAV bytes (same contract as read_wav)."""
+def parse_wav(
+    data: bytes, name: str = "<bytes>", keep_int16: bool = False
+) -> Tuple[np.ndarray, int]:
+    """Parse in-memory RIFF WAV bytes (same contract as read_wav).
+
+    ``keep_int16=True`` returns 16-bit PCM data as int16 samples
+    without the float conversion (other formats still return float32)
+    — serving paths can then upload the raw PCM to the device and
+    normalize there at half the transfer bytes."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{name}: not a RIFF/WAVE file")
     pos = 12
@@ -53,7 +60,11 @@ def parse_wav(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
     elif audio_format == _WAVE_FORMAT_PCM:
         if bits == 16:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+            if keep_int16:
+                x = np.frombuffer(raw, dtype="<i2")
+            else:
+                x = (np.frombuffer(raw, dtype="<i2")
+                     .astype(np.float32) / 32768.0)
         elif bits == 32:
             x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
         elif bits == 8:

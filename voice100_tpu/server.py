@@ -63,13 +63,19 @@ class SpeechServer:
         else:
             from .dsp.wav import parse_wav
 
-            samples, rate = parse_wav(body)
+            # 16-bit PCM stays int16 so ASRPipeline can upload it raw
+            # (half the host->device bytes, normalized on device)
+            samples, rate = parse_wav(body, keep_int16=True)
             wav = samples[0]
         target = getattr(self.asr, "sample_rate", 16000)
         if rate != target:
             from .dsp.resample import resample
 
+            if wav.dtype == np.int16:
+                wav = wav.astype(np.float32) * (1.0 / 32768.0)
             wav = resample(wav, rate, target)
+        if wav.dtype == np.int16:
+            return wav
         return np.asarray(wav, np.float32)
 
     def handle_transcribe(self, body: bytes, headers) -> dict:
@@ -78,7 +84,9 @@ class SpeechServer:
         wav = self._decode_audio_body(body, headers)
         if hasattr(self.asr, "batch_size"):  # ASRPipeline
             text = self.asr.transcribe([wav])[0]
-        else:  # OnnxASR
+        else:  # OnnxASR (float-only frontend)
+            if wav.dtype == np.int16:
+                wav = wav.astype(np.float32) * (1.0 / 32768.0)
             text = self.asr.transcribe(wav)
         return {"text": text}
 

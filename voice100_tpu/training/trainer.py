@@ -23,6 +23,7 @@ from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -61,6 +62,14 @@ class TrainerConfig:
     # stay f32 (measured slower in bf16). The scan LSTM path honors the
     # same knob by casting its matmul operands.
     precision: str = "32"
+    # host->device dtype for float train-batch arrays: "auto" uploads
+    # bfloat16 when precision is bf16 (half the upload bytes; the step
+    # upcasts to f32 on entry, so only the input quantization changes
+    # — compute precision is still governed by `precision`), float32
+    # otherwise. Set "float32"/"bfloat16" to force either way.
+    # Validation batches always upload f32 so val metrics are
+    # precision-knob-independent.
+    upload_dtype: str = "auto"
 
 
 @dataclass
@@ -98,6 +107,15 @@ class Trainer:
     def _make_step_fns(self, task: Task, optimizer):
         @partial(jax.jit, donate_argnums=(0, 2))
         def train_step(params, extra, opt_state, batch, rng):
+            # bf16-uploaded batches (TrainerConfig.upload_dtype) carry
+            # quantized values; upcast so augmentation and losses run
+            # in f32 exactly as with f32 uploads
+            batch = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if a.dtype == jnp.bfloat16 else a,
+                batch,
+            )
+
             def loss_fn(p):
                 loss, metrics, new_extra = task.loss(
                     p, extra, batch, rng, train=True
@@ -193,7 +211,8 @@ class Trainer:
         )
         self._log({"event": "fit_start", "params": n_params,
                    "steps_per_epoch": steps_per_epoch,
-                   "devices": len(jax.devices())})
+                   "devices": len(jax.devices()),
+                   "upload": "bf16" if self._upload_bf16() else "f32"})
 
         # graceful interruption: SIGTERM/SIGINT (preemption, ^C) request
         # a stop; the loop finishes the current step, saves 'last', and
@@ -272,6 +291,16 @@ class Trainer:
         step, saving the 'last' checkpoint."""
         self._stop_requested = True
 
+    def _upload_bf16(self) -> bool:
+        cfg = self.config
+        mode = str(cfg.upload_dtype)
+        if mode in ("bfloat16", "bf16", "16"):
+            return True
+        if mode == "auto":
+            return str(cfg.precision) in ("16", "bf16", "bfloat16",
+                                          "16-mixed")
+        return False
+
     def _prefetched(self, loader):
         """Pad + shard + device_put batches with a 2-deep background
         window so the host->device upload of batch N+1 overlaps the
@@ -281,8 +310,20 @@ class Trainer:
         from ..data.prefetch import DevicePrefetcher
 
         data_axis = self.mesh.shape["data"]
+        upload_bf16 = self._upload_bf16()
 
         def place(batch):
+            if upload_bf16:
+                # halve the upload bytes: float features quantize to
+                # bf16 on the prefetch thread; the train step upcasts
+                # on entry (compute stays per the precision knob)
+                import ml_dtypes
+
+                batch = jax.tree_util.tree_map(
+                    lambda a: a.astype(ml_dtypes.bfloat16)
+                    if getattr(a, "dtype", None) == np.float32 else a,
+                    batch,
+                )
             batch, _ = pad_batch_to_multiple(batch, data_axis)
             return shard_batch(batch, self.mesh)
 
