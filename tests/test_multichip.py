@@ -176,6 +176,20 @@ def test_dp_kernel_path_matches_single_device():
     np.testing.assert_allclose(dp8_kernel, single, rtol=0, atol=1e-4)
 
 
+def test_dp_tp_kernel_path_matches_single_device():
+    """DP(4)xTP(2) with the Pallas kernels fleet-flattened under
+    shard_map (batch over 'data' x 'model', TP-sharded LSTM weights
+    all-gathered inside the map): one full train step must match the
+    single-device scan step."""
+    from voice100_tpu.ops import ctc as ctc_mod, lstm as lstm_mod
+
+    single = _one_step_losses(1, 1)
+    dp4_tp2_kernel = _one_step_losses(4, 2, shard_kernels=True)
+    assert lstm_mod.last_kernel_mode() == "shard"
+    assert ctc_mod.last_kernel_mode() == "shard"
+    np.testing.assert_allclose(dp4_tp2_kernel, single, rtol=0, atol=1e-4)
+
+
 def test_viterbi_shard_path_exact():
     """Forced alignment through the sharded Pallas Viterbi matches the
     single-device scan exactly (integer path/labels, f32 score)."""
@@ -208,9 +222,9 @@ def test_viterbi_shard_path_exact():
 
 
 def test_trainer_engages_kernel_sharding_when_forced(monkeypatch):
-    """Trainer._kernel_ctx returns the kernel_sharding context for a
-    pure-DP mesh when VOICE100_TPU_SHARD_KERNELS=1 (and a nullcontext
-    for TP meshes, where the weights themselves are sharded)."""
+    """Trainer._kernel_ctx returns the kernel_sharding context for any
+    multi-device mesh when VOICE100_TPU_SHARD_KERNELS=1 — pure DP and
+    TP alike (TP meshes run the kernels fleet-flattened)."""
     import contextlib
 
     from voice100_tpu.parallel.mesh import active_kernel_mesh
@@ -224,7 +238,10 @@ def test_trainer_engages_kernel_sharding_when_forced(monkeypatch):
     assert active_kernel_mesh() is None
 
     trainer.mesh = make_mesh(jax.devices(), data=4, model=2)
-    assert isinstance(trainer._kernel_ctx(), contextlib.nullcontext)
+    with trainer._kernel_ctx():
+        assert active_kernel_mesh() is trainer.mesh
+    assert active_kernel_mesh() is None
+    assert trainer._pad_multiple() == 8  # fleet-flattened batch split
 
     # explicit opt-out wins even on a DP mesh
     monkeypatch.setenv("VOICE100_TPU_SHARD_KERNELS", "0")

@@ -45,10 +45,11 @@ def _ctc_mode(blank: int, batch: int) -> str:
     pays ~130 ms/step in per-step overhead at asr_en_base shapes, ~77%
     of the whole training step. Default on single-device TPU.
     'shard': the same kernels per-shard via jax.shard_map over the
-    'data' axis of the mesh declared by parallel.mesh.kernel_sharding
-    (pallas_call does not auto-partition under GSPMD).
-    'scan': the lax.scan lattice (CPU/GPU, blank != 0, tensor-parallel
-    meshes).
+    batch axes of the mesh declared by parallel.mesh.kernel_sharding
+    (pallas_call does not auto-partition under GSPMD; tensor-parallel
+    meshes split the batch over the whole fleet).
+    'scan': the lax.scan lattice (CPU/GPU, blank != 0, batches not
+    divisible by the fleet).
 
     Override with VOICE100_TPU_CTC_KERNEL=pallas|scan. The kernels are
     blank=0 only (the framework's tokenizers reserve id 0,
@@ -64,17 +65,17 @@ def _ctc_mode(blank: int, batch: int) -> str:
         return "pallas"
     if forced == "scan":
         return "scan"
-    from ..parallel.mesh import active_kernel_mesh
+    from ..parallel.mesh import active_kernel_mesh, kernel_batch_divisor
 
     mesh = active_kernel_mesh()
     if mesh is not None:
-        data = mesh.shape.get("data", 1)
-        if batch % max(data, 1) == 0:
+        div = kernel_batch_divisor(mesh)
+        if batch % div == 0:
             return "shard"
         logging.getLogger(__name__).warning(
             "kernel_sharding mesh active but batch %d is not divisible "
-            "by the data axis (%d); falling back to the scan CTC",
-            batch, data,
+            "by the mesh fleet (%d); falling back to the scan CTC",
+            batch, div,
         )
         return "scan"
     if jax.default_backend() in ("cpu", "gpu"):

@@ -241,12 +241,14 @@ def _kernel_mode(dropout_rng, compute_dtype=None, batch: int = 0) -> str:
     'pallas': direct Pallas kernels — the grid-over-time inference
     kernel (2.2x over the scan on v5e) and, under differentiation, the
     direction-fused custom-VJP pair. Default on single-device TPU.
-    'shard': the same kernels wrapped in jax.shard_map over the 'data'
-    axis of the mesh declared via parallel.mesh.kernel_sharding — the
-    data-parallel fast path (pallas_call does not auto-partition under
-    GSPMD, so without this a sharded mesh loses the kernel speedup).
+    'shard': the same kernels wrapped in jax.shard_map over the batch
+    axes of the mesh declared via parallel.mesh.kernel_sharding
+    (pallas_call does not auto-partition under GSPMD, so without this a
+    sharded mesh loses the kernel speedup). Pure-DP meshes split the
+    batch over 'data'; tensor-parallel meshes split it over the whole
+    fleet with the small LSTM weights all-gathered inside the map.
     'scan': the lax.scan fallback (CPU/GPU, non-bf16 reduced dtypes,
-    tensor-parallel meshes where the weights themselves are sharded).
+    batches not divisible by the fleet).
 
     Override with VOICE100_TPU_LSTM_KERNEL=pallas|scan. The bf16
     precision knob routes to the Pallas mixed-precision path (bf16
@@ -266,17 +268,17 @@ def _kernel_mode(dropout_rng, compute_dtype=None, batch: int = 0) -> str:
         # only bf16 has a Pallas mixed-precision path (bf16 projections
         # and streaming, f32 recurrence); other dtypes keep the scan
         return "scan"
-    from ..parallel.mesh import active_kernel_mesh
+    from ..parallel.mesh import active_kernel_mesh, kernel_batch_divisor
 
     mesh = active_kernel_mesh()
     if mesh is not None:
-        data = mesh.shape.get("data", 1)
-        if batch % max(data, 1) == 0:
+        div = kernel_batch_divisor(mesh)
+        if batch % div == 0:
             return "shard"
         logging.getLogger(__name__).warning(
             "kernel_sharding mesh active but batch %d is not divisible "
-            "by the data axis (%d); falling back to the scan LSTM",
-            batch, data,
+            "by the mesh fleet (%d); falling back to the scan LSTM",
+            batch, div,
         )
         return "scan"
     backend = jax.default_backend()

@@ -252,10 +252,16 @@ def _kernel_train_fwd(vf_ref, vb_ref, xgf_ref, xgb_ref, whh_ref,
         c_ref[...] = c
         outf_ref[k] = h[0] * valid[0]
         outb_ref[k] = h[1] * valid[1]
-        hf_ref[k] = h[0]
-        hb_ref[k] = h[1]
-        cf_ref[k] = c[0]
-        cb_ref[k] = c[1]
+        # save the PRE-update state at index k: it is exactly the
+        # h_prev/c_prev the backward kernel needs for step k, so the
+        # backward reads these buffers directly instead of building
+        # time-shifted copies (which round-tripped ~0.6 GB of HBM per
+        # layer per step). bf16 storage under the mixed-precision flag
+        # halves the stream again.
+        hf_ref[k] = h_prev[0].astype(hf_ref.dtype)
+        hb_ref[k] = h_prev[1].astype(hb_ref.dtype)
+        cf_ref[k] = c_prev[0].astype(cf_ref.dtype)
+        cb_ref[k] = c_prev[1].astype(cb_ref.dtype)
 
 
 def _kernel_train_bwd(vf_ref, vb_ref, xgf_ref, xgb_ref, hpf_ref, hpb_ref,
@@ -271,8 +277,12 @@ def _kernel_train_bwd(vf_ref, vb_ref, xgf_ref, xgb_ref, hpf_ref, hpb_ref,
     whh = whh_ref[...]  # [2, H, 4H]
     block = xgf_ref.shape[0]
     for k in range(block - 1, -1, -1):  # reverse within the block
-        h_prev = jnp.stack([hpf_ref[k], hpb_ref[k]])  # [2, BB, H]
-        c_prev = jnp.stack([cpf_ref[k], cpb_ref[k]])
+        # pre-update states straight from the forward kernel's outputs
+        # (possibly bf16-stored); recurrence math stays f32
+        h_prev = jnp.stack(
+            [hpf_ref[k], hpb_ref[k]]
+        ).astype(jnp.float32)  # [2, BB, H]
+        c_prev = jnp.stack([cpf_ref[k], cpb_ref[k]]).astype(jnp.float32)
         xg_k = jnp.stack([xgf_ref[k], xgb_ref[k]])
         # recompute the cell (same math as forward)
         _, c_cand, (i, f, g, o) = _lstm_cell_batched(
@@ -334,12 +344,16 @@ def _pad_tb(a, pad_t, pad_b):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "state_dtype", "interpret")
+)
 def _lstm_train_fwd_pair(xg_f, xg_b, whh2, lengths, block_t,
-                         interpret=False):
+                         state_dtype=jnp.float32, interpret=False):
     """Both directions in one kernel. xg_f/xg_b [T, B, 4H] (xg_b
     pre-reversed in time, f32 or bf16), whh2 [2, H, 4H] ->
-    per-direction (out, h_seq, c_seq) [T, B, H] tuples."""
+    per-direction (out, h_prev_seq, c_prev_seq) [T, B, H] tuples.
+    The state sequences hold the PRE-update state of each step (row k
+    is the state entering step k) in ``state_dtype``."""
     time, batch, gates4 = xg_f.shape
     hidden = gates4 // 4
     pad_t = -(-time // block_t) * block_t
@@ -361,7 +375,10 @@ def _lstm_train_fwd_pair(xg_f, xg_b, whh2, lengths, block_t,
                           memory_space=pltpu.VMEM)
     shapes = [
         jax.ShapeDtypeStruct((pad_t, pad_b, hidden), jnp.float32)
-        for _ in range(6)
+        for _ in range(2)
+    ] + [
+        jax.ShapeDtypeStruct((pad_t, pad_b, hidden), state_dtype)
+        for _ in range(4)
     ]
     out_f, out_b, hs_f, hs_b, cs_f, cs_b = pl.pallas_call(
         _kernel_train_fwd,
@@ -388,11 +405,11 @@ def _lstm_train_fwd_pair(xg_f, xg_b, whh2, lengths, block_t,
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def _lstm_train_bwd_pair(xg_f, xg_b, whh2, lengths, states, dout_f,
                          dout_b, block_t, interpret=False):
-    """Both directions' dG in one kernel; returns per-direction
-    (dg [T, B, 4H], h_prev [T, B, H]) tuples. dg streams out in bf16
-    when xg streams in bf16."""
+    """Both directions' dG in one kernel; returns (dg_f, dg_b)
+    [T, B, 4H]. dg streams out in bf16 when xg streams in bf16.
+    ``states`` holds the forward kernel's PRE-update state sequences,
+    consumed directly (no time-shifted copies)."""
     time, batch, gates4 = xg_f.shape
-    hidden = gates4 // 4
     bf16 = xg_f.dtype == jnp.bfloat16
     pad_t = -(-time // block_t) * block_t
     pad_b = -(-batch // BLOCK_B_TRAIN) * BLOCK_B_TRAIN
@@ -400,15 +417,11 @@ def _lstm_train_bwd_pair(xg_f, xg_b, whh2, lengths, states, dout_f,
     valid_f = _dir_valid(time, pad_t, pad_b, lengths, False)
     valid_b = _dir_valid(time, pad_t, pad_b, lengths, True)
 
-    zeros = jnp.zeros((1, batch, hidden), jnp.float32)
-    hp, cp = {}, {}
-    for d, (h_seq, c_seq) in states.items():
-        hp[d] = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
-        cp[d] = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
+    hidden = gates4 // 4
+    (hp_f, cp_f), (hp_b, cp_b) = states["fwd"], states["bwd"]
     pads = [
         _pad_tb(a, pad_t, pad_b)
-        for a in (xg_f, xg_b, hp["fwd"], hp["bwd"], cp["fwd"], cp["bwd"],
-                  dout_f, dout_b)
+        for a in (xg_f, xg_b, hp_f, hp_b, cp_f, cp_b, dout_f, dout_b)
     ]
 
     # reverse time grid: block t processes time block (n_t - 1 - t)
@@ -447,8 +460,7 @@ def _lstm_train_bwd_pair(xg_f, xg_b, whh2, lengths, states, dout_f,
         compiler_params=_TRAIN_COMPILER_PARAMS,
         interpret=interpret,
     )(valid_f, valid_b, *pads[:2], *pads[2:6], *pads[6:], whh2)
-    trim = lambda a: a[:time, :batch]  # noqa: E731
-    return ((trim(dg_f), trim(hp["fwd"])), (trim(dg_b), trim(hp["bwd"])))
+    return dg_f[:time, :batch], dg_b[:time, :batch]
 
 
 def _dir_xg(p, x, reverse, bf16=False):
@@ -494,6 +506,7 @@ def _bilstm_op_fwd(bf16, layer_params, x, lengths):
     (out_f, hs_f, cs_f), (out_b, hs_b, cs_b) = _lstm_train_fwd_pair(
         xg_f, xg_b, _stack_whh(layer_params), lengths32,
         block_t=_block_t_train(bf16, backward=False),
+        state_dtype=jnp.bfloat16 if bf16 else jnp.float32,
         interpret=interpret,
     )
     result = jnp.concatenate(
@@ -536,10 +549,11 @@ def _bilstm_op_bwd(bf16, residuals, g):
 
     d_params = {}
     d_x = 0.0
-    for (direction, reverse), (dg, h_prev) in zip(
+    for (direction, reverse), dg in zip(
         (("fwd", False), ("bwd", True)), pair
     ):
         p = layer_params[direction]
+        h_prev = states[direction][0]  # pre-update h, ready for dW_hh
         if reverse:  # back to natural time order for the big matmuls
             dg = dg[::-1]
             h_prev = h_prev[::-1]

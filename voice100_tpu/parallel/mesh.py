@@ -34,6 +34,8 @@ __all__ = [
     "pad_batch_to_multiple",
     "kernel_sharding",
     "active_kernel_mesh",
+    "kernel_batch_axes",
+    "kernel_batch_divisor",
 ]
 
 
@@ -149,9 +151,9 @@ def kernel_sharding(mesh: Optional[Mesh]):
 
     Under this context the Pallas LSTM/CTC kernels run per-shard via
     ``jax.shard_map`` instead of silently falling back to the scan
-    implementations. Only valid for pure-DP layouts (weights must not be
-    sharded over a 'model' axis); the Trainer enforces that before
-    entering.
+    implementations. On tensor-parallel meshes the kernels run
+    fleet-flattened (batch over 'data' x 'model', weights all-gathered
+    inside the shard_map — see :func:`kernel_batch_axes`).
     """
     global _KERNEL_MESH
     prev = _KERNEL_MESH
@@ -167,18 +169,44 @@ def active_kernel_mesh() -> Optional[Mesh]:
     return _KERNEL_MESH
 
 
+def kernel_batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the kernel shard_map splits the batch over.
+
+    Pure DP splits over 'data'. On a tensor-parallel mesh the LSTM/CTC
+    weights are small (a few MB), so instead of forfeiting the Pallas
+    kernels the batch splits over the WHOLE fleet ('data' x 'model'):
+    inside the shard_map the weights are replicated (GSPMD all-gathers
+    the TP shards once per step) and every device runs the kernel on
+    batch/(data*model) rows. Gradient psums from the shard_map
+    transpose reduce over both axes — the full DP gradient.
+    """
+    if mesh.shape.get("model", 1) > 1:
+        return ("data", "model")
+    return ("data",)
+
+
+def kernel_batch_divisor(mesh: Mesh) -> int:
+    """Batch rows must divide this for the kernel shard path."""
+    n = 1
+    for axis in kernel_batch_axes(mesh):
+        n *= mesh.shape.get(axis, 1)
+    return max(n, 1)
+
+
 def data_shard_map(fn, mesh: Mesh, n_batch_args: int, n_static_args: int = 0):
-    """Wrap ``fn(*replicated, *batched)`` in shard_map over 'data'.
+    """Wrap ``fn(*replicated, *batched)`` in shard_map over the kernel
+    batch axes (see :func:`kernel_batch_axes`).
 
     The first ``n_static_args`` arguments are replicated (P()); the last
-    ``n_batch_args`` are sharded on their leading axis (P('data')).
+    ``n_batch_args`` are sharded on their leading axis.
     ``check_vma=False`` because pallas_call is not varying-axis aware;
     shard_map's transpose then conservatively psums cotangents of the
     replicated arguments, which is exactly the DP gradient all-reduce.
     """
-    in_specs = (P(),) * n_static_args + (P("data"),) * n_batch_args
+    axes = kernel_batch_axes(mesh)
+    in_specs = (P(),) * n_static_args + (P(axes),) * n_batch_args
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
+        fn, mesh=mesh, in_specs=in_specs, out_specs=P(axes),
         check_vma=False,
     )
 

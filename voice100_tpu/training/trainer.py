@@ -254,30 +254,24 @@ class Trainer:
     def _kernel_ctx(self):
         """Context under which step functions are traced.
 
-        Pure-DP multi-device meshes declare kernel_sharding so the
-        Pallas LSTM/CTC fast paths run per-shard via shard_map instead
-        of silently falling back to the scans (the round-2 perf cliff:
-        ~6x step throughput on a pod slice). Engaged by default on TPU
+        Multi-device meshes declare kernel_sharding so the Pallas
+        LSTM/CTC fast paths run per-shard via shard_map instead of
+        silently falling back to the scans (the round-2 perf cliff:
+        ~6x step throughput on a pod slice). Pure DP splits the batch
+        over 'data'; tensor-parallel meshes run the kernels
+        fleet-flattened (batch over 'data' x 'model', the small
+        LSTM/CTC operands all-gathered inside the map — see
+        parallel.mesh.kernel_batch_axes). Engaged by default on TPU
         backends; on CPU/GPU (where the kernels only run in interpret
         mode) set VOICE100_TPU_SHARD_KERNELS=1 to force it — the
         multichip tests and driver dryrun do.
         """
         import contextlib
-        import logging
 
         mesh = self.mesh
-        if mesh is None or mesh.shape.get("data", 1) <= 1:
-            return contextlib.nullcontext()
-        log = logging.getLogger(__name__)
-        if mesh.shape.get("model", 1) > 1:
-            if jax.default_backend() not in ("cpu", "gpu"):
-                log.warning(
-                    "tensor-parallel mesh (model=%d): the Pallas "
-                    "LSTM/CTC kernels fall back to lax.scan because "
-                    "the weights are sharded; expect lower step "
-                    "throughput than a pure-DP layout",
-                    mesh.shape["model"],
-                )
+        if mesh is None or (
+            mesh.shape.get("data", 1) * mesh.shape.get("model", 1) <= 1
+        ):
             return contextlib.nullcontext()
         forced = os.environ.get("VOICE100_TPU_SHARD_KERNELS")
         if forced == "0":
@@ -285,6 +279,20 @@ class Trainer:
         if jax.default_backend() in ("cpu", "gpu") and forced != "1":
             return contextlib.nullcontext()
         return kernel_sharding(mesh)
+
+    def _pad_multiple(self) -> int:
+        """Batch-axis multiple the loader pads to: the kernel fleet
+        size when the shard kernels will engage (so a TP mesh's
+        fleet-flattened batch split divides), else the 'data' axis."""
+        import contextlib
+
+        from ..parallel.mesh import kernel_batch_divisor
+
+        if self.mesh is None:
+            return 1
+        if isinstance(self._kernel_ctx(), contextlib.nullcontext):
+            return self.mesh.shape["data"]
+        return kernel_batch_divisor(self.mesh)
 
     def request_stop(self) -> None:
         """Programmatic equivalent of SIGTERM: stop after the current
@@ -309,7 +317,7 @@ class Trainer:
         voice100/data_modules.py:628-666)."""
         from ..data.prefetch import DevicePrefetcher
 
-        data_axis = self.mesh.shape["data"]
+        data_axis = self._pad_multiple()
         upload_bf16 = self._upload_bf16()
 
         def place(batch):
