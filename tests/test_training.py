@@ -447,3 +447,38 @@ def test_graceful_stop_saves_last_and_resumes(corpus, tmp_path):
         restore_from=os.path.join(ckpt, "last"),
     )
     assert state2.step > state.step
+
+
+def test_merge_world_stats_accepts_torch_pt(tmp_path):
+    """Reference ``{ds}-stat.pt`` torch state dicts
+    (voice100/calc_stat.py:59-68) load directly into WORLDNorm
+    variables — migrated corpora keep their statistics files."""
+    import numpy as np
+    import torch
+
+    from voice100_tpu.training.checkpoint import merge_world_stats
+
+    stats = {
+        "f0_mean": torch.tensor([123.0]),
+        "f0_std": torch.tensor([17.0]),
+        "logspc_mean": torch.arange(25, dtype=torch.float32),
+        "logspc_std": torch.ones(25),
+        "codeap_mean": torch.tensor([-3.0]),
+        "codeap_std": torch.tensor([0.5]),
+    }
+    pt_path = str(tmp_path / "dummy-stat.pt")
+    torch.save(stats, pt_path)
+
+    variables = {
+        "params": {},
+        "world_norm": {
+            "norm": {
+                k: np.zeros_like(np.asarray(v)) for k, v in stats.items()
+            }
+        },
+    }
+    merged = merge_world_stats(variables, pt_path)
+    target = merged["world_norm"]["norm"]
+    for k, v in stats.items():
+        np.testing.assert_allclose(target[k], np.asarray(v))
+        assert target[k].dtype == np.float32

@@ -59,8 +59,19 @@ def merge_world_stats(variables: dict, stat_path: str) -> dict:
     """Overwrite WORLDNorm statistics in a variables dict from a
     calc-stat ``.npz`` (keys f0_mean/f0_std/logspc_*/codeap_*) — the
     analogue of the reference's ``norm.load_state_dict(torch.load(...))``
-    (voice100/models/_tts_v2.py:44-45)."""
-    stats = dict(np.load(stat_path))
+    (voice100/models/_tts_v2.py:44-45). Reference ``{ds}-stat.pt``
+    torch state dicts (voice100/calc_stat.py:59-68) load as-is, so
+    migrated corpora keep their statistics files."""
+    if stat_path.endswith((".pt", ".pth", ".ckpt")):
+        import torch
+
+        raw = torch.load(stat_path, map_location="cpu")
+        stats = {
+            k: np.asarray(v) for k, v in raw.items()
+            if hasattr(v, "__array__") or hasattr(v, "numpy")
+        }
+    else:
+        stats = dict(np.load(stat_path))
     wn = variables.get("world_norm")
     if wn is None:
         return variables
