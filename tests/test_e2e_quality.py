@@ -254,3 +254,99 @@ def test_tts_to_asr_round_trip(tmp_path):
     cers = [_char_error_rate(h, r) for h, r in zip(hyps, sentences)]
     print("round-trip CERs:", cers, "hyps:", hyps)
     assert np.mean(cers) < 0.4, (cers, hyps)
+
+
+def _token_error_rate(hyp_tokens, ref_tokens) -> float:
+    m, n = len(hyp_tokens), len(ref_tokens)
+    dp = np.arange(n + 1)
+    for i in range(1, m + 1):
+        prev = dp.copy()
+        dp[0] = i
+        for j in range(1, n + 1):
+            dp[j] = min(
+                prev[j] + 1,
+                dp[j - 1] + 1,
+                prev[j - 1] + (hyp_tokens[i - 1] != ref_tokens[j - 1]),
+            )
+    return dp[n] / max(n, 1)
+
+
+@pytest.mark.slow
+def test_overfit_asr_and_transcribe_ja_phone(tmp_path):
+    """The Japanese phone pipeline end to end: dummy_ja corpus ->
+    phone-mode datamodule (44-symbol Julius vocab) -> CTC training
+    until convergence -> ASRPipeline transcribe in language='ja'
+    phone mode -> phone-token error rate vs the corpus phone files.
+    The JA twin of test_overfit_asr_and_transcribe (the reference
+    trains JA models from the same registry, voice100/README.md)."""
+    import optax
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.dsp.audioio import load_audio
+    from voice100_tpu.inference import ASRPipeline
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.training import make_task
+
+    data_dir = str(tmp_path / "data")
+    make_dummy_corpus(data_dir, language="ja", n_clips=4)
+
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_ja", language="ja", use_phone=True,
+        data_dir=data_dir, cache_dir=str(tmp_path / "cache"),
+        batch_size=4, valid_ratio=0.0,
+    )
+    data.setup("fit")
+    assert data.vocab_size == 44
+    batch = next(iter(data.train_dataloader()))
+
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=44,
+        encoder_settings=((64, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=64,
+    )
+    task = make_task(model)
+    variables = dict(task.init(jax.random.PRNGKey(0), batch))
+    params = variables.pop("params")
+    extra = variables
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            loss, _, _ = task.loss(p, extra, batch, None, train=False)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = None
+    for _ in range(400):
+        params, opt_state, loss = step(params, opt_state)
+    assert float(loss) < 0.35, float(loss)
+
+    refs = {}
+    with open(
+        os.path.join(data_dir, "dummy_ja-phone-train.txt"),
+        encoding="utf-8",
+    ) as f:
+        for line in f:
+            clipid, phone = line.strip().split("|")
+            refs[clipid] = phone.split(" ")
+
+    pipe = ASRPipeline(
+        model, {"params": params, **extra}, batch_size=4,
+        buckets_sec=(2.0,), language="ja", use_phone=True,
+    )
+    root = os.path.join(data_dir, "dummy-speech-ja")
+    clipids = sorted(refs)
+    wavs = [
+        load_audio(os.path.join(root, "wavs", c + ".wav"))
+        for c in clipids
+    ]
+    hyps = pipe.transcribe(wavs)
+    ters = [
+        _token_error_rate(h.split(" "), refs[c])
+        for h, c in zip(hyps, clipids)
+    ]
+    assert float(np.mean(ters)) < 0.25, list(zip(hyps, clipids))
