@@ -373,3 +373,56 @@ def test_tts_pipeline_mesh_dp_matches_single_device():
         assert a.shape == b.shape
         # batch padding changes reduction order; tiny fp drift expected
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_tts_pipeline_long_form_routing():
+    """Texts longer than the largest text bucket synthesize piecewise
+    (split at punctuation/word boundaries) and concatenate — the
+    bucket is no longer a silent truncation limit."""
+    from voice100_tpu.models import TextToAlignText, AlignTextToAudio
+    from voice100_tpu.inference import TTSPipeline
+
+    align = TextToAlignText(vocab_size=29, num_layers=1, hidden_size=16)
+    text = jnp.zeros((1, 8), jnp.int32)
+    align_vars = align.init(jax.random.PRNGKey(0), text, jnp.asarray([8]))
+    audio = AlignTextToAudio(
+        vocab_size=29, logspc_size=25, codeap_size=1,
+        encoder_num_layers=1, encoder_hidden_size=16,
+        decoder_settings=((16, False, 3, 1, 1, False),
+                          (16, True, 5, 2, 2, False)),
+    )
+    audio_vars = audio.init(jax.random.PRNGKey(0), text, jnp.asarray([8]))
+    pipe = TTSPipeline(
+        align, align_vars, audio, audio_vars,
+        language="en", use_phone=False,
+        text_buckets=(32,), frame_buckets=(128, 256),
+    )
+
+    long_text = ("the quick brown fox jumps over the lazy dog. "
+                 "pack my box with five dozen liquor jugs. "
+                 "how vexingly quick daft zebras jump.")
+    assert pipe._encoded_len(long_text) > 32
+
+    pieces = pipe._split_long(long_text)
+    assert len(pieces) > 1
+    for p in pieces:
+        assert pipe._encoded_len(p) <= 32
+    # nothing dropped: the pieces re-join to the original words
+    assert " ".join(pieces).split() == long_text.split()
+
+    short_wav = pipe.synthesize(["a short one"])[0]
+    long_wav, short2 = pipe.synthesize([long_text, "a short one"])
+    assert long_wav.ndim == 1 and np.isfinite(long_wav).all()
+    # the long input renders every piece: it is much longer than a
+    # single max-bucket synthesis could be
+    per_piece_min = short_wav.size  # each piece >= head/tail padding
+    assert long_wav.size > 2 * per_piece_min
+    # the short text is unaffected by sharing a batch with long-form
+    # pieces (same duration model -> same length; synthesis noise may
+    # differ bitwise across batch compositions)
+    assert short2.shape == short_wav.shape
+
+    # unspaced scripts split too (character-level fallback)
+    ja_pipe_split = pipe._split_long("a" * 100)
+    assert all(pipe._encoded_len(p) <= 32 for p in ja_pipe_split)
+    assert "".join(ja_pipe_split) == "a" * 100

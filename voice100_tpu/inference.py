@@ -18,6 +18,7 @@ first-class serving surface, designed for TPU batch inference:
 from __future__ import annotations
 
 import functools
+import re
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -426,12 +427,92 @@ class TTSPipeline:
             method=TextToAlignText.align,
         )
 
+    def _encoded_len(self, text: str) -> int:
+        return len(self.tokenizer(self.phonemizer(text)))
+
+    def _split_long(self, text: str) -> List[str]:
+        """Split a text whose token encoding exceeds the largest text
+        bucket into pieces that each fit: sentence-ish punctuation
+        boundaries first, then word boundaries (characters for
+        unspaced scripts), bisection as a last resort. The reference
+        has no long-input path at all (update_samples.py synthesizes
+        fixed sample sentences); the v2 models are trained on whole
+        utterances, so per-piece synthesis matches training
+        conditions better than one oversized input would."""
+        return self._split_rec(text, max(self.text_buckets), level=0)
+
+    def _split_rec(
+        self, text: str, max_tokens: int, level: int
+    ) -> List[str]:
+        """level 0: sentence punctuation; 1: words (characters for
+        unspaced scripts); 2+: bisection."""
+        if self._encoded_len(text) <= max_tokens or len(text) <= 1:
+            return [text]
+        if level >= 2:
+            mid = len(text) // 2
+            return (
+                self._split_rec(text[:mid], max_tokens, 2)
+                + self._split_rec(text[mid:], max_tokens, 2)
+            )
+        if level == 0:
+            parts = [
+                p.strip() for p in re.split(
+                    r"(?<=[.!?;:,、。！？；，])\s*", text
+                ) if p.strip()
+            ]
+        else:
+            parts = text.split(" ") if " " in text else list(text)
+        if len(parts) <= 1:
+            return self._split_rec(text, max_tokens, level + 1)
+        sep = " " if " " in text else ""
+        pieces: List[str] = []
+        cur = ""
+        for part in parts:
+            cand = (cur + sep + part) if cur else part
+            if cur and self._encoded_len(cand) > max_tokens:
+                pieces.append(cur)
+                cur = part
+            else:
+                cur = cand
+        if cur:
+            pieces.append(cur)
+        out: List[str] = []
+        for p in pieces:
+            if self._encoded_len(p) <= max_tokens:
+                out.append(p)
+            else:
+                out.extend(self._split_rec(p, max_tokens, level + 1))
+        return out
+
     def synthesize(
         self, texts: List[str], output_dtype=np.float32
     ) -> List[np.ndarray]:
         """``output_dtype=np.int16`` quantizes to 16-bit PCM on device
         before the fetch (half the device->host bytes; int16 is the
-        WAV storage format the waveforms are headed for anyway)."""
+        WAV storage format the waveforms are headed for anyway).
+
+        Texts longer than the largest text bucket route through
+        :meth:`_split_long` and are synthesized piecewise in the same
+        bucketed batch, then concatenated (each piece carries the
+        align model's own head/tail silence padding)."""
+        segments: List[str] = []
+        spans: List[tuple] = []
+        for t in texts:
+            pieces = self._split_long(t)
+            spans.append((len(segments), len(pieces)))
+            segments.extend(pieces)
+        if any(count > 1 for _, count in spans):
+            wavs = self._synthesize_batch(segments, output_dtype)
+            return [
+                np.concatenate(wavs[start:start + count])
+                if count > 1 else wavs[start]
+                for start, count in spans
+            ]
+        return self._synthesize_batch(texts, output_dtype)
+
+    def _synthesize_batch(
+        self, texts: List[str], output_dtype=np.float32
+    ) -> List[np.ndarray]:
         encoded = [self.tokenizer(self.phonemizer(t)) for t in texts]
         text_bucket = _bucket(
             max(len(e) for e in encoded), self.text_buckets
