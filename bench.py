@@ -381,6 +381,63 @@ def _train_tts_bench(precision: str = "32"):
     )
 
 
+def _align_bench():
+    """Forced-alignment throughput: audio-seconds aligned per wall
+    second for asr_en_base shapes (batch 64, 10 s clips, 128-token
+    transcripts) through ``AudioToAlignText.ctc_best_path`` — model
+    forward + batched Viterbi lattice + backtrace on device, path
+    fetched to host (what tools/align_text.py runs per batch). The
+    reference aligns ONE utterance at a time in Python/NumPy
+    (voice100/models/align.py:18-66, O(T*L) per clip on CPU)."""
+    from voice100_tpu.models import AudioToAlignText
+
+    model = _make_asr_model()
+    batch, frames, text_len = 64, 1000, 128
+    rng = np.random.RandomState(0)
+    audio = rng.randn(batch, frames, 64).astype(np.float32)
+    audio_len = np.full((batch,), frames, np.int32)
+    text = rng.randint(1, 29, size=(batch, text_len)).astype(np.int32)
+    tlen = np.full((batch,), text_len, np.int32)
+    batch_dev = jax.device_put((audio, audio_len, text, tlen))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(audio[:1]),
+        jnp.asarray(audio_len[:1]),
+    )
+
+    @jax.jit
+    def align(variables, audio, audio_len, text, tlen):
+        res, logits_len = model.apply(
+            variables, audio, audio_len, text, tlen,
+            method=AudioToAlignText.ctc_best_path,
+        )
+        return res.path, res.labels, logits_len
+
+    def run_once():
+        path, labels, _ = align(variables, *batch_dev)
+        return np.asarray(path), np.asarray(labels)
+
+    run_once()  # compile + warm
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run_once()
+        del out
+        return time.perf_counter() - t0
+
+    iters = 10
+    elapsed_n = min(timed(iters) for _ in range(3))
+    elapsed_1 = min(timed(1), timed(1))
+    elapsed = max(elapsed_n - elapsed_1, 1e-6) / (iters - 1) * iters
+    throughput = batch * 10.0 * iters / elapsed
+    return {
+        "metric": "asr_en_base_align_audio_seconds_per_second",
+        "value": round(throughput, 2),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(throughput / 3600.0, 3),  # 1h audio/s scale
+    }
+
+
 _LOADER_BENCH_DIR = "/tmp/voice100_tpu_loader_bench"
 
 
@@ -591,7 +648,7 @@ def main() -> None:
     parser.add_argument(
         "--metric", default="asr",
         choices=["asr", "tts", "train", "train_tts", "train_loader",
-                 "all"],
+                 "align", "all"],
     )
     parser.add_argument("--precision", default="32",
                         choices=["32", "16", "bf16"])
@@ -609,7 +666,8 @@ def main() -> None:
         # contract stays the default single-metric single-line output
         for fn in (_flagship_asr, _tts_bench,
                    lambda: _train_bench(args.precision),
-                   lambda: _train_tts_bench(args.precision)):
+                   lambda: _train_tts_bench(args.precision),
+                   _align_bench):
             print(json.dumps(fn()), flush=True)
         return
     if args.metric == "asr":
@@ -618,6 +676,8 @@ def main() -> None:
         result = _tts_bench()
     elif args.metric == "train_tts":
         result = _train_tts_bench(args.precision)
+    elif args.metric == "align":
+        result = _align_bench()
     else:
         result = _train_bench(args.precision)
     print(json.dumps(result))
