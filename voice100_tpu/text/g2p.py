@@ -707,7 +707,48 @@ class G2P:
                 break
             if not advanced:
                 i += 1
-        return self._apply_stress(phones, word)
+        return self._cmu_conventions(self._apply_stress(phones, word))
+
+    # consonants after which American English drops the /Y/ glide of
+    # long "u" (yod-dropping: juice, pseudo, rhubarb, tune, duty) —
+    # measured in the gold lexicon: Y+UW after these never occurs,
+    # while it is kept after labials/velars (music, cute, few) and,
+    # inconsistently, after L and N (volume, menu vs avenue), which
+    # are therefore left alone.
+    _YOD_DROPPERS = frozenset("S Z R JH CH SH TH T D".split())
+
+    @classmethod
+    def _cmu_conventions(cls, phones: List[str]) -> List[str]:
+        """Normalize rule output to CMUdict transcription conventions.
+
+        - ``AH0 R`` -> ``ER0``: CMUdict never writes an unstressed
+          schwa followed by R (around = ER0 AW1 N D, comfort =
+          K AH1 M F ER0 T); the pair collapses whether the R is a coda
+          or folded into a prevocalic ER (0 occurrences of AH0+R in
+          the gold lexicon).
+        - drop a ``Y`` glide before UW after yod-dropping consonants.
+        """
+        out: List[str] = []
+        i = 0
+        n = len(phones)
+        while i < n:
+            p = phones[i]
+            if p == "AH0" and i + 1 < n and phones[i + 1] == "R":
+                out.append("ER0")
+                i += 2
+                continue
+            if (
+                p == "Y"
+                and i + 1 < n
+                and phones[i + 1].startswith("UW")
+                and out
+                and out[-1] in cls._YOD_DROPPERS
+            ):
+                i += 1
+                continue
+            out.append(p)
+            i += 1
+        return out
 
     # suffixes that pull primary stress to the vowel immediately
     # before them (value = how many vowel phones the suffix itself
