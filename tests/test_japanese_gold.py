@@ -100,16 +100,17 @@ def test_no_single_kanji_compound_entries():
 def test_unlisted_jukugo_take_on_readings():
     reader = LexiconReader()
     cases = {
-        "十年": "ジュウネン",
-        "五十": "ゴジュウ",
-        # ランパク needs the h->p sound change after ン (rendaku-style
-        # euphony) that plain on-concatenation doesn't model; the
-        # per-kanji readings themselves must still be the on forms
-        "卵白": "ランハク",
-        "隣人": "リンジン",
+        "十年": ("ジュウネン",),
+        "五十": ("ゴジュウ",),
+        # correct reading is ランパク (h->p euphony after ン); plain
+        # on-concatenation yields ランハク. Accept either so a future
+        # euphony pass is an improvement, not a test break — the gate
+        # here is that the per-kanji ON forms are selected at all.
+        "卵白": ("ランパク", "ランハク"),
+        "隣人": ("リンジン",),
     }
     for surface, want in cases.items():
-        assert _read(reader, surface) == want, surface
+        assert _read(reader, surface) in want, surface
 
 
 def test_gold_sentences_phonemize_end_to_end():

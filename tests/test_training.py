@@ -381,6 +381,44 @@ def test_upload_dtype_resolution_and_bf16_padding():
     assert lens_p.dtype == np.int32
 
 
+def test_upload_cast_quantizes_inputs_never_targets():
+    """bf16 upload may quantize model INPUT features only; float
+    supervision targets (WORLD f0/logspc/codeap) must upload exactly
+    as collated or the training objective itself changes."""
+    import ml_dtypes
+
+    from voice100_tpu.models import AudioToAlignText, AlignTextToAudio
+    from voice100_tpu.training.tasks import make_task
+
+    def cast(a):
+        return (a.astype(ml_dtypes.bfloat16)
+                if getattr(a, "dtype", None) == np.float32 else a)
+
+    asr = make_task(AudioToAlignText(
+        audio_size=8, vocab_size=29,
+        encoder_settings=((8, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=8,
+    ))
+    audio = np.zeros((2, 6, 8), np.float32)
+    text = np.zeros((2, 4), np.int32)
+    lens = np.full((2,), 4, np.int32)
+    (a, _), (t, _) = asr.upload_cast(((audio, lens), (text, lens)), cast)
+    assert a.dtype == ml_dtypes.bfloat16  # input features quantize
+    assert t.dtype == np.int32
+
+    tts = make_task(AlignTextToAudio(
+        vocab_size=29, logspc_size=25, codeap_size=1,
+        encoder_hidden_size=8,
+    ))
+    f0 = np.zeros((2, 6), np.float32)
+    logspc = np.zeros((2, 6, 25), np.float32)
+    codeap = np.zeros((2, 6, 1), np.float32)
+    batch = ((f0, lens, logspc, codeap), (text, lens))
+    out = tts.upload_cast(batch, cast)
+    for leaf in (out[0][0], out[0][2], out[0][3]):
+        assert leaf.dtype == np.float32, leaf.dtype  # targets untouched
+
+
 def test_cli_predict_align_durations(corpus, tmp_path):
     """predict works for the duration model + AlignTextDataModule
     (writes per-token durations)."""

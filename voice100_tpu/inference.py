@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 import re
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import numpy as np
 import jax
@@ -467,13 +467,22 @@ class TTSPipeline:
         sep = " " if " " in text else ""
         pieces: List[str] = []
         cur = ""
+        cur_len = 0
+        # token length is close to additive over parts, so the greedy
+        # packing runs on per-part encodings (one G2P pass per part,
+        # not per growing candidate — the final per-piece check below
+        # re-encodes once and recurses if the estimate was low)
+        sep_len = 1 if sep else 0
         for part in parts:
-            cand = (cur + sep + part) if cur else part
-            if cur and self._encoded_len(cand) > max_tokens:
+            part_len = self._encoded_len(part)
+            cand_len = (cur_len + sep_len + part_len) if cur else part_len
+            if cur and cand_len > max_tokens:
                 pieces.append(cur)
                 cur = part
+                cur_len = part_len
             else:
-                cur = cand
+                cur = (cur + sep + part) if cur else part
+                cur_len = cand_len
         if cur:
             pieces.append(cur)
         out: List[str] = []
@@ -495,25 +504,42 @@ class TTSPipeline:
         :meth:`_split_long` and are synthesized piecewise in the same
         bucketed batch, then concatenated (each piece carries the
         align model's own head/tail silence padding)."""
+        max_tokens = max(self.text_buckets)
         segments: List[str] = []
+        seg_encoded: List[Any] = []
         spans: List[tuple] = []
         for t in texts:
-            pieces = self._split_long(t)
+            enc = self.tokenizer(self.phonemizer(t))
+            if len(enc) <= max_tokens:
+                # fast path: the one encoding above is reused by
+                # _synthesize_batch — no second G2P pass
+                pieces, piece_enc = [t], [enc]
+            else:
+                pieces = self._split_long(t)
+                piece_enc = [None] * len(pieces)
             spans.append((len(segments), len(pieces)))
             segments.extend(pieces)
+            seg_encoded.extend(piece_enc)
+        wavs = self._synthesize_batch(
+            segments, output_dtype, encoded=seg_encoded
+        )
         if any(count > 1 for _, count in spans):
-            wavs = self._synthesize_batch(segments, output_dtype)
             return [
                 np.concatenate(wavs[start:start + count])
                 if count > 1 else wavs[start]
                 for start, count in spans
             ]
-        return self._synthesize_batch(texts, output_dtype)
+        return wavs
 
     def _synthesize_batch(
-        self, texts: List[str], output_dtype=np.float32
+        self, texts: List[str], output_dtype=np.float32, encoded=None
     ) -> List[np.ndarray]:
-        encoded = [self.tokenizer(self.phonemizer(t)) for t in texts]
+        if encoded is None:
+            encoded = [None] * len(texts)
+        encoded = [
+            e if e is not None else self.tokenizer(self.phonemizer(t))
+            for t, e in zip(texts, encoded)
+        ]
         text_bucket = _bucket(
             max(len(e) for e in encoded), self.text_buckets
         )
@@ -568,7 +594,10 @@ class TTSPipeline:
             n_samples = int(round(max(int(audio_lens[i]) - 1, 1) * hop)) + 1
             wav = batch_wav[i, :n_samples]
             if batch_wav.dtype == np.int16:
-                wavs.append(wav)  # clipped + quantized on device
+                # clipped + quantized on device; copy so the result is
+                # writable and does not pin the whole padded batch
+                # buffer (the float path's clip/astype copies anyway)
+                wavs.append(np.array(wav, dtype=np.int16))
             else:
                 wavs.append(np.clip(wav, -1.0, 1.0).astype(np.float32))
         return wavs

@@ -45,6 +45,22 @@ def _world_target_args(batch):
     return (f0, f0_len, logspc, codeap, t, t_len, g, g_len)
 
 
+def _pair_upload_cast(batch, cast):
+    """bf16-upload policy for ``_pair_args`` layouts: only the first
+    pair's array is a model INPUT (audio features, or int text ids the
+    cast ignores); the second pair is supervision and must upload
+    exactly as collated."""
+    (a, a_len), (b, b_len) = batch
+    return ((cast(a), a_len), (b, b_len))
+
+
+def _no_upload_cast(batch, cast):
+    """World-feature layouts carry float32 supervision targets
+    (f0/logspc/codeap) and integer text inputs — nothing is safe to
+    quantize on upload."""
+    return batch
+
+
 def _scalar_post(model, values):
     return values, {"loss": values}
 
@@ -91,6 +107,12 @@ class Task:
         self.extract_args = extract_args
         self.postprocess = postprocess
         self.mutable = tuple(mutable_collections)
+        # which batch leaves may quantize on bf16 upload
+        # (TrainerConfig.upload_dtype): inputs only, never targets
+        self.upload_cast = (
+            _pair_upload_cast if extract_args is _pair_args
+            else _no_upload_cast
+        )
 
     def init(self, rng, batch):
         """Initialize all variable collections from an example batch."""

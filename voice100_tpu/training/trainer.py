@@ -62,11 +62,13 @@ class TrainerConfig:
     # stay f32 (measured slower in bf16). The scan LSTM path honors the
     # same knob by casting its matmul operands.
     precision: str = "32"
-    # host->device dtype for float train-batch arrays: "auto" uploads
-    # bfloat16 when precision is bf16 (half the upload bytes; the step
-    # upcasts to f32 on entry, so only the input quantization changes
-    # — compute precision is still governed by `precision`), float32
-    # otherwise. Set "float32"/"bfloat16" to force either way.
+    # host->device dtype for float train-batch INPUT arrays: "auto"
+    # uploads bfloat16 when precision is bf16 (half the upload bytes;
+    # the step upcasts to f32 on entry, so only the input quantization
+    # changes — compute precision is still governed by `precision`).
+    # Float supervision targets (e.g. WORLD f0/logspc/codeap) always
+    # upload f32 regardless, so the loss objective never quantizes.
+    # Set "float32"/"bfloat16" to force either way.
     # Validation batches always upload f32 so val metrics are
     # precision-knob-independent.
     upload_dtype: str = "auto"
@@ -158,6 +160,7 @@ class Trainer:
             # not leak into an f32 one
             set_default_compute_dtype(None)
         task = make_task(model)
+        self._task = task
         if self.mesh is None:
             self.mesh = fit_mesh_for_batch(
                 datamodule.batch_size, model=cfg.mesh_model_axis
@@ -320,17 +323,25 @@ class Trainer:
         data_axis = self._pad_multiple()
         upload_bf16 = self._upload_bf16()
 
+        upload_cast = getattr(
+            getattr(self, "_task", None), "upload_cast", None
+        )
+
         def place(batch):
-            if upload_bf16:
-                # halve the upload bytes: float features quantize to
-                # bf16 on the prefetch thread; the train step upcasts
-                # on entry (compute stays per the precision knob)
+            if upload_bf16 and upload_cast is not None:
+                # halve the upload bytes: float INPUT features quantize
+                # to bf16 on the prefetch thread; the train step upcasts
+                # on entry (compute stays per the precision knob). The
+                # task's upload_cast picks only input leaves — float
+                # supervision targets (e.g. WORLD f0/logspc/codeap)
+                # always upload exactly as collated so the training
+                # objective is upload-dtype-independent.
                 import ml_dtypes
 
-                batch = jax.tree_util.tree_map(
+                batch = upload_cast(
+                    batch,
                     lambda a: a.astype(ml_dtypes.bfloat16)
                     if getattr(a, "dtype", None) == np.float32 else a,
-                    batch,
                 )
             batch, _ = pad_batch_to_multiple(batch, data_axis)
             return shard_batch(batch, self.mesh)
