@@ -1,0 +1,147 @@
+"""On-device batched CTC prefix beam search vs the host reference.
+
+With ``topk >= V - 1`` the device decoder considers every non-blank
+symbol per frame, i.e. exactly the host decoder's unpruned candidate
+set — the two then run the same dynamic program and must produce the
+same prefixes (up to float ties, which the random logits avoid by
+being non-degenerate float32 draws).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from voice100_tpu.ops.ctc_beam import ctc_prefix_beam_search  # noqa: E402
+from voice100_tpu.ops.ctc_beam_device import (  # noqa: E402
+    ctc_prefix_beam_search_batched,
+)
+
+
+def _random_log_probs(rng, b, t, v, peak=3.0):
+    x = rng.randn(b, t, v).astype(np.float32) * peak
+    x = x - x.max(axis=-1, keepdims=True)
+    lse = np.log(np.exp(x).sum(axis=-1, keepdims=True))
+    return (x - lse).astype(np.float32)
+
+
+def test_device_beam_matches_host_unpruned():
+    rng = np.random.RandomState(0)
+    b, t, v = 12, 24, 6
+    lp = _random_log_probs(rng, b, t, v)
+    lens = rng.randint(3, t + 1, size=b).astype(np.int32)
+
+    ids, n = ctc_prefix_beam_search_batched(
+        lp, lens, beam_size=8, topk=v - 1
+    )
+    ids, n = np.asarray(ids), np.asarray(n)
+
+    mismatches = 0
+    for i in range(b):
+        want = ctc_prefix_beam_search(
+            lp[i, : lens[i]], beam_size=8, prune_log_prob=-1e9
+        )
+        got = list(ids[i, : n[i]])
+        if got != want:
+            mismatches += 1
+    # identical DP; disagreement would mean a float tie broke the
+    # other way, which these non-degenerate draws do not produce
+    assert mismatches == 0, mismatches
+
+
+def test_device_beam_padding_invariant():
+    """Extra padded frames and extra padded batch rows must not change
+    any decoded sequence."""
+    rng = np.random.RandomState(1)
+    b, t, v = 6, 20, 8
+    lp = _random_log_probs(rng, b, t, v)
+    lens = rng.randint(4, t + 1, size=b).astype(np.int32)
+
+    ids1, n1 = ctc_prefix_beam_search_batched(lp, lens, beam_size=4)
+    # pad time with garbage frames and add two garbage rows
+    pad_t = np.concatenate(
+        [lp, rng.randn(b, 7, v).astype(np.float32)], axis=1
+    )
+    pad_bt = np.concatenate(
+        [pad_t, rng.randn(2, t + 7, v).astype(np.float32)], axis=0
+    )
+    pad_lens = np.concatenate([lens, np.array([5, 9], np.int32)])
+    ids2, n2 = ctc_prefix_beam_search_batched(
+        pad_bt, pad_lens, beam_size=4
+    )
+    ids1, n1 = np.asarray(ids1), np.asarray(n1)
+    ids2, n2 = np.asarray(ids2), np.asarray(n2)
+    for i in range(b):
+        assert n1[i] == n2[i]
+        assert list(ids1[i, : n1[i]]) == list(ids2[i, : n2[i]])
+
+
+def test_device_beam_certain_sequence():
+    """On near-one-hot logits the beam must read off the argmax path's
+    collapsed labels (and match greedy decoding semantics)."""
+    v, t = 5, 12
+    path = [1, 1, 0, 2, 2, 3, 0, 0, 3, 4, 4, 0]  # collapse: 1 2 3 3 4
+    lp = np.full((1, t, v), -20.0, np.float32)
+    for i, s in enumerate(path):
+        lp[0, i, s] = 0.0
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    ids, n = ctc_prefix_beam_search_batched(
+        lp, np.array([t], np.int32), beam_size=4
+    )
+    assert list(np.asarray(ids)[0, : int(n[0])]) == [1, 2, 3, 3, 4]
+
+
+def test_device_beam_sums_alignment_mass():
+    """The canonical case where beam search beats greedy: per-frame
+    argmax is blank, but the summed mass of non-blank alignments wins
+    (Hannun et al. 2014 §2's toy example)."""
+    # two frames: P(blank)=0.4 > P(a)=0.35 > P(b)=0.25 each frame;
+    # greedy reads blank-blank -> ""; prefix mass of "a" is
+    # 0.35*0.4 + 0.4*0.35 + 0.35*0.35 = 0.4025 > P("")=0.16
+    probs = np.array([[0.4, 0.35, 0.25], [0.4, 0.35, 0.25]],
+                     np.float32)
+    lp = np.log(probs)[None]
+    ids, n = ctc_prefix_beam_search_batched(
+        lp, np.array([2], np.int32), beam_size=4
+    )
+    assert list(np.asarray(ids)[0, : int(n[0])]) == [1]
+
+
+@pytest.mark.parametrize("pcm16", [False, True])
+def test_pipeline_device_beam_matches_host_beam(pcm16):
+    """ASRPipeline(beam_size>0) decodes on device by default and must
+    agree with the host decoder on the same model outputs (random
+    model weights give smooth, non-degenerate distributions; no
+    frame's symbol falls below the host pruning threshold)."""
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.inference import ASRPipeline
+
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=16,
+    )
+    rng = np.random.RandomState(2)
+    import jax.numpy as jnp
+
+    mel0 = jnp.zeros((1, 16, 64), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(3), mel0, jnp.asarray([16], jnp.int32)
+    )
+    wavs = [
+        (rng.randn(n).astype(np.float32) * 0.1)
+        for n in (5000, 9000, 16000)
+    ]
+    if pcm16:
+        wavs = [(w * 32767).astype(np.int16) for w in wavs]
+    kwargs = dict(
+        batch_size=4, buckets_sec=(0.5, 1.0, 2.0), beam_size=6,
+        beam_topk=28,
+    )
+    dev = ASRPipeline(model, variables, **kwargs)
+    host = ASRPipeline(model, variables, beam_device=False, **kwargs)
+    got = dev.transcribe(wavs)
+    want = host.transcribe(wavs)
+    assert got == want, (got, want)

@@ -55,16 +55,26 @@ class ASRPipeline:
         mel_kernel: Optional[str] = None,
         mesh=None,
         beam_size: int = 0,
+        beam_device: bool = True,
+        beam_topk: int = 8,
     ) -> None:
         import os
 
-        # beam_size > 0 switches greedy decoding to host-side CTC
-        # prefix beam search over the device-computed log-probs
-        # (strictly better when the model is uncertain; the reference
-        # only decodes greedily). Long-form clips that stream through
-        # StreamingASRSession always decode greedily — beam prefixes
-        # cannot be committed frame-aligned mid-stream.
+        # beam_size > 0 switches greedy decoding to CTC prefix beam
+        # search (strictly better when the model is uncertain; the
+        # reference only decodes greedily). By default the search runs
+        # ON DEVICE as a batched lax.scan (ops/ctc_beam_device.py) —
+        # the host fetches only the decoded [B, L] ids instead of the
+        # full [B, T, V] log-prob tensor, and nothing decodes one clip
+        # at a time in Python. beam_device=False keeps the host
+        # reference decoder (ops/ctc_beam.py). beam_topk bounds the
+        # non-blank extension symbols considered per frame on device.
+        # Long-form clips that stream through StreamingASRSession
+        # always decode greedily — beam prefixes cannot be committed
+        # frame-aligned mid-stream.
         self.beam_size = beam_size
+        self.beam_device = beam_device
+        self.beam_topk = beam_topk
         self.model = model
         self.tokenizer = get_tokenizer(language, use_phone)
         self.sample_rate = sample_rate
@@ -130,6 +140,16 @@ class ASRPipeline:
         mel, mel_len = self._features(wav, wav_len)
         logits, out_len = self.model.apply(variables, mel, mel_len)
         return jax.nn.log_softmax(logits, axis=-1), out_len
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _beam_decode(self, variables, wav, wav_len):
+        from .ops.ctc_beam_device import ctc_prefix_beam_search_batched
+
+        log_probs, out_len = self._log_probs(variables, wav, wav_len)
+        return ctc_prefix_beam_search_batched(
+            log_probs, out_len,
+            beam_size=self.beam_size, topk=self.beam_topk,
+        )
 
     def transcribe(self, waveforms: List[np.ndarray]) -> List[str]:
         """Batch transcription; inputs are mono at sample_rate, either
@@ -198,12 +218,14 @@ class ASRPipeline:
             else:
                 wav_dev = jnp.asarray(batch)
                 len_dev = jnp.asarray(lengths)
-            if self.beam_size > 0:
+            if self.beam_size > 0 and not self.beam_device:
                 out = self._log_probs(self.variables, wav_dev, len_dev)
+            elif self.beam_size > 0:
+                out = self._beam_decode(self.variables, wav_dev, len_dev)
             else:
                 out = self._decode(self.variables, wav_dev, len_dev)
             pending.append((chunk, *out))
-        if self.beam_size > 0:
+        if self.beam_size > 0 and not self.beam_device:
             from .ops.ctc_beam import ctc_prefix_beam_search
 
             for chunk, log_probs, out_len in pending:
@@ -215,6 +237,15 @@ class ASRPipeline:
                         beam_size=self.beam_size,
                     )
                     results[i] = self.tokenizer.decode(prefix)
+            return results  # type: ignore[return-value]
+        if self.beam_size > 0:
+            # device beam: rows are already collapsed label sequences
+            for chunk, ids, n in pending:
+                ids, n = np.asarray(ids), np.asarray(n)
+                for row, i in enumerate(chunk):
+                    results[i] = self.tokenizer.decode(
+                        list(ids[row, : n[row]])
+                    )
             return results  # type: ignore[return-value]
         for chunk, ids, out_len in pending:
             ids = np.asarray(ids)

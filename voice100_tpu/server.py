@@ -210,6 +210,11 @@ def cli_main(argv=None) -> None:
     parser.add_argument("--tts_audio_ckpt")
     parser.add_argument("--language", default="en")
     parser.add_argument("--use_phone", action="store_true")
+    parser.add_argument(
+        "--beam_size", type=int, default=0,
+        help="CTC prefix beam search width for /transcribe (0 = "
+             "greedy); runs batched on device (ops/ctc_beam_device.py)",
+    )
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--platform", default=None)
@@ -226,7 +231,8 @@ def cli_main(argv=None) -> None:
 
         model, variables = _load_model(args.asr_config, args.asr_ckpt)
         asr = ASRPipeline(model, variables, language=args.language,
-                          use_phone=args.use_phone)
+                          use_phone=args.use_phone,
+                          beam_size=args.beam_size)
     tts_flags = (args.tts_align_config, args.tts_align_ckpt,
                  args.tts_audio_config, args.tts_audio_ckpt)
     if any(tts_flags):
