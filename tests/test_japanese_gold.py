@@ -100,17 +100,60 @@ def test_no_single_kanji_compound_entries():
 def test_unlisted_jukugo_take_on_readings():
     reader = LexiconReader()
     cases = {
-        "十年": ("ジュウネン",),
-        "五十": ("ゴジュウ",),
-        # correct reading is ランパク (h->p euphony after ン); plain
-        # on-concatenation yields ランハク. Accept either so a future
-        # euphony pass is an improvement, not a test break — the gate
-        # here is that the per-kanji ON forms are selected at all.
-        "卵白": ("ランパク", "ランハク"),
-        "隣人": ("リンジン",),
+        "十年": "ジュウネン",
+        "五十": "ゴジュウ",
+        # ランパク exercises the post-nasal h->p euphony rule
+        # (yomi._euphonic_join) on top of plain on-concatenation
+        "卵白": "ランパク",
+        "隣人": "リンジン",
     }
     for surface, want in cases.items():
-        assert _read(reader, surface) in want, surface
+        assert _read(reader, surface) == want, surface
+
+
+def test_noun_particle_vs_okurigana():
+    """A multi-kanji run ending right before a particle/copula is a
+    jukugo noun (final kanji reads ON); before an inflection it is a
+    verb stem (final kanji keeps KUN). The pre-fix behavior read
+    発表は as ハツ+オモテ+ワ."""
+    reader = LexiconReader()
+    cases = {
+        "発表は": "ハッピョウワ",   # は topic marker, not okurigana
+        "卵白を": "ランパクヲ",
+        "一杯の": "イッパイノ",
+        "心配な": "シンパイナ",
+        "学生だ": "ガクセイダ",
+        "手伝う": "テツダウ",       # u-inflection: kun stem survives
+        "見送る": "ミオクル",
+    }
+    for surface, want in cases.items():
+        assert _read(reader, surface) == want, (
+            surface, _read(reader, surface))
+
+
+def test_jukugo_euphony():
+    """Sokuonbin gemination and post-nasal hardening at on-on
+    boundaries (MeCab reads whole words; the hermetic fallback must
+    apply the productive sound changes itself)."""
+    reader = LexiconReader()
+    cases = {
+        "一体": "イッタイ",    # chi + t -> geminate
+        "発見": "ハッケン",    # tsu + k -> geminate
+        "発表": "ハッピョウ",  # tsu + h -> geminate + p-row
+        "失敗": "シッパイ",
+        "国家": "コッカ",      # ku + k -> geminate
+        "物質": "ブッシツ",    # tsu + s -> geminate
+        "鉛筆": "エンピツ",    # n + h -> p-row
+        "何分": "ナンプン",
+        "先輩": "センパイ",
+        # guards: no over-application
+        "地点": "チテン",      # single-mora チ never geminates
+        "告白": "コクハク",    # ku only geminates before k-row
+        "突然": "トツゼン",    # voiced head: no change
+    }
+    for surface, want in cases.items():
+        assert _read(reader, surface) == want, (
+            surface, _read(reader, surface))
 
 
 def test_gold_sentences_phonemize_end_to_end():

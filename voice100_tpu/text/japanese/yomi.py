@@ -29,6 +29,46 @@ _SYMBOL_TOKENS = set("・、。？！")
 _NO_YOMI_TOKENS = set("「」『』―（）［］[]　…")
 
 _HIRA_RX = re.compile(r"[ぁ-んー]+")
+
+# --- Sino-Japanese euphony at on-on jukugo boundaries ---------------------
+# MeCab reads whole words so it never needs these; the per-kanji
+# fallback concatenates morpheme readings and must apply the productive
+# sound changes (sokuonbin gemination, post-nasal h->p):
+#   ハツ+ヒョウ -> ハッピョウ, イチ+タイ -> イッタイ, コク+カ -> コッカ,
+#   ラン+ハク -> ランパク.
+_P_ROW = {"ハ": "パ", "ヒ": "ピ", "フ": "プ", "ヘ": "ペ", "ホ": "ポ"}
+_UNVOICED_HEADS = set("カキクケコサシスセソタチツテトハヒフヘホパピプペポ")
+# readings whose post-ン outcome is lexically voiced (b-row) or
+# unchanged, not the productive p-row: keep them as-is
+# (三百=サンビャク, 南北=ナンボク, 三本=サンボン)
+_NP_KEEP = {"ヒャク", "ホク", "ホン"}
+
+# hiragana that opens a POST-NOUN function word (case particle, topic
+# marker, copula) rather than okurigana: a multi-kanji run ending right
+# before one of these is a jukugo noun (発表は = ハッピョウ+ワ), not a
+# verb stem — its final kanji must read ON, not KUN. Inflection heads
+# (る/す/た/し/...) are absent from this set on purpose: 手伝う, 見送る
+# keep their kun stems.
+_PARTICLE_HEADS = set("はをがのでともへやかだねよ")
+
+
+def _euphonic_join(prev: str, nxt: str):
+    """Adjust an (on, on) reading pair at a morpheme boundary."""
+    if not prev or not nxt:
+        return prev, nxt
+    head = nxt[0]
+    # gemination: a final tsu/chi assimilates into a following unvoiced
+    # obstruent (and h-row hardens to p-row): ハツ+ケン -> ハッケン,
+    # シツ+ハイ -> シッパイ. Single-mora readings (地=チ) never geminate.
+    if len(prev) >= 2 and prev[-1] in "ツチ" and head in _UNVOICED_HEADS:
+        return prev[:-1] + "ッ", _P_ROW.get(head, head) + nxt[1:]
+    # ku before k-row: ガク+コウ -> ガッコウ, コク+カ -> コッカ
+    if len(prev) >= 2 and prev[-1] == "ク" and head in "カキクケコ":
+        return prev[:-1] + "ッ", nxt
+    # post-nasal h->p: ラン+ハク -> ランパク, ナン+フン -> ナンプン
+    if prev[-1] == "ン" and head in _P_ROW and nxt not in _NP_KEEP:
+        return prev, _P_ROW[head] + nxt[1:]
+    return prev, nxt
 _KATA_RX = re.compile(r"[ァ-ヶー]+")
 _ASCII_RX = re.compile(r"[0-9A-Za-z]+")
 _KANJI_RX = re.compile(r"[一-龯々]+")
@@ -120,11 +160,13 @@ class LexiconReader:
         then KUN (isolated / okurigana-final) or ON (inside-run)."""
         run_len = end - i
         pos = i
+        prev_on = -1  # index in out of the preceding on-read kanji
         while pos < end:
             hit = self._match_compound(text, pos)
             if hit is not None and pos + len(hit[0]) <= end:
                 out.append(hit)
                 pos += len(hit[0])
+                prev_on = -1
                 continue
             ch = text[pos]
             if ch == "々" and out and out[-1][1]:
@@ -132,17 +174,30 @@ class LexiconReader:
                 # common voicing left alone (人々 is in COMPOUNDS)
                 out.append((ch, out[-1][1]))
                 pos += 1
+                prev_on = -1
                 continue
             # a run-final kanji right before hiragana is a verb/adj stem
-            # with okurigana (kun); inside a jukugo run it's on
-            isolated = run_len == 1 or (
-                pos == end - 1 and _HIRA_RX.match(text, end) is not None
+            # with okurigana (kun) — unless that hiragana opens a
+            # particle/copula, which marks the run as a jukugo noun;
+            # inside a jukugo run it's on
+            okurigana = (
+                pos == end - 1
+                and _HIRA_RX.match(text, end) is not None
+                and text[end] not in _PARTICLE_HEADS
             )
+            isolated = run_len == 1 or okurigana
             if isolated:
                 yomi = KUN.get(ch) or ON.get(ch) or ""
+                on_read = not KUN.get(ch) and bool(ON.get(ch))
             else:
                 yomi = ON.get(ch) or KUN.get(ch) or ""
+                on_read = bool(ON.get(ch))
+            if on_read and prev_on >= 0 and yomi:
+                p_surf, p_yomi = out[prev_on]
+                p_yomi, yomi = _euphonic_join(p_yomi, yomi)
+                out[prev_on] = (p_surf, p_yomi)
             out.append((ch, yomi))
+            prev_on = len(out) - 1 if on_read and yomi else -1
             pos += 1
         return end
 
