@@ -47,17 +47,18 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.7347 stripped
-    # AND with-stress (phone acc 0.898, stress-only misses 0) after
+    # hard floor, not typical-word accuracy. Measured 0.7457 stripped /
+    # 0.7437 with-stress (phone acc 0.903, stress-only misses 2) after
     # the round-3 passes: the secondary-stress placement rules
     # (_apply_secondary), the ear/eer r-coloring split, the ch->K
     # contexts, the our/or families, -dge/-age, the function-word
-    # stress table, and the CMU-convention post-pass (AH0+R -> ER0
-    # collapse, coronal yod-dropping, silent-h hon-/heir families);
-    # floors leave a small margin.
-    assert exact / total > 0.725, f"word-exact {exact}/{total}"
-    assert match / denom > 0.89, f"phone accuracy {match / denom:.3f}"
-    assert with_stress / total > 0.725, (
+    # stress table, the CMU-convention post-pass (AH0+R -> ER0
+    # collapse, coronal yod-dropping, degemination, final-cluster
+    # voicing assimilation), the ui/silent-t/weak-ia rules, and the
+    # French -et loan endings; floors leave a small margin.
+    assert exact / total > 0.735, f"word-exact {exact}/{total}"
+    assert match / denom > 0.895, f"phone accuracy {match / denom:.3f}"
+    assert with_stress / total > 0.735, (
         f"with-stress exact {with_stress}/{total}"
     )
     # stress-only error mass (stripped-correct but mis-stressed):

@@ -727,6 +727,15 @@ class G2P:
           or folded into a prevocalic ER (0 occurrences of AH0+R in
           the gold lexicon).
         - drop a ``Y`` glide before UW after yod-dropping consonants.
+        - degeminate: adjacent identical consonant phones collapse
+          (double letters straddling a rule boundary — offer, quarrel);
+          CMUdict has no geminates (0 occurrences in the gold lexicon).
+        - word-final regressive voicing assimilation: a voiced
+          obstruent is never followed by a voiceless suffix consonant
+          (surprised = ... Z D, countries = ... Z); final
+          [B D G V Z ZH JH DH] + S/T voices to Z/D (0 counterexamples
+          in the gold lexicon; sonorant+S/T like "else", "dreamt" are
+          left alone).
         """
         out: List[str] = []
         i = 0
@@ -746,9 +755,21 @@ class G2P:
             ):
                 i += 1
                 continue
+            if out and p == out[-1] and p[0] not in "AEIOU":
+                i += 1  # consonant geminate
+                continue
             out.append(p)
             i += 1
+        if len(out) >= 2 and out[-2] in cls._VOICED_OBSTRUENTS:
+            if out[-1] == "S":
+                out[-1] = "Z"
+            elif out[-1] == "T":
+                out[-1] = "D"
         return out
+
+    _VOICED_OBSTRUENTS = frozenset(
+        ("B", "D", "G", "V", "Z", "ZH", "JH", "DH")
+    )
 
     # suffixes that pull primary stress to the vowel immediately
     # before them (value = how many vowel phones the suffix itself
@@ -761,7 +782,11 @@ class G2P:
         "pathy": 2,
     }
     _FINAL_STRESS = ("ee", "eed", "teen", "oon", "esque", "ique", "ade",
-                     "eer", "ette", "aire")
+                     "eer", "ette", "aire",
+                     # French -et loans (lts_rules emits their EY);
+                     # native -et words (banquet, wallet) never match
+                     # these longer suffixes
+                     "ouquet", "uffet", "ochet", "urmet")
 
     @classmethod
     def _final_stressed(cls, word: str) -> bool:
