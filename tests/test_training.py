@@ -419,6 +419,25 @@ def test_upload_cast_quantizes_inputs_never_targets():
         assert leaf.dtype == np.float32, leaf.dtype  # targets untouched
 
 
+def test_cli_distributed_flag(monkeypatch):
+    """--distributed must call jax.distributed.initialize() before any
+    other work (multi-host pods require it before touching devices)."""
+    import jax
+    import pytest
+
+    from voice100_tpu.training.cli import cli_main
+
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **k: called.append(True),
+    )
+    with pytest.raises(FileNotFoundError):
+        cli_main(["fit", "--config", "/nonexistent/cfg.yaml",
+                  "--distributed"])
+    assert called  # initialize ran before the config was even read
+
+
 def test_cli_predict_align_durations(corpus, tmp_path):
     """predict works for the duration model + AlignTextDataModule
     (writes per-token durations)."""

@@ -279,8 +279,22 @@ def cli_main(argv=None) -> None:
         help="force a jax platform (e.g. cpu); useful because this "
              "machine's sitecustomize pre-registers the TPU backend",
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host pod training: call jax.distributed.initialize()"
+             " before touching devices (coordinator/process settings come"
+             " from the TPU pod environment); the data loader then shards"
+             " batches per process and the mesh spans all hosts' chips",
+    )
     args = parser.parse_args(argv)
 
+    if args.distributed:
+        import jax
+
+        # must run before any backend query; each host then sees the
+        # global device set and the DataLoader splits work by
+        # jax.process_index() (data/loader.py)
+        jax.distributed.initialize()
     if args.platform:
         import jax
 
@@ -289,7 +303,7 @@ def cli_main(argv=None) -> None:
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if v is not None and k not in ("subcommand", "config")
+        if v is not None and k not in ("subcommand", "config", "distributed")
     }
     config = load_config(args.config)
     model, data, tc, audio_stat = build_from_config(config, overrides)
