@@ -145,3 +145,136 @@ def test_pipeline_device_beam_matches_host_beam(pcm16):
     got = dev.transcribe(wavs)
     want = host.transcribe(wavs)
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# n-gram shallow fusion
+
+
+def _toy_lm(v=6):
+    from voice100_tpu.text.ngram import CharNgramLM
+
+    rng = np.random.RandomState(7)
+    seqs = [[1, 2, 3], [1, 2, 4]] * 50 + [
+        list(rng.randint(1, v, size=4)) for _ in range(20)
+    ]
+    return CharNgramLM.fit(seqs, vocab_size=v)
+
+
+def test_ngram_lm_is_normalized_and_learns():
+    lm = _toy_lm()
+    # every context row is a distribution over non-blank symbols
+    p = np.exp(lm.table)
+    p[np.isneginf(lm.table)] = 0.0
+    assert np.allclose(p.sum(axis=-1), 1.0, atol=1e-5)
+    assert lm.table[:, :, 0].max() == -np.inf  # blank never emitted
+    # the trained trigram 1,2 -> 3 dominates an unseen continuation
+    assert lm.table[1, 2, 3] > lm.table[1, 2, 5]
+    # round-trip
+    import tempfile, os
+    from voice100_tpu.text.ngram import CharNgramLM
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "lm.npz")
+        lm.save(path)
+        lm2 = CharNgramLM.load(path)
+        assert np.array_equal(lm.table, lm2.table)
+
+
+def test_device_fused_beam_matches_host_fused():
+    """Same-candidate-set parity as the plain test, with the trigram
+    fusion term active on both sides."""
+    lm = _toy_lm()
+    rng = np.random.RandomState(3)
+    b, t, v = 10, 18, 6
+    lp = _random_log_probs(rng, b, t, v)
+    lens = rng.randint(3, t + 1, size=b).astype(np.int32)
+
+    ids, n = ctc_prefix_beam_search_batched(
+        lp, lens, beam_size=8, topk=v - 1,
+        lm_table=lm.table, lm_weight=0.7, lm_bonus=0.3,
+    )
+    ids, n = np.asarray(ids), np.asarray(n)
+    for i in range(b):
+        want = ctc_prefix_beam_search(
+            lp[i, : lens[i]], beam_size=8, prune_log_prob=-1e9,
+            lm_table=lm.table, lm_weight=0.7, lm_bonus=0.3,
+        )
+        assert list(ids[i, : n[i]]) == want, i
+
+
+def test_lm_fusion_disambiguates():
+    """The canonical fusion win: acoustics slightly prefer an
+    LM-implausible string; fusion flips to the corpus-consistent one."""
+    lm = _toy_lm()
+    v, t = 6, 6
+    # acoustics: frames spell 1 2 5 with symbol 3 a close second at
+    # the last position; the LM strongly prefers 1 2 3
+    lp = np.full((1, t, v), -12.0, np.float32)
+    for i, s in enumerate([1, 0, 2, 0, 5, 5]):
+        lp[0, i, s] = 0.0
+    lp[0, 4, 3] = -0.35
+    lp[0, 5, 3] = -0.35
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    lens = np.array([t], np.int32)
+
+    plain, n0 = ctc_prefix_beam_search_batched(lp, lens, beam_size=4)
+    fused, n1 = ctc_prefix_beam_search_batched(
+        lp, lens, beam_size=4,
+        lm_table=lm.table, lm_weight=1.5, lm_bonus=0.0,
+    )
+    assert list(np.asarray(plain)[0, : int(n0[0])]) == [1, 2, 5]
+    assert list(np.asarray(fused)[0, : int(n1[0])]) == [1, 2, 3]
+
+
+def test_pipeline_lm_fusion_device_matches_host():
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.inference import ASRPipeline
+    from voice100_tpu.text.ngram import CharNgramLM
+
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=16,
+    )
+    import jax.numpy as jnp
+
+    mel0 = jnp.zeros((1, 16, 64), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(5), mel0, jnp.asarray([16], jnp.int32)
+    )
+    rng = np.random.RandomState(11)
+    lm = CharNgramLM.fit(
+        [list(rng.randint(1, 29, size=12)) for _ in range(40)],
+        vocab_size=29,
+    )
+    wavs = [(rng.randn(n).astype(np.float32) * 0.1) for n in (6000, 14000)]
+    kwargs = dict(batch_size=2, buckets_sec=(0.5, 1.0),
+                  beam_size=5, beam_topk=28, lm=lm, lm_weight=0.6,
+                  lm_bonus=0.2)
+    dev = ASRPipeline(model, variables, **kwargs)
+    host = ASRPipeline(model, variables, beam_device=False, **kwargs)
+    assert dev.transcribe(wavs) == host.transcribe(wavs)
+
+
+def test_train_lm_cli(tmp_path):
+    """The train-lm tool reads prepared transcript files and writes an
+    .npz the pipeline can load by path."""
+    from voice100_tpu.tools.train_lm import cli_main
+    from voice100_tpu.text.ngram import CharNgramLM
+
+    text = tmp_path / "dummy_en-train.txt"
+    text.write_text(
+        "clip1|hello world\nclip2|the quick brown fox\n"
+        "clip3|hello again\n", encoding="utf-8"
+    )
+    out = str(tmp_path / "lm.npz")
+    cli_main(["--text", str(text), "--language", "en", "--output", out])
+    lm = CharNgramLM.load(out)
+    assert lm.vocab_size == 29
+    # 'hello' appears twice: P(l | h,e) should beat an unseen letter
+    from voice100_tpu.text import get_tokenizer
+
+    tok = get_tokenizer("en", False)
+    h, e, l_, z = (int(tok(c)[0]) for c in "helz")
+    assert lm.table[h, e, l_] > lm.table[h, e, z]

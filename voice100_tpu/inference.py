@@ -57,6 +57,9 @@ class ASRPipeline:
         beam_size: int = 0,
         beam_device: bool = True,
         beam_topk: int = 8,
+        lm=None,
+        lm_weight: float = 0.5,
+        lm_bonus: float = 0.0,
     ) -> None:
         import os
 
@@ -72,9 +75,25 @@ class ASRPipeline:
         # Long-form clips that stream through StreamingASRSession
         # always decode greedily — beam prefixes cannot be committed
         # frame-aligned mid-stream.
+        # lm: optional trigram shallow fusion inside the beam search —
+        # a CharNgramLM, a saved .npz path, or a raw [V, V, V] table
+        # (text/ngram.py; the reference decodes with no LM at all).
         self.beam_size = beam_size
         self.beam_device = beam_device
         self.beam_topk = beam_topk
+        self.lm_weight = float(lm_weight)
+        self.lm_bonus = float(lm_bonus)
+        if lm is None:
+            self.lm_table = None
+        else:
+            from .text.ngram import CharNgramLM
+
+            if isinstance(lm, str):
+                lm = CharNgramLM.load(lm)
+            self.lm_table = np.asarray(
+                lm.table if isinstance(lm, CharNgramLM) else lm,
+                np.float32,
+            )
         self.model = model
         self.tokenizer = get_tokenizer(language, use_phone)
         self.sample_rate = sample_rate
@@ -149,6 +168,8 @@ class ASRPipeline:
         return ctc_prefix_beam_search_batched(
             log_probs, out_len,
             beam_size=self.beam_size, topk=self.beam_topk,
+            lm_table=self.lm_table, lm_weight=self.lm_weight,
+            lm_bonus=self.lm_bonus,
         )
 
     def transcribe(self, waveforms: List[np.ndarray]) -> List[str]:
@@ -235,6 +256,9 @@ class ASRPipeline:
                     prefix = ctc_prefix_beam_search(
                         log_probs[row, : out_len[row]],
                         beam_size=self.beam_size,
+                        lm_table=self.lm_table,
+                        lm_weight=self.lm_weight,
+                        lm_bonus=self.lm_bonus,
                     )
                     results[i] = self.tokenizer.decode(prefix)
             return results  # type: ignore[return-value]

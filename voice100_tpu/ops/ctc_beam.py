@@ -35,6 +35,9 @@ def ctc_prefix_beam_search(
     beam_size: int = 8,
     blank: int = 0,
     prune_log_prob: float = -12.0,
+    lm_table=None,
+    lm_weight: float = 0.5,
+    lm_bonus: float = 0.0,
 ) -> List[int]:
     """Decode ``[T, V]`` log-probs to the most probable label sequence.
 
@@ -43,6 +46,10 @@ def ctc_prefix_beam_search(
         beam_size: number of prefixes kept per frame.
         prune_log_prob: per-frame tokens below this log-prob are not
             considered as extensions (keeps the inner loop short).
+        lm_table: optional dense trigram ``[V, V, V]`` log-prob table
+            (text/ngram.py); every appended symbol's score adds
+            ``lm_weight * log P_lm(s | c2, c1) + lm_bonus`` (shallow
+            fusion, identical math to the device decoder's).
 
     Returns:
         The best prefix as a list of label ids (no blanks/repeats).
@@ -69,6 +76,16 @@ def ctc_prefix_beam_search(
         for prefix, (p_b, p_nb) in beams.items():
             total = _logsumexp2(p_b, p_nb)
             last = prefix[-1] if prefix else None
+            if lm_table is not None:
+                c2 = prefix[-2] if len(prefix) >= 2 else blank
+                c1 = last if last is not None else blank
+                lm_row = lm_table[c2, c1]
+
+            def ext(s, lp):
+                if lm_table is None:
+                    return lp
+                return lp + lm_weight * float(lm_row[s]) + lm_bonus
+
             for s in candidates:
                 s = int(s)
                 lp = float(frame[s])
@@ -78,9 +95,9 @@ def ctc_prefix_beam_search(
                     # repeat extends the non-blank path of the same
                     # prefix; a new occurrence needs a blank before it
                     add(prefix, _NEG_INF, p_nb + lp)
-                    add(prefix + (s,), _NEG_INF, p_b + lp)
+                    add(prefix + (s,), _NEG_INF, p_b + ext(s, lp))
                 else:
-                    add(prefix + (s,), _NEG_INF, total + lp)
+                    add(prefix + (s,), _NEG_INF, total + ext(s, lp))
 
         beams = dict(sorted(
             next_beams.items(),

@@ -57,8 +57,15 @@ def _logaddexp(a, b):
     return jnp.where(jnp.maximum(a, b) <= _NEG_INF / 2, _NEG_INF, out)
 
 
-def _search_one(log_probs, length, beam_size: int, topk: int, blank: int):
-    """Beam-search a single utterance: ``[T, V]`` -> (ids [T], n)."""
+def _search_one(log_probs, length, beam_size: int, topk: int, blank: int,
+                lm_table=None, lm_weight=None, lm_bonus=None):
+    """Beam-search a single utterance: ``[T, V]`` -> (ids [T], n).
+
+    With ``lm_table`` (dense trigram ``[V, V, V]`` log probs,
+    text/ngram.py) every appended symbol's score additionally receives
+    ``lm_weight * log P_lm(s | c2, c1) + lm_bonus`` — standard shallow
+    fusion with a length bonus; contexts start at (blank, blank) = BOS.
+    """
     t_max, vocab = log_probs.shape
     k = beam_size
     p = min(topk, vocab - 1)
@@ -71,6 +78,7 @@ def _search_one(log_probs, length, beam_size: int, topk: int, blank: int):
     last0 = jnp.full((k,), -1, jnp.int32)
     p_b0 = jnp.full((k,), _NEG_INF).at[0].set(0.0)
     p_nb0 = jnp.full((k,), _NEG_INF)
+    ctx0 = jnp.full((k, 2), blank, jnp.int32)  # (c2, c1) LM context
     # beam 0 holds the real empty prefix; the other slots get distinct
     # sentinel hashes so they can never merge with live prefixes
     ks = jnp.arange(k, dtype=jnp.uint32)
@@ -78,7 +86,7 @@ def _search_one(log_probs, length, beam_size: int, topk: int, blank: int):
     h20 = jnp.where(ks == 0, _H_EMPTY2, ks * np.uint32(0x85EBCA6B) + 1)
 
     def step(state, frame_t):
-        prefix, plen, last, p_b, p_nb, h1, h2 = state
+        prefix, plen, last, p_b, p_nb, h1, h2, ctx = state
         frame, t = frame_t
         frame = jnp.where(t < length, frame, pad_frame)
 
@@ -104,6 +112,15 @@ def _search_one(log_probs, length, beam_size: int, topk: int, blank: int):
             jnp.where(is_rep, p_b[:, None], total[:, None])
             + ext_lp[None, :]
         )
+        if lm_table is not None:
+            # shallow fusion: every appended symbol pays/earns the LM
+            # and a constant length bonus (class A never extends the
+            # prefix, so it carries no LM term)
+            lm_row = lm_table[ctx[:, 0], ctx[:, 1]]  # [K, V]
+            b_pnb = b_pnb + (
+                lm_weight * lm_row[jnp.arange(k)[:, None], sym_b]
+                + lm_bonus
+            )
         b_pb = jnp.full((k, p), _NEG_INF)
         h1_b = h1[:, None] * _H_MULT1 + sym_b.astype(jnp.uint32) + 2
         h2_b = h2[:, None] * _H_MULT2 + sym_b.astype(jnp.uint32) + 2
@@ -154,13 +171,18 @@ def _search_one(log_probs, length, beam_size: int, topk: int, blank: int):
         new_prefix = jnp.where(write, sym_k[:, None], new_prefix)
         new_plen = plen[par] + app.astype(jnp.int32)
         new_last = jnp.where(app, sym_k, last[par])
+        new_ctx = jnp.where(
+            app[:, None],
+            jnp.stack([ctx[par, 1], sym_k], axis=1),
+            ctx[par],
+        )
         return (
             new_prefix, new_plen, new_last,
-            pb_m[keep], pnb_m[keep], h1_c[keep], h2_c[keep],
+            pb_m[keep], pnb_m[keep], h1_c[keep], h2_c[keep], new_ctx,
         ), None
 
-    state0 = (prefix0, plen0, last0, p_b0, p_nb0, h10, h20)
-    (prefix, plen, _, p_b, p_nb, _, _), _ = jax.lax.scan(
+    state0 = (prefix0, plen0, last0, p_b0, p_nb0, h10, h20, ctx0)
+    (prefix, plen, _, p_b, p_nb, _, _, _), _ = jax.lax.scan(
         step, state0, (log_probs, jnp.arange(t_max))
     )
     best = jnp.argmax(_logaddexp(p_b, p_nb))
@@ -170,12 +192,34 @@ def _search_one(log_probs, length, beam_size: int, topk: int, blank: int):
 @functools.partial(
     jax.jit, static_argnames=("beam_size", "topk", "blank")
 )
+def _search_batched_plain(log_probs, lengths, beam_size, topk, blank):
+    return jax.vmap(
+        lambda lp, n: _search_one(lp, n, beam_size, topk, blank)
+    )(log_probs, lengths)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_size", "topk", "blank")
+)
+def _search_batched_fused(log_probs, lengths, lm_table, lm_weight,
+                          lm_bonus, beam_size, topk, blank):
+    return jax.vmap(
+        lambda lp, n: _search_one(
+            lp, n, beam_size, topk, blank,
+            lm_table=lm_table, lm_weight=lm_weight, lm_bonus=lm_bonus,
+        )
+    )(log_probs, lengths)
+
+
 def ctc_prefix_beam_search_batched(
     log_probs,
     lengths,
     beam_size: int = 8,
     topk: int = 8,
     blank: int = 0,
+    lm_table=None,
+    lm_weight: float = 0.5,
+    lm_bonus: float = 0.0,
 ):
     """Decode ``[B, T, V]`` log-softmax outputs on device.
 
@@ -186,11 +230,26 @@ def ctc_prefix_beam_search_batched(
         topk: non-blank symbols considered as extensions per frame
             (``topk >= V - 1`` considers every symbol, matching the
             host decoder's unpruned candidate set).
+        lm_table: optional dense trigram ``[V, V, V]`` log-prob table
+            (text/ngram.py) for on-device shallow fusion.
+        lm_weight: fusion weight on the LM log prob per appended symbol.
+        lm_bonus: constant per-symbol length bonus (counters the LM's
+            short-output bias).
 
     Returns:
         ``(ids [B, T], n [B])`` — the best label sequence per row
         (no blanks or CTC repeats; only the first ``n`` ids are valid).
     """
-    return jax.vmap(
-        lambda lp, n: _search_one(lp, n, beam_size, topk, blank)
-    )(log_probs, lengths)
+    if lm_table is None:
+        return _search_batched_plain(
+            log_probs, lengths, beam_size, topk, blank
+        )
+    table = jnp.asarray(lm_table)
+    # the table's blank column is -inf by construction; extensions
+    # never gather it, but clamp for safety under f32 arithmetic
+    table = jnp.maximum(table, _NEG_INF)
+    return _search_batched_fused(
+        log_probs, lengths, table,
+        jnp.float32(lm_weight), jnp.float32(lm_bonus),
+        beam_size, topk, blank,
+    )

@@ -215,6 +215,13 @@ def cli_main(argv=None) -> None:
         help="CTC prefix beam search width for /transcribe (0 = "
              "greedy); runs batched on device (ops/ctc_beam_device.py)",
     )
+    parser.add_argument(
+        "--lm", default=None,
+        help="trigram LM .npz (tools/train_lm.py) fused into the beam "
+             "search on device; needs --beam_size > 0",
+    )
+    parser.add_argument("--lm_weight", type=float, default=0.5)
+    parser.add_argument("--lm_bonus", type=float, default=0.0)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--platform", default=None)
@@ -232,7 +239,9 @@ def cli_main(argv=None) -> None:
         model, variables = _load_model(args.asr_config, args.asr_ckpt)
         asr = ASRPipeline(model, variables, language=args.language,
                           use_phone=args.use_phone,
-                          beam_size=args.beam_size)
+                          beam_size=args.beam_size, lm=args.lm,
+                          lm_weight=args.lm_weight,
+                          lm_bonus=args.lm_bonus)
     tts_flags = (args.tts_align_config, args.tts_align_ckpt,
                  args.tts_audio_config, args.tts_audio_ckpt)
     if any(tts_flags):
