@@ -118,6 +118,24 @@ def test_overfit_asr_and_transcribe(tmp_path):
     assert float(np.mean(beam_cers)) < 0.25, (
         list(zip(beam_hyps, refs)))
 
+    # trigram shallow fusion trained on the corpus transcripts must
+    # not hurt on trained logits (the LM agrees with the acoustics
+    # here; a sign/indexing bug in the fusion term would wreck CER)
+    from voice100_tpu.text.ngram import CharNgramLM
+    from voice100_tpu.text import get_tokenizer
+
+    tok = get_tokenizer("en", False)
+    lm = CharNgramLM.fit([list(tok(r)) for r in refs], vocab_size=29)
+    lm_pipe = ASRPipeline(
+        model, {"params": params, **extra}, batch_size=4,
+        buckets_sec=(2.0,), beam_size=8, lm=lm, lm_weight=0.5,
+        lm_bonus=0.5,
+    )
+    lm_hyps = lm_pipe.transcribe(wavs)
+    lm_cers = [_char_error_rate(h, r) for h, r in zip(lm_hyps, refs)]
+    assert float(np.mean(lm_cers)) <= float(np.mean(beam_cers)) + 0.01, (
+        list(zip(lm_hyps, beam_hyps, refs)))
+
 
 @pytest.mark.slow
 def test_tts_to_asr_round_trip(tmp_path):
