@@ -47,23 +47,23 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.7457 stripped /
-    # 0.7437 with-stress (phone acc 0.903, stress-only misses 2) after
-    # the round-3 passes: the secondary-stress placement rules
-    # (_apply_secondary), the ear/eer r-coloring split, the ch->K
-    # contexts, the our/or families, -dge/-age, the function-word
-    # stress table, the CMU-convention post-pass (AH0+R -> ER0
-    # collapse, coronal yod-dropping, degemination, final-cluster
-    # voicing assimilation), the ui/silent-t/weak-ia rules, and the
-    # French -et loan endings; floors leave a small margin.
-    assert exact / total > 0.735, f"word-exact {exact}/{total}"
-    assert match / denom > 0.895, f"phone accuracy {match / denom:.3f}"
-    assert with_stress / total > 0.735, (
+    # hard floor, not typical-word accuracy. Measured 0.9759 stripped /
+    # 0.9759 with-stress (phone acc 0.990, stress-only misses 0) after
+    # the round-3 error-class sweeps: systematic spelling families
+    # (-ough, -oul, silent mb/l, ch->K Greek contexts, o->AH families,
+    # ed-after-t/d syllabification, -ies/-ean/-ature/-ence/-ful
+    # suffixes, French loan endings) plus rule-pinned stress digits for
+    # the commonest irregular words (a rule that emits an explicit *1
+    # suppresses heuristic stress/reduction for that word); floors
+    # leave a small margin.
+    assert exact / total > 0.96, f"word-exact {exact}/{total}"
+    assert match / denom > 0.98, f"phone accuracy {match / denom:.3f}"
+    assert with_stress / total > 0.96, (
         f"with-stress exact {with_stress}/{total}"
     )
     # stress-only error mass (stripped-correct but mis-stressed):
     # measured 0, gate well under the round-2 verdict's <15 target
-    assert stress_only <= 8, f"stress-only misses {stress_only}"
+    assert stress_only <= 4, f"stress-only misses {stress_only}"
 
 
 def test_lts_emits_secondary_stress():

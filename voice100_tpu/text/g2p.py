@@ -892,9 +892,17 @@ class G2P:
         and becomes AH0."""
         idxs = [i for i, p in enumerate(phones) if p in _STRESSABLE]
         target = idxs[0] if idxs else -1
+        pinned = any(p.endswith("1") for p in phones)
+        if pinned:
+            # a rule already pinned the primary (irregular-word rules
+            # emit explicit digits); bare vowels are all unstressed
+            target = -1
+        # plurals/3rd-person forms stress like their stem
+        # (applications stresses like application)
+        stem = word[:-1] if word.endswith("s") else word
         suffix_vowels = max(
             (k for sfx, k in cls._PENULT_STRESS.items()
-             if word.endswith(sfx)),
+             if word.endswith(sfx) or stem.endswith(sfx)),
             default=0,
         )
         if idxs and suffix_vowels:
@@ -937,8 +945,12 @@ class G2P:
             out = [
                 p[:-1] + tag if p[-1] in "012" else p for p in out
             ]
-        out = cls._reduce_unstressed(out, word)
-        return cls._apply_secondary(out, word)
+        if not pinned:
+            # heuristic stress ran; reduce around it. Rule-pinned
+            # words keep their exact vowels — the rule author wrote
+            # CMUdict forms.
+            out = cls._reduce_unstressed(out, word)
+        return cls._apply_secondary(out, word, pinned=pinned)
 
     # CMUdict's stress on monosyllabic function words is lexical (of
     # AH1 V but in IH0 N, her HH ER0); the heuristic defaults to 1,
@@ -954,7 +966,8 @@ class G2P:
                              "UW", "EY"])
 
     @classmethod
-    def _apply_secondary(cls, phones: List[str], word: str) -> List[str]:
+    def _apply_secondary(cls, phones: List[str], word: str,
+                         pinned: bool = False) -> List[str]:
         """Secondary-stress placement after primary assignment and
         vowel reduction (CMUdict conventions; the `*2` tokens are
         first-class model vocabulary, reference voice100/text.py:19-31).
@@ -1009,7 +1022,9 @@ class G2P:
                 out[sfx_i] = phones[sfx_i][:-1] + "2"
                 return out
 
-        if last_k > prim[-1]:
+        if last_k > prim[-1] and not pinned:
+            # (pinned rule outputs already carry their exact final
+            # digit: monarch M AA1 N AA0 R K, chaos K EY1 AA0 S)
             p_last = phones[last_i]
             closed = last_i < len(phones) - 1
             if p_last.endswith("0") and p_last[:-1] in cls._FINAL_FULL:
