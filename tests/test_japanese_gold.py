@@ -47,6 +47,37 @@ GOLD_SENTENCES = [
     ("この料理は簡単に作れます。", "コノリョウリワカンタンニツクレマス。"),
     ("日本の文化と歴史に興味があります。",
      "ニホンノブンカトレキシニキョウミガアリマス。"),
+    # round-3 extension: sentences composed OUT-OF-GOLD first (the
+    # reader scored 3/15 on them before the coverage/okurigana fixes)
+    ("新幹線で大阪まで二時間かかります。",
+     "シンカンセンデオオサカマデニジカンカカリマス。"),
+    ("彼女は英語と中国語が話せます。",
+     "カノジョワエイゴトチュウゴクゴガハナセマス。"),
+    ("郵便局で切手を三枚買いました。",
+     "ユウビンキョクデキッテヲサンマイカイマシタ。"),
+    ("週末は部屋の掃除と洗濯をします。",
+     "シュウマツワヘヤノソウジトセンタクヲシマス。"),
+    ("秋になると紅葉がきれいです。", "アキニナルトコウヨウガキレイデス。"),
+    ("風邪を引いたので薬を飲みました。",
+     "カゼヲヒイタノデクスリヲノミマシタ。"),
+    ("会議は午後三時から始まります。",
+     "カイギワゴゴサンジカラハジマリマス。"),
+    ("窓を開けて新しい空気を入れます。",
+     "マドヲアケテアタラシイクウキヲイレマス。"),
+    ("台所で母が夕食を作っています。",
+     "ダイドコロデハハガユウショクヲツクッテイマス。"),
+    ("地震のときは机の下に隠れてください。",
+     "ジシンノトキワツクエノシタニカクレテクダサイ。"),
+    ("毎日三十分くらい散歩します。",
+     "マイニチサンジュップンクライサンポシマス。"),
+    ("このお寺は五百年前に建てられました。",
+     "コノオテラワゴヒャクネンマエニタテラレマシタ。"),
+    ("兄は大学で物理学を教えています。",
+     "アニワダイガクデブツリガクヲオシエテイマス。"),
+    ("急いで駅に向かいましたが、電車に乗り遅れました。",
+     "イソイデエキニムカイマシタガ、デンシャニノリオクレマシタ。"),
+    ("冷蔵庫に牛肉と豚肉が入っています。",
+     "レイゾウコニギュウニクトブタニクガハイッテイマス。"),
 ]
 
 
@@ -55,10 +86,15 @@ def _read(reader, text):
 
 
 def test_lexicon_reader_gold_floor():
-    """Char-level accuracy >= 0.95 and sentence-exact >= 0.85 on the
+    """Char-level accuracy >= 0.97 and sentence-exact >= 0.90 on the
     gold set, using the hermetic reader explicitly (no fugashi).
-    Measured 0.997 char / 24/25 exact — the one standing miss is the
-    通う/通る kun ambiguity, kept as an honest hard case."""
+    Measured 40/40 exact after the round-3 fixes: whole-run compound
+    matching (a leading compound no longer strands the run's last
+    kanji as a false isolated-kun: 物理+学, 二時+間), okurigana-keyed
+    kun stems (KUN_OKURI: 開けて=ア vs 開く=ヒラ, 入れ=イ,
+    遅れ=オク, 通って=カヨ), the numeric 分 counter
+    (三十分=サンジュップン), and the coverage additions in
+    readings.py."""
     reader = LexiconReader()
     tot = hit = exact = 0
     for text, gold in GOLD_SENTENCES:
@@ -67,8 +103,8 @@ def test_lexicon_reader_gold_floor():
         hit += sum(b.size for b in sm.get_matching_blocks())
         tot += max(len(gold), len(got))
         exact += int(got == gold)
-    assert hit / tot >= 0.95, f"char accuracy {hit / tot:.4f}"
-    assert exact >= int(0.85 * len(GOLD_SENTENCES)), (
+    assert hit / tot >= 0.97, f"char accuracy {hit / tot:.4f}"
+    assert exact >= int(0.90 * len(GOLD_SENTENCES)), (
         f"sentence-exact {exact}/{len(GOLD_SENTENCES)}"
     )
 

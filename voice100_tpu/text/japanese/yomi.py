@@ -21,7 +21,7 @@ import re
 from typing import List, Tuple
 
 from .kana import hira2kata
-from .readings import COMPOUNDS, KUN, ON
+from .readings import COMPOUNDS, KUN, KUN_OKURI, ON
 
 __all__ = ["text2kata"]
 
@@ -98,6 +98,13 @@ class LexiconReader:
         i = 0
         n = len(text)
         while i < n:
+            # kanji runs FIRST: compounds are matched inside the run
+            # scanner so a leading compound cannot strand the run's
+            # last kanji as a false isolated-kun (物理+学, 二時+間)
+            m = _KANJI_RX.match(text, i)
+            if m:
+                i = self._kanji_run(text, i, m.end(), out)
+                continue
             surface_reading = self._match_compound(text, i)
             if surface_reading is not None:
                 out.append(surface_reading)
@@ -139,10 +146,6 @@ class LexiconReader:
                 out.append((m.group(0), ""))  # no reading: pass through
                 i = m.end()
                 continue
-            m = _KANJI_RX.match(text, i)
-            if m:
-                i = self._kanji_run(text, i, m.end(), out)
-                continue
             out.append((ch, ""))
             i += 1
         return out
@@ -156,14 +159,27 @@ class LexiconReader:
 
     def _kanji_run(self, text: str, i: int, end: int,
                    out: List[Tuple[str, str]]) -> int:
-        """Consume one maximal kanji run [i, end) with compound-first,
-        then KUN (isolated / okurigana-final) or ON (inside-run)."""
+        """Consume one maximal kanji run starting at ``i`` (regex end
+        ``end``) with compound-first, then KUN (isolated /
+        okurigana-final) or ON (inside-run). Compounds with kana tails
+        (一つ, 気に入り) may extend past ``end``; the returned cursor
+        reflects that."""
         run_len = end - i
         pos = i
         prev_on = -1  # index in out of the preceding on-read kanji
         while pos < end:
+            # numeric counter 分: 三十分 = サンジュップン (the generic
+            # 十分 compound reads the adverb ジュウブン)
+            if (
+                text.startswith("十分", pos) and pos > i
+                and text[pos - 1] in "一二三四五六七八九"
+            ):
+                out.append(("十分", "ジュップン"))
+                pos += 2
+                prev_on = -1
+                continue
             hit = self._match_compound(text, pos)
-            if hit is not None and pos + len(hit[0]) <= end:
+            if hit is not None:
                 out.append(hit)
                 pos += len(hit[0])
                 prev_on = -1
@@ -187,7 +203,7 @@ class LexiconReader:
             )
             isolated = run_len == 1 or okurigana
             if isolated:
-                yomi = KUN.get(ch) or ON.get(ch) or ""
+                yomi = self._kun(text, ch, end) or ON.get(ch) or ""
                 on_read = not KUN.get(ch) and bool(ON.get(ch))
             else:
                 yomi = ON.get(ch) or KUN.get(ch) or ""
@@ -199,7 +215,20 @@ class LexiconReader:
             out.append((ch, yomi))
             prev_on = len(out) - 1 if on_read and yomi else -1
             pos += 1
-        return end
+        return max(pos, end)
+
+    @staticmethod
+    def _kun(text: str, ch: str, okuri_pos: int) -> str:
+        """Kun reading for an isolated/stem kanji, selected by the
+        okurigana that follows when the kanji has several kun stems
+        (開ける=ア vs 開く=ヒラ, 入れる=イ vs 入る=ハイ,
+        遅れる=オク vs 遅い=オソ)."""
+        variants = KUN_OKURI.get(ch)
+        if variants:
+            for okuri, reading in variants:
+                if text.startswith(okuri, okuri_pos):
+                    return reading
+        return KUN.get(ch, "")
 
 
 class MecabReader:
