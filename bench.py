@@ -438,6 +438,66 @@ def _align_bench():
     }
 
 
+def _beam_bench():
+    """On-device CTC prefix beam search throughput with trigram LM
+    fusion: audio-seconds decoded per wall second at asr_en_base output
+    shapes (batch 64, 512 logit frames = 10.24 s of audio at the 20 ms
+    v2 output hop, vocab 29, beam 8, full candidate set). The reference
+    has no beam search at all (greedy argmax only,
+    /root/reference/tests/test_onnx.py:39-43); the host reference
+    decoder (beam_device=False) measures ~37 s per batch."""
+    from voice100_tpu.ops.ctc_beam_device import (
+        ctc_prefix_beam_search_batched,
+    )
+    from voice100_tpu.text.ngram import CharNgramLM
+
+    batch, frames, vocab = 64, 512, 29
+    rng = np.random.RandomState(0)
+    logits = rng.randn(batch, frames, vocab).astype(np.float32) * 2.0
+    log_probs = jax.device_put(
+        jnp.asarray(logits) - jax.nn.logsumexp(
+            jnp.asarray(logits), -1, keepdims=True)
+    )
+    lengths = jax.device_put(jnp.full((batch,), frames, jnp.int32))
+    lm = CharNgramLM.fit(
+        [rng.randint(1, vocab, size=20) for _ in range(200)], vocab
+    )
+    table = jax.device_put(jnp.asarray(lm.table))
+
+    @jax.jit
+    def decode(log_probs, lengths, table):
+        return ctc_prefix_beam_search_batched(
+            log_probs, lengths, beam_size=8, topk=vocab - 1,
+            lm_table=table, lm_weight=0.5, lm_bonus=0.5,
+        )
+
+    def run_once():
+        ids, n = decode(log_probs, lengths, table)
+        return np.asarray(ids), np.asarray(n)
+
+    run_once()  # compile + warm
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run_once()
+        del out
+        return time.perf_counter() - t0
+
+    iters = 10
+    elapsed_n = min(timed(iters) for _ in range(3))
+    elapsed_1 = min(timed(1), timed(1))
+    elapsed = max(elapsed_n - elapsed_1, 1e-6) / (iters - 1) * iters
+    audio_s = batch * frames * 0.02
+    throughput = audio_s * iters / elapsed
+    return {
+        "metric": "asr_beam_lm_decode_audio_seconds_per_second",
+        "value": round(throughput, 2),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(throughput / (audio_s / 37.3), 1),
+    }
+
+
 _LOADER_BENCH_DIR = "/tmp/voice100_tpu_loader_bench"
 
 
@@ -648,7 +708,7 @@ def main() -> None:
     parser.add_argument(
         "--metric", default="asr",
         choices=["asr", "tts", "train", "train_tts", "train_loader",
-                 "align", "all"],
+                 "align", "beam", "all"],
     )
     parser.add_argument("--precision", default="32",
                         choices=["32", "16", "bf16"])
@@ -667,7 +727,7 @@ def main() -> None:
         for fn in (_flagship_asr, _tts_bench,
                    lambda: _train_bench(args.precision),
                    lambda: _train_tts_bench(args.precision),
-                   _align_bench):
+                   _align_bench, _beam_bench):
             print(json.dumps(fn()), flush=True)
         return
     if args.metric == "asr":
@@ -678,6 +738,8 @@ def main() -> None:
         result = _train_tts_bench(args.precision)
     elif args.metric == "align":
         result = _align_bench()
+    elif args.metric == "beam":
+        result = _beam_bench()
     else:
         result = _train_bench(args.precision)
     print(json.dumps(result))

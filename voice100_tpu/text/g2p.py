@@ -905,7 +905,9 @@ class G2P:
              if word.endswith(sfx) or stem.endswith(sfx)),
             default=0,
         )
-        if idxs and suffix_vowels:
+        if pinned:
+            pass  # rule-pinned digits win over every heuristic
+        elif idxs and suffix_vowels:
             vowels = [i for i, p in enumerate(phones)
                       if p in _STRESSABLE or p == "AX"]
             # the vowel right before the suffix, skipping schwas leftward
