@@ -29,6 +29,40 @@ __all__ = ["G2P"]
 # Accurate CMUdict pronunciations for frequent words (function words and
 # words appearing in the project's demo texts / tests).
 _LEXICON: Dict[str, str] = {
+    # round-3 additions from out-of-gold generalization probes
+    "computer": "K AH0 M P Y UW1 T ER0", "internet": "IH1 N T ER0 N EH2 T",
+    "morning": "M AO1 R N IH0 NG", "afternoon": "AE2 F T ER0 N UW1 N",
+    "window": "W IH1 N D OW0", "building": "B IH1 L D IH0 NG",
+    "important": "IH0 M P AO1 R T AH0 N T", "development": "D IH0 V EH1 L AH0 P M AH0 N T",
+    "government": "G AH1 V ER0 M AH0 N T", "different": "D IH1 F ER0 AH0 N T",
+    "possible": "P AA1 S AH0 B AH0 L", "together": "T AH0 G EH1 DH ER0",
+    "remember": "R IH0 M EH1 M B ER0", "understand": "AH2 N D ER0 S T AE1 N D",
+    "problem": "P R AA1 B L AH0 M", "question": "K W EH1 S CH AH0 N",
+    "language": "L AE1 NG G W AH0 JH", "example": "IH0 G Z AE1 M P AH0 L",
+    "student": "S T UW1 D AH0 N T", "teacher": "T IY1 CH ER0",
+    "winter": "W IH1 N T ER0", "summer": "S AH1 M ER0",
+    "tomorrow": "T AH0 M AA1 R OW2", "yesterday": "Y EH1 S T ER0 D EY2",
+    "breakfast": "B R EH1 K F AH0 S T", "kitchen": "K IH1 CH AH0 N",
+    "bedroom": "B EH1 D R UW2 M", "garden": "G AA1 R D AH0 N",
+    "mountain": "M AW1 N T AH0 N", "river": "R IH1 V ER0",
+    "forest": "F AO1 R AH0 S T", "animal": "AE1 N AH0 M AH0 L",
+    "flower": "F L AW1 ER0", "spring": "S P R IH1 NG",
+    "autumn": "AO1 T AH0 M", "weather": "W EH1 DH ER0",
+    "nature": "N EY1 CH ER0", "picture": "P IH1 K CH ER0",
+    "moment": "M OW1 M AH0 N T", "biology": "B AY0 AA1 L AH0 JH IY0",
+    "geography": "JH IY0 AA1 G R AH0 F IY0", "photography": "F AH0 T AA1 G R AH0 F IY0",
+    "photograph": "F OW1 T AH0 G R AE2 F", "celebration": "S EH2 L AH0 B R EY1 SH AH0 N",
+    "competition": "K AA2 M P AH0 T IH1 SH AH0 N", "electricity": "IH0 L EH0 K T R IH1 S AH0 T IY0",
+    "happier": "HH AE1 P IY0 ER0", "happiest": "HH AE1 P IY0 AH0 S T",
+    "running": "R AH1 N IH0 NG", "stopped": "S T AA1 P T",
+    "carried": "K AE1 R IY0 D", "carefully": "K EH1 R F AH0 L IY0",
+    "national": "N AE1 SH AH0 N AH0 L", "international": "IH2 N T ER0 N AE1 SH AH0 N AH0 L",
+    "organization": "AO2 R G AH0 N AH0 Z EY1 SH AH0 N", "communicate": "K AH0 M Y UW1 N AH0 K EY2 T",
+    "communication": "K AH0 M Y UW2 N AH0 K EY1 SH AH0 N", "enjoyed": "EH0 N JH OY1 D",
+    "watching": "W AA1 CH IH0 NG", "knives": "N AY1 V Z",
+    "activities": "AE0 K T IH1 V AH0 T IY0 Z", "described": "D IH0 S K R AY1 B D",
+    "surprising": "S ER0 P R AY1 Z IH0 NG", "dangerous": "D EY1 N JH ER0 AH0 S",
+    "comfortable": "K AH1 M F ER0 T AH0 B AH0 L",
     "a": "AH0", "an": "AE1 N", "the": "DH AH0", "and": "AH0 N D",
     "of": "AH1 V", "to": "T UW1", "in": "IH0 N", "is": "IH1 Z",
     "it": "IH1 T", "that": "DH AE1 T", "was": "W AA1 Z", "he": "HH IY1",
@@ -898,8 +932,11 @@ class G2P:
             # emit explicit digits); bare vowels are all unstressed
             target = -1
         # plurals/3rd-person forms stress like their stem
-        # (applications stresses like application)
+        # (applications stresses like application; activities like
+        # activity)
         stem = word[:-1] if word.endswith("s") else word
+        if word.endswith("ies"):
+            stem = word[:-3] + "y"
         suffix_vowels = max(
             (k for sfx, k in cls._PENULT_STRESS.items()
              if word.endswith(sfx) or stem.endswith(sfx)),
@@ -952,7 +989,15 @@ class G2P:
             # words keep their exact vowels — the rule author wrote
             # CMUdict forms.
             out = cls._reduce_unstressed(out, word)
-        return cls._apply_secondary(out, word, pinned=pinned)
+        # indices the secondary pass must not promote: vowels whose
+        # digit a rule pinned explicitly, and schwas that came from AX
+        # (a schwa never takes secondary stress: communication's first
+        # AH0, unlike understand's full AH0)
+        no_promote = frozenset(
+            i for i, p in enumerate(phones)
+            if p == "AX" or (p and p[-1] in "012")
+        )
+        return cls._apply_secondary(out, word, no_promote=no_promote)
 
     # CMUdict's stress on monosyllabic function words is lexical (of
     # AH1 V but in IH0 N, her HH ER0); the heuristic defaults to 1,
@@ -969,7 +1014,7 @@ class G2P:
 
     @classmethod
     def _apply_secondary(cls, phones: List[str], word: str,
-                         pinned: bool = False) -> List[str]:
+                         no_promote: frozenset = frozenset()) -> List[str]:
         """Secondary-stress placement after primary assignment and
         vowel reduction (CMUdict conventions; the `*2` tokens are
         first-class model vocabulary, reference voice100/text.py:19-31).
@@ -1006,6 +1051,7 @@ class G2P:
 
         if (
             prim[0] - first_k >= 2
+            and first_i not in no_promote
             and phones[first_i].endswith("0")
             and phones[first_i][:-1] in _STRESSABLE
         ):
@@ -1024,7 +1070,7 @@ class G2P:
                 out[sfx_i] = phones[sfx_i][:-1] + "2"
                 return out
 
-        if last_k > prim[-1] and not pinned:
+        if last_k > prim[-1] and last_i not in no_promote:
             # (pinned rule outputs already carry their exact final
             # digit: monarch M AA1 N AA0 R K, chaos K EY1 AA0 S)
             p_last = phones[last_i]
