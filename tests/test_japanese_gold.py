@@ -78,6 +78,28 @@ GOLD_SENTENCES = [
      "イソイデエキニムカイマシタガ、デンシャニノリオクレマシタ。"),
     ("冷蔵庫に牛肉と豚肉が入っています。",
      "レイゾウコニギュウニクトブタニクガハイッテイマス。"),
+    # round-3 news/formal register (third out-of-gold probe: 2/12
+    # before the suru/na-adjective ON guard and coverage additions)
+    ("政府は新しい政策を発表しました。",
+     "セイフワアタラシイセイサクヲハッピョウシマシタ。"),
+    ("経済の成長が続いています。", "ケイザイノセイチョウガツヅイテイマス。"),
+    ("選挙の結果が注目されています。",
+     "センキョノケッカガチュウモクサレテイマス。"),
+    ("環境問題について議論しました。",
+     "カンキョウモンダイニツイテギロンシマシタ。"),
+    ("技術の進歩は社会を変えます。", "ギジュツノシンポワシャカイヲカエマス。"),
+    ("国際会議が東京で開催されます。",
+     "コクサイカイギガトウキョウデカイサイサレマス。"),
+    ("警察は事故の原因を調査しています。",
+     "ケイサツワジコノゲンインヲチョウサシテイマス。"),
+    ("教育制度の改革が必要です。", "キョウイクセイドノカイカクガヒツヨウデス。"),
+    ("人口の減少が深刻な問題です。",
+     "ジンコウノゲンショウガシンコクナモンダイデス。"),
+    ("企業は利益を増やしました。", "キギョウワリエキヲフヤシマシタ。"),
+    ("医療費の負担が増加しています。",
+     "イリョウヒノフタンガゾウカシテイマス。"),
+    ("気温が上昇して農業に影響が出ています。",
+     "キオンガジョウショウシテノウギョウニエイキョウガデテイマス。"),
 ]
 
 
@@ -88,7 +110,7 @@ def _read(reader, text):
 def test_lexicon_reader_gold_floor():
     """Char-level accuracy >= 0.97 and sentence-exact >= 0.90 on the
     gold set, using the hermetic reader explicitly (no fugashi).
-    Measured 40/40 exact after the round-3 fixes: whole-run compound
+    Measured 52/52 exact after the round-3 fixes: whole-run compound
     matching (a leading compound no longer strands the run's last
     kanji as a false isolated-kun: 物理+学, 二時+間), okurigana-keyed
     kun stems (KUN_OKURI: 開けて=ア vs 開く=ヒラ, 入れ=イ,

@@ -49,7 +49,7 @@ _NP_KEEP = {"ヒャク", "ホク", "ホン"}
 # verb stem — its final kanji must read ON, not KUN. Inflection heads
 # (る/す/た/し/...) are absent from this set on purpose: 手伝う, 見送る
 # keep their kun stems.
-_PARTICLE_HEADS = set("はをがのでともへやかだねよ")
+_PARTICLE_HEADS = set("はをがのでともへやかだねよに")
 
 
 def _euphonic_join(prev: str, nxt: str):
@@ -200,6 +200,11 @@ class LexiconReader:
                 pos == end - 1
                 and _HIRA_RX.match(text, end) is not None
                 and text[end] not in _PARTICLE_HEADS
+                # a multi-kanji run before し/さ/せ is almost always
+                # a suru-noun (発表します, 調査され, 開催せず), and one
+                # before な a na-adjective (深刻な): the final kanji
+                # stays ON. Single kanji keep kun (話します).
+                and not (run_len >= 2 and text[end] in "しさせな")
             )
             isolated = run_len == 1 or okurigana
             if isolated:
