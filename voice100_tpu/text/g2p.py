@@ -30,6 +30,20 @@ __all__ = ["G2P"]
 # words appearing in the project's demo texts / tests).
 _LEXICON: Dict[str, str] = {
     # round-3 additions from out-of-gold generalization probes
+    "january": "JH AE1 N Y UW0 EH2 R IY0", "april": "EY1 P R AH0 L",
+    "july": "JH UW0 L AY1", "august": "AO1 G AH0 S T",
+    "september": "S EH0 P T EH1 M B ER0", "october": "AA0 K T OW1 B ER0",
+    "november": "N OW0 V EH1 M B ER0", "december": "D IH0 S EH1 M B ER0",
+    "washington": "W AA1 SH IH0 NG T AH0 N", "london": "L AH1 N D AH0 N",
+    "america": "AH0 M EH1 R AH0 K AH0", "american": "AH0 M EH1 R AH0 K AH0 N",
+    "england": "IH1 NG G L AH0 N D", "english": "IH1 NG G L IH0 SH",
+    "france": "F R AE1 N S", "japan": "JH AH0 P AE1 N",
+    "japanese": "JH AE2 P AH0 N IY1 Z", "china": "CH AY1 N AH0",
+    "chinese": "CH AY0 N IY1 Z", "india": "IH1 N D IY0 AH0",
+    "germany": "JH ER1 M AH0 N IY0", "australia": "AO0 S T R EY1 L Y AH0",
+    "africa": "AE1 F R IH0 K AH0", "mexico": "M EH1 K S AH0 K OW2",
+    "canada": "K AE1 N AH0 D AH0", "russia": "R AH1 SH AH0",
+    "italy": "IH1 T AH0 L IY0",
     "computer": "K AH0 M P Y UW1 T ER0", "internet": "IH1 N T ER0 N EH2 T",
     "morning": "M AO1 R N IH0 NG", "afternoon": "AE2 F T ER0 N UW1 N",
     "window": "W IH1 N D OW0", "building": "B IH1 L D IH0 NG",
