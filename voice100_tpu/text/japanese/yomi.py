@@ -192,6 +192,10 @@ class LexiconReader:
                 pos += 1
                 prev_on = -1
                 continue
+            # a kanji right before the iteration mark reads as if
+            # isolated (kun-first): 山々=ヤマヤマ, 木々=キギ — jukugo
+            # ON would give サンサン
+            before_iter = pos + 1 < end and text[pos + 1] == "々"
             # a run-final kanji right before hiragana is a verb/adj stem
             # with okurigana (kun) — unless that hiragana opens a
             # particle/copula, which marks the run as a jukugo noun;
@@ -206,7 +210,7 @@ class LexiconReader:
                 # stays ON. Single kanji keep kun (話します).
                 and not (run_len >= 2 and text[end] in "しさせな")
             )
-            isolated = run_len == 1 or okurigana
+            isolated = run_len == 1 or okurigana or before_iter
             if isolated:
                 yomi = self._kun(text, ch, end) or ON.get(ch) or ""
                 on_read = not KUN.get(ch) and bool(ON.get(ch))
