@@ -122,6 +122,25 @@ GOLD_SENTENCES = [
      "フネワナミヲコエテシマエムカイマシタ。"),
     ("庭の花に水をやるのが日課です。",
      "ニワノハナニミズヲヤルノガニッカデス。"),
+    # round-3 casual register (fifth out-of-gold probe: 6/10 before)
+    ("今週の土曜日、一緒に買い物に行かない？",
+     "コンシュウノドヨウビ、イッショニカイモノニイカナイ？"),
+    ("昨日の試合、最後まで見た？", "キノウノシアイ、サイゴマデミタ？"),
+    ("駅の近くに新しい店ができたよ。",
+     "エキノチカクニアタラシイミセガデキタヨ。"),
+    ("宿題が終わったら遊びに行こう。",
+     "シュクダイガオワッタラアソビニイコウ。"),
+    ("電気を消して早く寝なさい。", "デンキヲケシテハヤクネナサイ。"),
+    ("お腹が空いたから何か食べたい。",
+     "オナカガスイタカラナニカタベタイ。"),
+    ("明日の朝、八時に迎えに来てね。",
+     "アシタノアサ、ハチジニムカエニキテネ。"),
+    ("鍵をどこに置いたか忘れちゃった。",
+     "カギヲドコニオイタカワスレチャッタ。"),
+    ("風が強いから帽子を押さえて歩いた。",
+     "カゼガツヨイカラボウシヲオサエテアルイタ。"),
+    ("休みの日は音楽を聴いたり本を読んだりします。",
+     "ヤスミノヒワオンガクヲキイタリホンヲヨンダリシマス。"),
 ]
 
 
@@ -132,7 +151,7 @@ def _read(reader, text):
 def test_lexicon_reader_gold_floor():
     """Char-level accuracy >= 0.97 and sentence-exact >= 0.90 on the
     gold set, using the hermetic reader explicitly (no fugashi).
-    Measured 62/62 exact after the round-3 fixes: whole-run compound
+    Measured 72/72 exact after the round-3 fixes: whole-run compound
     matching (a leading compound no longer strands the run's last
     kanji as a false isolated-kun: 物理+学, 二時+間), okurigana-keyed
     kun stems (KUN_OKURI: 開けて=ア vs 開く=ヒラ, 入れ=イ,
