@@ -47,9 +47,9 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.9821 stripped /
-    # 0.9812 with-stress (phone acc 0.994, stress-only misses 1) on
-    # the probe-grown 1064-word set after
+    # hard floor, not typical-word accuracy. Measured 0.9826 stripped /
+    # 0.9817 with-stress (phone acc 0.994, stress-only misses 1) on
+    # the probe-grown 1092-word set after
     # the round-3 error-class sweeps: systematic spelling families
     # (-ough, -oul, silent mb/l, ch->K Greek contexts, o->AH families,
     # ed-after-t/d syllabification, -ies/-ean/-ature/-ence/-ful
@@ -192,3 +192,41 @@ def test_suffix_aware_stress():
         phones = g._lts(word)
         primaries = [p for p in phones if p.endswith("1")]
         assert primaries == [want], (word, phones)
+
+
+def test_number_normalization_g2pen_conventions():
+    """The fallback path mirrors g2p_en's normalize_numbers (the
+    reference inherits these exactly, voice100/text.py:64-71): year
+    style for 1000-3000, decimal "point", currency expansion, ordinal
+    suffixes, thousand-separator stripping."""
+    g = G2P()
+
+    def first_words(text, n):
+        toks = g(text)
+        # split on the inter-word ' ' tokens
+        words, cur = [], []
+        for t in toks:
+            if t == " ":
+                words.append(cur); cur = []
+            else:
+                cur.append(t)
+        words.append(cur)
+        return words[:n]
+
+    # 1984 -> nineteen eighty four (not one thousand ...)
+    assert first_words("1984", 2)[0] == "N AY1 N T IY1 N".split()
+    # 1902 -> nineteen oh two
+    assert first_words("1902", 2)[1] == ["OW1"]
+    # 2007 -> two thousand seven
+    assert [w[0] for w in first_words("2007", 3)] == ["T", "TH", "S"]
+    # $2.50 -> two dollars, fifty cents
+    flat = [t for t in g("$2.50") if t != " "]
+    assert flat[2:7] == "D AA1 L ER0 Z".split()
+    # 3.14 -> three point fourteen
+    flat = [t for t in g("3.14") if t != " "]
+    assert flat[3:7] == "P OY1 N T".split()
+    # ordinals
+    assert g("1st")[0] == "F"
+    assert g("40th") == "F AO1 R T IY0 AH0 TH".split()
+    # comma-separated thousands
+    assert g("1,000")[0] == "W"

@@ -76,8 +76,9 @@ def test_text_en_numbers():
 
     phonemizer = CMUPhonemizer()
     out = phonemizer("in 1942")
-    # numbers are spelled out before G2P
-    assert "W" in out and "AH1" in out  # "one"
+    # numbers are spelled out before G2P, in g2p_en's year style
+    # (nineteen forty two, voice100/text.py:64-71 via normalize_numbers)
+    assert out == "IH0/N/ /N/AY1/N/T/IY1/N/ /F/AO1/R/T/IY0/ /T/UW1"
 
 
 def test_text_ja():

@@ -30,6 +30,20 @@ __all__ = ["G2P"]
 # words appearing in the project's demo texts / tests).
 _LEXICON: Dict[str, str] = {
     # round-3 additions from out-of-gold generalization probes
+    "second": "S EH1 K AH0 N D", "third": "TH ER1 D",
+    "fourth": "F AO1 R TH", "fifth": "F IH1 F TH",
+    "sixth": "S IH1 K S TH", "seventh": "S EH1 V AH0 N TH",
+    "ninth": "N AY1 N TH", "tenth": "T EH1 N TH",
+    "eleventh": "IH0 L EH1 V AH0 N TH", "twelfth": "T W EH1 L F TH",
+    "twentieth": "T W EH1 N T IY0 AH0 TH", "thirtieth": "TH ER1 T IY0 AH0 TH",
+    "fortieth": "F AO1 R T IY0 AH0 TH", "fiftieth": "F IH1 F T IY0 AH0 TH",
+    "sixtieth": "S IH1 K S T IY0 AH0 TH", "seventieth": "S EH1 V AH0 N T IY0 AH0 TH",
+    "eightieth": "EY1 T IY0 AH0 TH", "ninetieth": "N AY1 N T IY0 AH0 TH",
+    "hundredth": "HH AH1 N D R AH0 D TH", "thousandth": "TH AW1 Z AH0 N D TH",
+    "millionth": "M IH1 L Y AH0 N TH", "dollar": "D AA1 L ER0",
+    "dollars": "D AA1 L ER0 Z", "cent": "S EH1 N T",
+    "cents": "S EH1 N T S", "pound": "P AW1 N D",
+    "pounds": "P AW1 N D Z", "oh": "OW1",
     "january": "JH AE1 N Y UW0 EH2 R IY0", "april": "EY1 P R AH0 L",
     "july": "JH UW0 L AY1", "august": "AO1 G AH0 S T",
     "september": "S EH0 P T EH1 M B ER0", "october": "AA0 K T OW1 B ER0",
@@ -617,6 +631,79 @@ def _number_to_words(num: str) -> List[str]:
     return words
 
 
+def _year_style(num: str) -> List[str]:
+    """g2p_en's normalize_numbers convention for 1000 < n < 3000
+    (two-digit pairs: 1984 = nineteen eighty four, 1902 = nineteen oh
+    two, 1900 = nineteen hundred, 2007 = two thousand seven)."""
+    n = int(num)
+    if not 1000 < n < 3000:
+        return _number_to_words(num)
+    if n == 2000:
+        return ["two", "thousand"]
+    if 2000 < n < 2010:
+        return ["two", "thousand"] + _number_to_words(str(n % 10))
+    if n % 100 == 0:
+        return _number_to_words(str(n // 100)) + ["hundred"]
+    pair = _number_to_words(str(n % 100))
+    if n % 100 < 10:
+        pair = ["oh"] + pair
+    return _number_to_words(str(n // 100)) + pair
+
+
+_ORDINAL_WORDS = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _ordinal_words(num: str) -> List[str]:
+    words = _number_to_words(num)
+    last = words[-1]
+    if last in _ORDINAL_WORDS:
+        words[-1] = _ORDINAL_WORDS[last]
+    elif last.endswith("y"):
+        words[-1] = last[:-1] + "ieth"
+    else:
+        words[-1] = last + "th"
+    return words
+
+
+_COMMA_NUM_RX = re.compile(r"([0-9][0-9,]+[0-9])")
+_DOLLARS_RX = re.compile(r"\$([0-9.,]*[0-9]+)")
+_POUNDS_RX = re.compile(r"£([0-9,]*[0-9]+)")
+_DECIMAL_RX = re.compile(r"([0-9]+)\.([0-9]+)")
+_ORDINAL_RX = re.compile(r"([0-9]+)(st|nd|rd|th)\b")
+
+
+def _expand_dollars(m: "re.Match") -> str:
+    parts = m.group(1).split(".")
+    dollars = int(parts[0]) if parts[0] else 0
+    cents = int(parts[1][:2]) if len(parts) > 1 and parts[1] else 0
+    d_unit = "dollar" if dollars == 1 else "dollars"
+    c_unit = "cent" if cents == 1 else "cents"
+    if dollars and cents:
+        return f"{dollars} {d_unit}, {cents} {c_unit}"
+    if cents:
+        return f"{cents} {c_unit}"
+    return f"{dollars} {d_unit}"
+
+
+def _normalize_numbers(text: str) -> str:
+    """Mirror g2p_en's normalize_numbers pre-pass (its expand module):
+    strip thousand-separators, expand currency, read the decimal point
+    as "point", expand ordinal suffixes, and read 1000-3000 in year
+    style. The reference pipeline inherits exactly these conventions
+    from g2p_en (voice100/text.py:64-71)."""
+    text = _COMMA_NUM_RX.sub(lambda m: m.group(1).replace(",", ""), text)
+    text = _POUNDS_RX.sub(lambda m: f"{m.group(1)} pounds", text)
+    text = _DOLLARS_RX.sub(_expand_dollars, text)
+    text = _DECIMAL_RX.sub(lambda m: f"{m.group(1)} point {m.group(2)}",
+                           text)
+    text = _ORDINAL_RX.sub(
+        lambda m: " ".join(_ordinal_words(m.group(1))), text)
+    return text
+
+
 class G2P:
     """English text -> CMU phone token list.
 
@@ -651,11 +738,11 @@ class G2P:
     def __call__(self, text: str) -> List[str]:
         if self._g2p_en is not None:
             return list(self._g2p_en(text))
-        tokens = _WORD_RX.findall(text.lower())
+        tokens = _WORD_RX.findall(_normalize_numbers(text.lower()))
         words: List[str] = []
         for tok in tokens:
             if tok.isdigit():
-                words.extend(_number_to_words(tok))
+                words.extend(_year_style(tok))
             else:
                 words.append(tok)
         out: List[str] = []
