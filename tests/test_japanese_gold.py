@@ -265,3 +265,30 @@ def test_gold_sentences_phonemize_end_to_end():
         assert out, text
         assert not any("一" <= ch <= "鿯" for ch in out), (
             text, out)
+
+
+def test_ascii_numbers_and_counters():
+    """ASCII digit runs read as Japanese cardinals; digit+counter
+    pairs use the irregular counter paradigms with standard euphony
+    (text/japanese/numbers.py). MeCab handles these in the reference;
+    the fallback previously dropped digits and misread the counter as
+    isolated kun (2026年 -> トシ)."""
+    reader = LexiconReader()
+    cases = {
+        "2026年8月18日の午後3時30分です。":
+            "ニセンニジュウロクネンハチガツジュウハチニチ"
+            "ノゴゴサンジサンジュップンデス。",
+        "1人で3時間待ちました。": "ヒトリデサンジカンマチマシタ。",
+        "りんごを6個と本を2冊買いました。":
+            "リンゴヲロッコトホンヲニサツカイマシタ。",
+        "彼は20歳で、弟は8歳です。": "カレワハタチデ、オトウトワハッサイデス。",
+        "100円のパンを4月1日に買った。":
+            "ヒャクエンノパンヲシガツツイタチニカッタ。",
+        "3本のペンと1匹の犬。": "サンボンノペントイッピキノイヌ。",
+        "10分だけ待って。": "ジュップンダケマッテ。",
+        "10000人が集まった。": "イチマンニンガアツマッタ。",
+        "0時です。": "ゼロジデス。",
+    }
+    for surface, want in cases.items():
+        assert _read(reader, surface) == want, (
+            surface, _read(reader, surface))

@@ -21,6 +21,7 @@ import re
 from typing import List, Tuple
 
 from .kana import hira2kata
+from .numbers import COUNTERS, read_number, read_with_counter
 from .readings import COMPOUNDS, KUN, KUN_OKURI, ON
 
 __all__ = ["text2kata"]
@@ -70,7 +71,8 @@ def _euphonic_join(prev: str, nxt: str):
         return prev, _P_ROW[head] + nxt[1:]
     return prev, nxt
 _KATA_RX = re.compile(r"[ァ-ヶー]+")
-_ASCII_RX = re.compile(r"[0-9A-Za-z]+")
+_NUM_RX = re.compile(r"[0-9]+")
+_ASCII_RX = re.compile(r"[A-Za-z]+")
 _KANJI_RX = re.compile(r"[一-龯々]+")
 
 # Compound keys bucketed by first char, longest first, so the scanner
@@ -140,6 +142,25 @@ class LexiconReader:
             if m:
                 out.append((m.group(0), m.group(0)))
                 i = m.end()
+                continue
+            m = _NUM_RX.match(text, i)
+            if m:
+                digits = m.group(0)
+                j = m.end()
+                # digit + counter kanji (2026年, 3時, 30分) — unless a
+                # compound starts at the counter (3時間 = サン+ジカン
+                # via the 時間 compound)
+                if (
+                    j < n and text[j] in COUNTERS
+                    and self._match_compound(text, j) is None
+                ):
+                    reading = read_with_counter(digits, text[j])
+                    if reading is not None:
+                        out.append((digits + text[j], reading))
+                        i = j + 1
+                        continue
+                out.append((digits, read_number(digits)))
+                i = j
                 continue
             m = _ASCII_RX.match(text, i)
             if m:
