@@ -95,7 +95,15 @@ class LexiconReader:
     topic particle (ワ). Unknown tokens pass through unchanged, as the
     reference does for words MeCab cannot read."""
 
+    _FULLWIDTH = str.maketrans(
+        "０１２３４５６７８９ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ"
+        "ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ",
+        "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+
     def tokens(self, text: str) -> List[Tuple[str, str]]:
+        text = text.translate(self._FULLWIDTH)
         out: List[Tuple[str, str]] = []
         i = 0
         n = len(text)
