@@ -593,6 +593,16 @@ _STRESSABLE = {
     "IH", "IY", "OW", "OY", "UH", "UW",
 }
 
+_LETTER_NAMES = {
+    "a": "EY1", "b": "B IY1", "c": "S IY1", "d": "D IY1", "e": "IY1",
+    "f": "EH1 F", "g": "JH IY1", "h": "EY1 CH", "i": "AY1",
+    "j": "JH EY1", "k": "K EY1", "l": "EH1 L", "m": "EH1 M",
+    "n": "EH1 N", "o": "OW1", "p": "P IY1", "q": "K Y UW1",
+    "r": "AA1 R", "s": "EH1 S", "t": "T IY1", "u": "Y UW1",
+    "v": "V IY1", "w": "D AH1 B AH0 L Y UW0", "x": "EH1 K S",
+    "y": "W AY1", "z": "Z IY1",
+}
+
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")
 
 
@@ -764,6 +774,14 @@ class G2P:
         stripped = self._strip_suffix(word)
         if stripped is not None:
             return stripped
+        if not any(c in "aeiouy" for c in word):
+            # vowel-less letter strings are acronyms: spell them out
+            # (tv = T IY1 V IY1) rather than emit a consonant cluster
+            out: List[str] = []
+            for c in word:
+                out.extend(_LETTER_NAMES.get(c, "").split())
+            if out:
+                return out
         return self._lts(word)
 
     _VOICELESS_FINAL = {"P", "T", "K", "F", "TH"}
