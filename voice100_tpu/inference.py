@@ -96,6 +96,18 @@ class ASRPipeline:
             )
         self.model = model
         self.tokenizer = get_tokenizer(language, use_phone)
+        if (
+            self.lm_table is not None
+            and self.lm_table.shape[2] != self.tokenizer.vocab_size
+        ):
+            # a mismatched table would silently gather wrong rows in
+            # the fused beam search
+            raise ValueError(
+                f"LM vocab {self.lm_table.shape[2]} != tokenizer vocab "
+                f"{self.tokenizer.vocab_size} (language={language!r}, "
+                f"use_phone={use_phone}) — train the LM on the same "
+                "prepared corpus (tools/train_lm.py)"
+            )
         self.sample_rate = sample_rate
         self.batch_size = batch_size
         self.buckets = [int(s * sample_rate) for s in buckets_sec]
