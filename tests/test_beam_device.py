@@ -278,3 +278,21 @@ def test_train_lm_cli(tmp_path):
     tok = get_tokenizer("en", False)
     h, e, l_, z = (int(tok(c)[0]) for c in "helz")
     assert lm.table[h, e, l_] > lm.table[h, e, z]
+
+
+def test_pipeline_rejects_mismatched_lm_vocab():
+    """A [V,V,V] table for the wrong tokenizer must be rejected at
+    construction (it would silently gather wrong rows on device)."""
+    import pytest
+
+    from voice100_tpu.inference import ASRPipeline
+    from voice100_tpu.models import AudioToAlignText
+
+    model = AudioToAlignText(
+        vocab_size=29, audio_size=64,
+        encoder_settings=((8, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=8,
+    )
+    bad = np.zeros((44, 44, 44), np.float32)  # JA-sized table, EN model
+    with pytest.raises(ValueError, match="LM vocab"):
+        ASRPipeline(model, {"params": {}}, beam_size=4, lm=bad)
