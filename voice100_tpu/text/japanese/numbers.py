@@ -97,7 +97,12 @@ def _join_geminate(num: str, counter: str) -> str:
         return num[:-1] + "ッ" + _P_ROW.get(head, head) + counter[1:]
     if num.endswith("ジュウ") and head in _UNVOICED:
         return num[:-1] + "ッ" + _P_ROW.get(head, head) + counter[1:]
-    if num.endswith("ロク") and head in "カキクケコハヒフヘホパピプペポ":
+    if (
+        num.endswith(("ロク", "ヒャク", "ピャク", "ビャク"))
+        and head in "カキクケコハヒフヘホパピプペポ"
+    ):
+        # k/h/p-initial counters geminate after ク (ロッカイ,
+        # ヒャッピキ, ロッピャッピキ)
         return num[:-1] + "ッ" + _P_ROW.get(head, head) + counter[1:]
     if num.endswith("ン") and head in _P_ROW:
         # 本 voices to b-row after ン (サンボン); others harden to
