@@ -1042,7 +1042,10 @@ class G2P:
         that penult-stressing suffixes (-tion, -ity, ...) move it to
         the second-to-last vowel and French-style endings (-ee, -ique,
         ...) to the last. ``AX`` (rule-engine schwa) is never stressed
-        and becomes AH0."""
+        and becomes AH0. A rule output that already carries an explicit
+        ``*1`` digit pins the whole word: every heuristic (including
+        vowel reduction and secondary promotion on pinned indices) is
+        suppressed."""
         idxs = [i for i, p in enumerate(phones) if p in _STRESSABLE]
         target = idxs[0] if idxs else -1
         pinned = any(p.endswith("1") for p in phones)
