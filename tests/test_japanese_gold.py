@@ -292,3 +292,19 @@ def test_ascii_numbers_and_counters():
     for surface, want in cases.items():
         assert _read(reader, surface) == want, (
             surface, _read(reader, surface))
+
+
+def test_number_reader_total_and_katakana():
+    """read_number is total over its domain and emits pure katakana
+    (property check; the phonemizer downstream can read any output)."""
+    import re
+
+    from voice100_tpu.text.japanese.numbers import read_number
+
+    kata = re.compile(r"^[ァ-ヶー]+$")
+    for n in list(range(0, 130)) + [999, 1000, 3600, 8000, 10000,
+                                    65536, 123456789, 10**9]:
+        got = read_number(str(n))
+        assert got and kata.match(got), (n, got)
+    # digit-by-digit fallback for phone-number-length runs
+    assert read_number("09012345678").startswith("ゼロキュウ")
