@@ -188,6 +188,23 @@ def test_g2p_sentence_agreement_vs_g2p_en():
         assert sim >= 0.85, (s, sim, want, got)
 
 
+def test_number_conventions_vs_g2p_en():
+    """Our normalize_numbers mirror must agree with g2p_en on number
+    text: years, decimals, dollars, ordinals (the reference inherits
+    these exactly, voice100/text.py:64-71)."""
+    g2p_en = pytest.importorskip("g2p_en")
+    from voice100_tpu.text.g2p import G2P
+
+    ref = g2p_en.G2p()
+    ours = G2P()
+    ours._g2p_en = None
+    for text in ["in 1984", "in 1902", "in 2007", "$2.50", "3.14",
+                 "the 1st of may", "21st century", "1,000 miles"]:
+        want = [p for p in ref(text) if p.strip()]
+        got = [p for p in ours(text) if p.strip()]
+        assert got == want, (text, want, got)
+
+
 # --- fugashi / MeCab -------------------------------------------------------
 
 def test_japanese_readings_vs_fugashi():
