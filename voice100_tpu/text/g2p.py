@@ -194,15 +194,13 @@ _LEXICON: Dict[str, str] = {
     "meet": "M IY1 T", "met": "M EH1 T",
     "include": "IH0 N K L UW1 D", "continue": "K AH0 N T IH1 N Y UW0",
     "set": "S EH1 T", "learn": "L ER1 N", "change": "CH EY1 N JH",
-    "lead": "L IY1 D", "understand": "AH2 N D ER0 S T AE1 N D",
-    "watch": "W AA1 CH", "follow": "F AA1 L OW0",
+    "lead": "L IY1 D", "watch": "W AA1 CH", "follow": "F AA1 L OW0",
     "stop": "S T AA1 P", "create": "K R IY0 EY1 T",
     "speak": "S P IY1 K", "spoke": "S P OW1 K",
     "spend": "S P EH1 N D", "spent": "S P EH1 N T",
     "grow": "G R OW1", "grew": "G R UW1", "open": "OW1 P AH0 N",
     "walk": "W AO1 K", "win": "W IH1 N", "won": "W AH1 N",
-    "offer": "AO1 F ER0", "remember": "R IH0 M EH1 M B ER0",
-    "love": "L AH1 V", "consider": "K AH0 N S IH1 D ER0",
+    "offer": "AO1 F ER0", "love": "L AH1 V", "consider": "K AH0 N S IH1 D ER0",
     "appear": "AH0 P IH1 R", "buy": "B AY1", "bought": "B AO1 T",
     "wait": "W EY1 T", "serve": "S ER1 V", "die": "D AY1",
     "send": "S EH1 N D", "sent": "S EH1 N T", "expect": "IH0 K S P EH1 K T",
@@ -216,7 +214,6 @@ _LEXICON: Dict[str, str] = {
     "eyes": "AY1 Z", "place": "P L EY1 S", "case": "K EY1 S",
     "week": "W IY1 K", "company": "K AH1 M P AH0 N IY0",
     "system": "S IH1 S T AH0 M", "program": "P R OW1 G R AE2 M",
-    "question": "K W EH1 S CH AH0 N", "government": "G AH1 V ER0 M AH0 N T",
     "number": "N AH1 M B ER0", "night": "N AY1 T", "point": "P OY1 N T",
     "home": "HH OW1 M", "room": "R UW1 M", "mother": "M AH1 DH ER0",
     "father": "F AA1 DH ER0", "money": "M AH1 N IY0", "story": "S T AO1 R IY0",
@@ -233,19 +230,16 @@ _LEXICON: Dict[str, str] = {
     "level": "L EH1 V AH0 L", "door": "D AO1 R", "health": "HH EH1 L TH",
     "person": "P ER1 S AH0 N", "art": "AA1 R T", "war": "W AO1 R",
     "history": "HH IH1 S T ER0 IY0", "party": "P AA1 R T IY0",
-    "result": "R IH0 Z AH1 L T", "morning": "M AO1 R N IH0 NG",
-    "reason": "R IY1 Z AH0 N", "research": "R IY1 S ER0 CH",
-    "moment": "M OW1 M AH0 N T", "air": "EH1 R", "force": "F AO1 R S",
+    "result": "R IH0 Z AH1 L T", "reason": "R IY1 Z AH0 N", "research": "R IY1 S ER0 CH",
+    "air": "EH1 R", "force": "F AO1 R S",
     "state": "S T EY1 T", "area": "EH1 R IY0 AH0",
     "music": "M Y UW1 Z IH0 K", "mind": "M AY1 N D",
     "high": "HH AY1", "small": "S M AO1 L",
     "large": "L AA1 R JH", "big": "B IH1 G", "long": "L AO1 NG",
-    "young": "Y AH1 NG", "different": "D IH1 F ER0 AH0 N T",
-    "important": "IH0 M P AO1 R T AH0 N T", "few": "F Y UW1",
+    "young": "Y AH1 NG", "few": "F Y UW1",
     "public": "P AH1 B L IH0 K", "bad": "B AE1 D",
     "same": "S EY1 M", "able": "EY1 B AH0 L", "last": "L AE1 S T",
-    "early": "ER1 L IY0", "possible": "P AA1 S AH0 B AH0 L",
-    "late": "L EY1 T", "hard": "HH AA1 R D", "far": "F AA1 R",
+    "early": "ER1 L IY0", "late": "L EY1 T", "hard": "HH AA1 R D", "far": "F AA1 R",
     "real": "R IY1 L", "best": "B EH1 S T", "sure": "SH UH1 R",
     "better": "B EH1 T ER0", "true": "T R UW1", "whole": "HH OW1 L",
     "certain": "S ER1 T AH0 N", "free": "F R IY1", "full": "F UH1 L",
@@ -262,7 +256,6 @@ _LEXICON: Dict[str, str] = {
     "among": "AH0 M AH1 NG", "within": "W IH0 DH IH1 N",
     "upon": "AH0 P AA1 N", "toward": "T AH0 W AO1 R D",
     "sound": "S AW1 N D", "speech": "S P IY1 CH",
-    "language": "L AE1 NG G W AH0 JH",
     # frequent words whose spelling-to-sound is irregular (rule engine
     # gets these systematically wrong)
     "ones": "W AH1 N Z",     "busy": "B IH1 Z IY0",     "pretty": "P R IH1 T IY0",     "island": "AY1 L AH0 N D",
@@ -276,8 +269,7 @@ _LEXICON: Dict[str, str] = {
     "heart": "HH AA1 R T", "hearts": "HH AA1 R T S",
     "earth": "ER1 TH",     "learned": "L ER1 N D",
     "search": "S ER1 CH", "heaven": "HH EH1 V AH0 N",
-    "heavy": "HH EH1 V IY0", "weather": "W EH1 DH ER0",
-    "measure": "M EH1 ZH ER0", "pleasure": "P L EH1 ZH ER0",
+    "heavy": "HH EH1 V IY0", "measure": "M EH1 ZH ER0", "pleasure": "P L EH1 ZH ER0",
     "treasure": "T R EH1 ZH ER0", "leather": "L EH1 DH ER0",
     "instead": "IH0 N S T EH1 D", "already": "AO0 L R EH1 D IY0",
     "ready": "R EH1 D IY0", "dead": "D EH1 D", "death": "D EH1 TH",
@@ -337,7 +329,7 @@ _LEXICON: Dict[str, str] = {
     "monarch": "M AA1 N AA0 R K", "epoch": "EH1 P AH0 K",
     "orchestra": "AO1 R K AH0 S T R AH0",
     "technical": "T EH1 K N IH0 K AH0 L",
-    "stopped": "S T AA1 P T", "wanted": "W AA1 N T IH0 D",
+    "wanted": "W AA1 N T IH0 D",
     "asked": "AE1 S K T", "looked": "L UH1 K T",
     "aisle": "AY1 L",
     "quite": "K W AY1 T", "quiet": "K W AY1 AH0 T",
@@ -374,8 +366,7 @@ _LEXICON: Dict[str, str] = {
     "color": "K AH1 L ER0",
     "colour": "K AH1 L ER0", "comfort": "K AH1 M F ER0 T",
     "common": "K AA1 M AH0 N", "compass": "K AH1 M P AH0 S",
-    "onion": "AH1 N Y AH0 N", "london": "L AH1 N D AH0 N",
-    "dozen": "D AH1 Z AH0 N",
+    "onion": "AH1 N Y AH0 N", "dozen": "D AH1 Z AH0 N",
     "become": "B IH0 K AH1 M", "became": "B IH0 K EY1 M",
     "welcome": "W EH1 L K AH0 M", "income": "IH1 N K AH2 M",
     "somebody": "S AH1 M B AA2 D IY0",
@@ -388,7 +379,6 @@ _LEXICON: Dict[str, str] = {
     "muscle": "M AH1 S AH0 L", "fasten": "F AE1 S AH0 N",
     "soften": "S AO1 F AH0 N", "hasten": "HH EY1 S AH0 N",
     "wednesday": "W EH1 N Z D EY2", "february": "F EH1 B Y AH0 W EH2 R IY0",
-    "january": "JH AE1 N Y UW0 EH2 R IY0",
     "library": "L AY1 B R EH2 R IY0",
     "necessary": "N EH1 S AH0 S EH2 R IY0",
     "secretary": "S EH1 K R AH0 T EH2 R IY0",
@@ -405,7 +395,6 @@ _LEXICON: Dict[str, str] = {
     "chocolate": "CH AO1 K L AH0 T",
     "vegetable": "V EH1 JH T AH0 B AH0 L",
     "miniature": "M IH1 N IY0 AH0 CH ER0",
-    "comfortable": "K AH1 M F ER0 T AH0 B AH0 L",
     "suit": "S UW1 T", "fruit": "F R UW1 T", "juice": "JH UW1 S",
     "bruise": "B R UW1 Z", "cruise": "K R UW1 Z",
     "nuisance": "N UW1 S AH0 N S", "pursuit": "P ER0 S UW1 T",
@@ -423,15 +412,13 @@ _LEXICON: Dict[str, str] = {
     "average": "AE1 V ER0 IH0 JH", "savage": "S AE1 V AH0 JH",
     "cottage": "K AA1 T AH0 JH", "cabbage": "K AE1 B AH0 JH",
     "captain": "K AE1 P T AH0 N",     "certainly": "S ER1 T AH0 N L IY0", "curtain": "K ER1 T AH0 N",
-    "fountain": "F AW1 N T AH0 N", "mountain": "M AW1 N T AH0 N",
-    "mountains": "M AW1 N T AH0 N Z", "bargain": "B AA1 R G AH0 N",
+    "fountain": "F AW1 N T AH0 N", "mountains": "M AW1 N T AH0 N Z", "bargain": "B AA1 R G AH0 N",
     "villain": "V IH1 L AH0 N", "britain": "B R IH1 T AH0 N",
     "ancient": "EY1 N CH AH0 N T", "patient": "P EY1 SH AH0 N T",
     "patience": "P EY1 SH AH0 N S", "anxious": "AE1 NG K SH AH0 S",
     "anxiety": "AE0 NG Z AY1 AH0 T IY0",
     "luxury": "L AH1 G ZH ER0 IY0", "exact": "IH0 G Z AE1 K T",
     "exactly": "IH0 G Z AE1 K T L IY0",
-    "example": "IH0 G Z AE1 M P AH0 L",
     "examine": "IH0 G Z AE1 M AH0 N", "exist": "IH0 G Z IH1 S T",
     "exhaust": "IH0 G Z AO1 S T", "exhibit": "IH0 G Z IH1 B IH0 T",
     "exert": "IH0 G Z ER1 T", "executive": "IH0 G Z EH1 K Y AH0 T IH0 V",
@@ -440,9 +427,8 @@ _LEXICON: Dict[str, str] = {
     "finger": "F IH1 NG G ER0", "fingers": "F IH1 NG G ER0 Z",
     "longer": "L AO1 NG G ER0", "stronger": "S T R AO1 NG G ER0",
     "younger": "Y AH1 NG G ER0", "single": "S IH1 NG G AH0 L",
-    "england": "IH1 NG G L AH0 N D", "english": "IH1 NG G L IH0 SH",
     "singer": "S IH1 NG ER0", "danger": "D EY1 N JH ER0",
-    "dangerous": "D EY1 N JH ER0 AH0 S", "stranger": "S T R EY1 N JH ER0",
+    "stranger": "S T R EY1 N JH ER0",
     "strange": "S T R EY1 N JH", "angel": "EY1 N JH AH0 L",
     "ginger": "JH IH1 N JH ER0", "engine": "EH1 N JH AH0 N",
     "engineer": "EH2 N JH AH0 N IH1 R",
@@ -495,14 +481,13 @@ _LEXICON: Dict[str, str] = {
     "gown": "G AW1 N", "crown": "K R AW1 N", "drown": "D R AW1 N",
     "clown": "K L AW1 N", "frown": "F R AW1 N", "crowd": "K R AW1 D",
     "owl": "AW1 L", "vowel": "V AW1 AH0 L", "towel": "T AW1 AH0 L",
-    "flower": "F L AW1 ER0", "tower": "T AW1 ER0",
+    "tower": "T AW1 ER0",
     "shower": "SH AW1 ER0", "coward": "K AW1 ER0 D",
     "brow": "B R AW1", "plow": "P L AW1", "allowance": "AH0 L AW1 AH0 N S",
     # further frequent irregular spellings
     "yacht": "Y AA1 T", "choir": "K W AY1 ER0", "bury": "B EH1 R IY0",
     "buried": "B EH1 R IY0 D", "sew": "S OW1", "sewn": "S OW1 N",
-    "asthma": "AE1 Z M AH0", "isle": "AY1 L",     "hymn": "HH IH1 M", "autumn": "AO1 T AH0 M",
-    "column": "K AA1 L AH0 M", "solemn": "S AA1 L AH0 M",
+    "asthma": "AE1 Z M AH0", "isle": "AY1 L",     "hymn": "HH IH1 M", "column": "K AA1 L AH0 M", "solemn": "S AA1 L AH0 M",
     "condemn": "K AH0 N D EH1 M", "wrist": "R IH1 S T",
     "wrestle": "R EH1 S AH0 L",
     "bustle": "B AH1 S AH0 L", "hustle": "HH AH1 S AH0 L",
@@ -561,7 +546,6 @@ _LEXICON: Dict[str, str] = {
     "women's": "W IH1 M AH0 N Z", "men's": "M EH1 N Z",
     "people's": "P IY1 P AH0 L Z",
     "clothes": "K L OW1 DH Z", "clothing": "K L OW1 DH IH0 NG",
-    "breakfast": "B R EH1 K F AH0 S T",
     "cupboard": "K AH1 B ER0 D", "forehead": "F AO1 R HH EH2 D",
     "vineyard": "V IH1 N Y ER0 D", "shepherd": "SH EH1 P ER0 D",
     "orchard": "AO1 R CH ER0 D", "vehicle": "V IY1 IH0 K AH0 L",
