@@ -141,6 +141,27 @@ GOLD_SENTENCES = [
      "カゼガツヨイカラボウシヲオサエテアルイタ。"),
     ("休みの日は音楽を聴いたり本を読んだりします。",
      "ヤスミノヒワオンガクヲキイタリホンヲヨンダリシマス。"),
+    # round-3 mixed register (sixth out-of-gold probe: 4/12 before)
+    ("毎週火曜日にピアノを習っています。",
+     "マイシュウカヨウビニピアノヲナラッテイマス。"),
+    ("黒い雲が出てきたので傘を持って出かけた。",
+     "クロイクモガデテキタノデカサヲモッテデカケタ。"),
+    ("彼の説明は分かりやすかったです。",
+     "カレノセツメイワワカリヤスカッタデス。"),
+    ("空港で友人を見送りました。", "クウコウデユウジンヲミオクリマシタ。"),
+    ("この道をまっすぐ行くと右側に郵便局があります。",
+     "コノミチヲマッスグイクトミギガワニユウビンキョクガアリマス。"),
+    ("昼休みに同僚と公園を散歩した。",
+     "ヒルヤスミニドウリョウトコウエンヲサンポシタ。"),
+    ("祖母は毎晩九時に寝ます。", "ソボワマイバンクジニネマス。"),
+    ("強い地震で建物が揺れました。", "ツヨイジシンデタテモノガユレマシタ。"),
+    ("新しい技術を学ぶのは楽しいです。",
+     "アタラシイギジュツヲマナブノワタノシイデス。"),
+    ("冬になると湖が凍ります。", "フユニナルトミズウミガコオリマス。"),
+    ("彼女は銀色の時計を身につけていた。",
+     "カノジョワギンイロノトケイヲミニツケテイタ。"),
+    ("質問があれば遠慮なく聞いてください。",
+     "シツモンガアレバエンリョナクキイテクダサイ。"),
 ]
 
 
@@ -151,7 +172,7 @@ def _read(reader, text):
 def test_lexicon_reader_gold_floor():
     """Char-level accuracy >= 0.97 and sentence-exact >= 0.90 on the
     gold set, using the hermetic reader explicitly (no fugashi).
-    Measured 72/72 exact after the round-3 fixes: whole-run compound
+    Measured 84/84 exact after the round-3 fixes: whole-run compound
     matching (a leading compound no longer strands the run's last
     kanji as a false isolated-kun: 物理+学, 二時+間), okurigana-keyed
     kun stems (KUN_OKURI: 開けて=ア vs 開く=ヒラ, 入れ=イ,
