@@ -1244,6 +1244,12 @@ class G2P:
                 and i != last_keep
                 and abs(k - prim_syl) == 1
                 and not (protect_first and k == 0)
+                # NOTE: final full-vowel+R syllables are deliberately
+                # still reduced (comfort/orchard/dollar -> ER0) even
+                # though compound-ish second elements lexically keep
+                # quality (airport AO2 R T) — that split is lexical,
+                # and the reducing class is the bigger one; the
+                # compound exceptions live in the lexicon
             ):
                 out[i] = "AH0"
         return out
