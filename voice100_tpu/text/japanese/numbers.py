@@ -140,7 +140,11 @@ def read_with_counter(digits: str, counter: str) -> Optional[str]:
     if counter == "歳" and n == 20:
         return "ハタチ"
     if counter in _GEMINATING:
-        return _join_geminate(read_number(digits), _GEMINATING[counter])
+        num = read_number(digits)
+        if counter == "階" and num.endswith("ン"):
+            # lexical rendaku: 3階 = サンガイ (回 stays サンカイ)
+            return num + "ガイ"
+        return _join_geminate(num, _GEMINATING[counter])
     if counter in _PLAIN:
         num = read_number(digits)
         if counter == "年" and num.endswith("ヨン"):
