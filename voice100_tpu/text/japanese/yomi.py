@@ -195,6 +195,9 @@ class LexiconReader:
         reflects that."""
         run_len = end - i
         pos = i
+        seg_start = i  # start of the per-kanji segment (resets after
+        # each compound hit: the kanji after 明日 in 明日返します is a
+        # fresh word, not the tail of a jukugo)
         prev_on = -1  # index in out of the preceding on-read kanji
         while pos < end:
             # numeric counter 分: 三十分 = サンジュップン (the generic
@@ -205,12 +208,14 @@ class LexiconReader:
             ):
                 out.append(("十分", "ジュップン"))
                 pos += 2
+                seg_start = pos
                 prev_on = -1
                 continue
             hit = self._match_compound(text, pos)
             if hit is not None:
                 out.append(hit)
                 pos += len(hit[0])
+                seg_start = pos
                 prev_on = -1
                 continue
             ch = text[pos]
@@ -233,11 +238,12 @@ class LexiconReader:
                 pos == end - 1
                 and _HIRA_RX.match(text, end) is not None
                 and text[end] not in _PARTICLE_HEADS
-                # a multi-kanji run before し/さ/せ is almost always
-                # a suru-noun (発表します, 調査され, 開催せず), and one
-                # before な a na-adjective (深刻な): the final kanji
-                # stays ON. Single kanji keep kun (話します).
-                and not (run_len >= 2 and text[end] in "しさせな")
+                # a multi-kanji segment before し/さ/せ is almost
+                # always a suru-noun (発表します, 調査され, 開催せず),
+                # and one before な a na-adjective (深刻な): the final
+                # kanji stays ON. Segment-initial kanji keep kun
+                # (話します; 明日返します after the 明日 compound).
+                and not (pos > seg_start and text[end] in "しさせな")
             )
             isolated = run_len == 1 or okurigana or before_iter
             if isolated:
