@@ -162,6 +162,26 @@ GOLD_SENTENCES = [
      "カノジョワギンイロノトケイヲミニツケテイタ。"),
     ("質問があれば遠慮なく聞いてください。",
      "シツモンガアレバエンリョナクキイテクダサイ。"),
+    # round-3 seventh probe (6/12 before; 降り始め=オリ kept by policy)
+    ("父は毎朝新聞を読みながらコーヒーを飲みます。",
+     "チチワマイアサシンブンヲヨミナガラコーヒーヲノミマス。"),
+    ("この橋は百年前に造られました。",
+     "コノハシワヒャクネンマエニツクラレマシタ。"),
+    ("疲れたので温かいお茶を飲んで休みました。",
+     "ツカレタノデアタタカイオチャヲノンデヤスミマシタ。"),
+    ("電話番号を教えてください。", "デンワバンゴウヲオシエテクダサイ。"),
+    ("夏祭りで花火を見ました。", "ナツマツリデハナビヲミマシタ。"),
+    ("彼は医者になるために勉強しています。",
+     "カレワイシャニナルタメニベンキョウシテイマス。"),
+    ("この店のパンは安くておいしいです。",
+     "コノミセノパンワヤスクテオイシイデス。"),
+    ("荷物を預けてから観光に出かけました。",
+     "ニモツヲアズケテカラカンコウニデカケマシタ。"),
+    ("冷たい風が北から吹いています。", "ツメタイカゼガキタカラフイテイマス。"),
+    ("弟は歌が上手で、よく賞をもらいます。",
+     "オトウトワウタガジョウズデ、ヨクショウヲモライマス。"),
+    ("図書館で借りた本を明日返します。",
+     "トショカンデカリタホンヲアシタカエシマス。"),
 ]
 
 
@@ -172,7 +192,7 @@ def _read(reader, text):
 def test_lexicon_reader_gold_floor():
     """Char-level accuracy >= 0.97 and sentence-exact >= 0.90 on the
     gold set, using the hermetic reader explicitly (no fugashi).
-    Measured 84/84 exact after the round-3 fixes: whole-run compound
+    Measured 95/95 exact after the round-3 fixes: whole-run compound
     matching (a leading compound no longer strands the run's last
     kanji as a false isolated-kun: 物理+学, 二時+間), okurigana-keyed
     kun stems (KUN_OKURI: 開けて=ア vs 開く=ヒラ, 入れ=イ,
