@@ -743,7 +743,13 @@ class G2P:
     """
 
     def __init__(self, lexicon_path: Optional[str] = None) -> None:
+        from . import heteronyms
+
         self._lexicon = dict(_LEXICON)
+        # unambiguous verb inflections of heteronyms ("recorded",
+        # "using") resolve to the verb-slot pronunciation
+        for form, pron in heteronyms.verb_forms().items():
+            self._lexicon.setdefault(form, pron)
         env_path = lexicon_path or os.environ.get("VOICE100_TPU_CMUDICT")
         if env_path and os.path.exists(env_path):
             self._load_cmudict(env_path)
@@ -775,12 +781,19 @@ class G2P:
                 words.extend(_year_style(tok))
             else:
                 words.append(tok)
+        from . import heteronyms
+
         out: List[str] = []
         for i, word in enumerate(words):
             if i > 0:
                 out.append(" ")
             if word[0].isalpha() or word[0] == "'":
-                out.extend(self._word_phones(word))
+                prev = words[i - 1] if i > 0 else None
+                nxt = words[i + 1] if i + 1 < len(words) else None
+                phones = heteronyms.resolve(word, prev, nxt)
+                if phones is None:
+                    phones = self._word_phones(word)
+                out.extend(phones)
             else:
                 out.append(word)
         return out
