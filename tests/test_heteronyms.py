@@ -95,6 +95,59 @@ def test_plural_forms_context():
     assert _words(g, "the records show")[1] == "R EH1 K ER0 D Z".split()
 
 
+def test_probe_sentences():
+    """Out-of-gold probe round folded in: cue-walk transparency,
+    coordination, plural subjects, clause boundaries."""
+    g = G2P()
+    cases = [
+        ("the suspect refused to answer", 1, "S AH1 S P EH2 K T"),
+        ("police suspect foul play", 1, "S AH0 S P EH1 K T"),
+        ("exports increased last year", 0, "EH1 K S P AO2 R T S"),
+        ("the content of the book", 1, "K AA1 N T EH0 N T"),
+        ("she was content with it", 2, "K AH0 N T EH1 N T"),
+        ("he wound the clock", 1, "W AW1 N D"),
+        ("the wound healed slowly", 1, "W UW1 N D"),
+        ("do not subject them to this", 2, "S AH0 B JH EH1 K T"),
+        ("the subject of the essay", 1, "S AH1 B JH IH0 K T"),
+        ("this permit expires soon", 1, "P ER1 M IH0 T"),
+        ("we permit smoking", 1, "P ER0 M IH1 T"),
+        ("they export rice and import oil", 1, "IH0 K S P AO1 R T"),
+        ("they export rice and import oil", 4, "IH0 M P AO1 R T"),
+        ("a graduate student", 1, "G R AE1 JH AH0 W AH0 T"),
+        ("students graduate in june", 1, "G R AE1 JH AH0 W EY2 T"),
+        ("he read the letter yesterday", 1, "R IY1 D"),
+        ("the book was read twice", 3, "R EH1 D"),
+        ("i have never read it", 3, "R EH1 D"),
+        ("a bow and arrow", 1, "B OW1"),
+        ("the associate director", 1, "AH0 S OW1 S IY0 AH0 T"),
+        ("we associate it with rain", 1, "AH0 S OW1 S IY0 EY2 T"),
+        ("his conduct was poor", 1, "K AA1 N D AH0 K T"),
+        ("they conduct experiments", 1, "K AH0 N D AH1 K T"),
+        ("what is your address", 3, "AE1 D R EH2 S"),
+        ("address the crowd", 0, "AH0 D R EH1 S"),
+        ("a moderate increase in prices", 2, "IH1 N K R IY2 S"),
+        ("prices increase every year", 1, "IH0 N K R IY1 S"),
+        ("a record number of people", 1, "R EH1 K ER0 D"),
+        ("it will upset him", 2, "AH0 P S EH1 T"),
+        ("a house in the desert", 4, "D EH1 Z ER0 T"),
+        ("do not desert me", 2, "D IH0 Z ER1 T"),
+        ("an invalid argument", 1, "IH0 N V AE1 L AH0 D"),
+        ("the refuse was collected", 1, "R EH1 F Y UW2 S"),
+        ("i refuse to go", 1, "R IH0 F Y UW1 Z"),
+        ("the sports record was broken", 2, "R EH1 K ER0 D"),
+        ("they never record anything", 2, "R IH0 K AO1 R D"),
+        ("sales increase when prices decrease", 1, "IH0 N K R IY1 S"),
+        ("he bought rice and produce", 4, "P R OW1 D UW0 S"),
+        ("imports and exports", 2, "EH1 K S P AO2 R T S"),
+    ]
+    misses = []
+    for text, i, want in cases:
+        got = " ".join(_words(g, text)[i])
+        if got != want:
+            misses.append((text, got, want))
+    assert not misses, misses
+
+
 def test_table_wellformed():
     # every slot parses as CMU phones with a stress digit on vowels
     vowels = set("AA AE AH AO AW AY EH ER EY IH IY OW OY UH UW".split())

@@ -788,9 +788,7 @@ class G2P:
             if i > 0:
                 out.append(" ")
             if word[0].isalpha() or word[0] == "'":
-                prev = words[i - 1] if i > 0 else None
-                nxt = words[i + 1] if i + 1 < len(words) else None
-                phones = heteronyms.resolve(word, prev, nxt)
+                phones = heteronyms.resolve(word, words, i)
                 if phones is None:
                     phones = self._word_phones(word)
                 out.extend(phones)

@@ -96,7 +96,8 @@ _BASE: Dict[str, Tuple[str, str, Optional[str], str]] = {
     "wound": ("W UW1 N D", "W AW1 N D", None, "N"),
     "bow": ("B OW1", "B AW1", None, "N"),
     "sow": ("S AW1", "S OW1", None, "V"),
-    "invalid": ("IH1 N V AH0 L IH0 D", "IH0 N V AE1 L AH0 D",
+    # "invalid" the noun (= sick person) is archaic; always the adjective
+    "invalid": ("IH0 N V AE1 L AH0 D", "IH0 N V AE1 L AH0 D",
                 "IH0 N V AE1 L AH0 D", "ADJ"),
     # "read": present vs past handled by a dedicated cue set below
     "read": ("R IY1 D", "R IY1 D", None, "V"),
@@ -112,9 +113,22 @@ _PREPS = frozenset(
 _TO_MODALS = frozenset(
     "to will would can could may might must shall should do does did "
     "don't doesn't didn't won't wouldn't couldn't shouldn't can't "
-    "cannot let let's please never also gonna".split())
+    "cannot let let's please not never gonna".split())
+
 _PRONOUNS = frozenset(
-    "i you he she it we they who people children".split())
+    "i you he she it we they who people children police".split())
+# adverbs the cue walk may cross ("not"/"never" are also verb cues:
+# they fire as cues for plain heteronyms but let the "read" past-tense
+# walk continue to the auxiliary: "have never read")
+_TRANSPARENT = frozenset(
+    "also just still then now often usually always quickly really "
+    "soon carefully finally simply even again only not never".split())
+_CONJS = frozenset({"and", "or"})
+# common transitive past forms: after "<verb> <noun> and <heteronym>"
+# the heteronym is a coordinated object, hence a noun
+_PAST_VERBS = frozenset(
+    "bought sold saw got had made took gave found kept sent built "
+    "brought held lost won wrote read ate".split())
 _BE_ADVS = frozenset(
     "is are was were am be been being seems seemed looks looked very "
     "quite too so really pretty fairly rather how as more most".split())
@@ -203,27 +217,75 @@ def verb_forms() -> Dict[str, str]:
     return forms
 
 
-def resolve(word: str, prev: Optional[str],
-            nxt: Optional[str]) -> Optional[List[str]]:
-    """Pick a pronunciation for ``word`` given its neighbouring tokens
-    (lowercase; None/punctuation = no cue). Returns None for
-    non-heteronyms."""
+def _is_word(tok: Optional[str]) -> bool:
+    return bool(tok) and (tok[0].isalpha() or tok[0] == "'")
+
+
+def _cue_tag(words: List[str], i: int,
+             depth: int = 0) -> Optional[str]:
+    """Walk left from ``i`` for a function-word cue, crossing
+    transparent adverbs; after a conjunction, keep walking toward the
+    clause opener (a coordinated TABLE sibling donates its tag, a plain
+    past verb marks us as its object)."""
+    j = i - 1
+    hops = 0
+    crossed_conj = False
+    while j >= 0 and hops < 6:
+        tok = words[j]
+        if not _is_word(tok):
+            return None  # punctuation = clause boundary
+        if tok in _TO_MODALS or tok in _PRONOUNS:
+            return "V"
+        if tok in _BE_ADVS:
+            return "ADJ"
+        if tok in _DETS or tok in _PREPS:
+            return "N"
+        if tok in _CONJS:
+            crossed_conj = True
+        elif tok not in _TRANSPARENT:
+            if not crossed_conj:
+                return None
+            if tok in TABLE and depth == 0:
+                return _cue_tag(words, j, depth=1)
+            if tok.endswith("ed") or tok in _PAST_VERBS:
+                return "N"
+        j -= 1
+        hops += 1
+    return None
+
+
+def resolve(word: str, words: List[str], i: int) -> Optional[List[str]]:
+    """Pick a pronunciation for ``words[i]`` from sentence context
+    (lowercase token list). Returns None for non-heteronyms."""
     entry = TABLE.get(word)
     if entry is None:
         return None
     noun, verb, adj, default = entry
     if word == "read":
-        pron = "R EH1 D" if prev in _READ_PAST_CUES else "R IY1 D"
-        return pron.split()
+        j = i - 1
+        while j >= 0 and _is_word(words[j]):
+            tok = words[j]
+            if tok in _READ_PAST_CUES:
+                return ["R", "EH1", "D"]
+            if tok not in _TRANSPARENT:
+                break
+            j -= 1
+        return ["R", "IY1", "D"]
+    nxt = words[i + 1] if i + 1 < len(words) else None
     tag: Optional[str] = None
     if word == "close" and nxt == "to":
         tag = "ADJ"
-    elif prev in _TO_MODALS or prev in _PRONOUNS:
-        tag = "V"
-    elif prev in _BE_ADVS:
-        tag = "ADJ"
-    elif prev in _DETS or prev in _PREPS:
-        tag = "N"
+    else:
+        tag = _cue_tag(words, i)
+    if tag is None:
+        # bare plural/collective subject opening the clause reads the
+        # heteronym as its verb: "students graduate", "prices increase"
+        prev = words[i - 1] if i > 0 else None
+        prev2 = words[i - 2] if i > 1 else None
+        if (_is_word(prev) and prev.endswith("s") and prev not in TABLE
+                and prev not in _TRANSPARENT
+                and (prev2 is None or not _is_word(prev2))):
+            tag = "V"
     if tag is None:
         tag = default
     if tag == "ADJ":
