@@ -182,6 +182,22 @@ GOLD_SENTENCES = [
      "オトウトワウタガジョウズデ、ヨクショウヲモライマス。"),
     ("図書館で借りた本を明日返します。",
      "トショカンデカリタホンヲアシタカエシマス。"),
+    # probe round 9: weather/health/emotion/office
+    ("空が青くて雲が白いです。", "ソラガアオクテクモガシロイデス。"),
+    ("風が強いので帽子を押さえました。", "カゼガツヨイノデボウシヲオサエマシタ。"),
+    ("熱があるので病院へ行きます。", "ネツガアルノデビョウインエイキマス。"),
+    ("薬を飲んで早く寝ました。", "クスリヲノンデハヤクネマシタ。"),
+    ("歯が痛いので歯医者に行きました。", "ハガイタイノデハイシャニイキマシタ。"),
+    ("嬉しい知らせを聞いて涙が出ました。",
+     "ウレシイシラセヲキイテナミダガデマシタ。"),
+    ("彼は怒って部屋を出て行きました。", "カレワオコッテヘヤヲデテイキマシタ。"),
+    ("会議の資料を印刷してください。", "カイギノシリョウヲインサツシテクダサイ。"),
+    ("部長に報告書を渡しました。", "ブチョウニホウコクショヲワタシマシタ。"),
+    ("給料が上がって嬉しいです。", "キュウリョウガアガッテウレシイデス。"),
+    ("秋になると葉が赤くなります。", "アキニナルトハガアカクナリマス。"),
+    ("海の近くの温泉に泊まりました。", "ウミノチカクノオンセンニトマリマシタ。"),
+    ("お湯が熱いです。", "オユガアツイデス。"),
+    ("熱心に勉強します。", "ネッシンニベンキョウシマス。"),
 ]
 
 
