@@ -198,6 +198,28 @@ GOLD_SENTENCES = [
     ("海の近くの温泉に泊まりました。", "ウミノチカクノオンセンニトマリマシタ。"),
     ("お湯が熱いです。", "オユガアツイデス。"),
     ("熱心に勉強します。", "ネッシンニベンキョウシマス。"),
+    # probe round 10: shopping/technology/family
+    ("財布を忘れたので、お金を借りました。",
+     "サイフヲワスレタノデ、オカネヲカリマシタ。"),
+    ("値段が高すぎて買えませんでした。", "ネダンガタカスギテカエマセンデシタ。"),
+    ("店員さんが親切に説明してくれました。",
+     "テンインサンガシンセツニセツメイシテクレマシタ。"),
+    ("お釣りは三百円です。", "オツリワサンビャクエンデス。"),
+    ("新しい携帯電話を注文しました。",
+     "アタラシイケイタイデンワヲチュウモンシマシタ。"),
+    ("画面が壊れて修理に出しました。", "ガメンガコワレテシュウリニダシマシタ。"),
+    ("祖母は毎週日曜日に教会へ行きます。",
+     "ソボワマイシュウニチヨウビニキョウカイエイキマス。"),
+    ("兄は大学で物理を教えています。", "アニワダイガクデブツリヲオシエテイマス。"),
+    ("妹の誕生日に花束を贈りました。",
+     "イモウトノタンジョウビニハナタバヲオクリマシタ。"),
+    ("夫婦で近所の店を経営しています。",
+     "フウフデキンジョノミセヲケイエイシテイマス。"),
+    ("電池が切れたので充電します。", "デンチガキレタノデジュウデンシマス。"),
+    ("息子は自転車で学校に通います。",
+     "ムスコワジテンシャデガッコウニカヨイマス。"),
+    ("八百屋で野菜を買います。", "ヤオヤデヤサイヲカイマス。"),
+    ("大通りを通って帰ります。", "オオドオリヲトオッテカエリマス。"),
 ]
 
 

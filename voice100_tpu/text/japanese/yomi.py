@@ -247,7 +247,7 @@ class LexiconReader:
             )
             isolated = run_len == 1 or okurigana or before_iter
             if isolated:
-                yomi = self._kun(text, ch, end) or ON.get(ch) or ""
+                yomi = self._kun(text, ch, end, pos) or ON.get(ch) or ""
                 on_read = not KUN.get(ch) and bool(ON.get(ch))
             else:
                 yomi = ON.get(ch) or KUN.get(ch) or ""
@@ -262,16 +262,24 @@ class LexiconReader:
         return max(pos, end)
 
     @staticmethod
-    def _kun(text: str, ch: str, okuri_pos: int) -> str:
+    def _kun(text: str, ch: str, okuri_pos: int,
+             kanji_pos: int = -1) -> str:
         """Kun reading for an isolated/stem kanji, selected by the
         okurigana that follows when the kanji has several kun stems
         (開ける=ア vs 開く=ヒラ, 入れる=イ vs 入る=ハイ,
-        遅れる=オク vs 遅い=オソ)."""
+        遅れる=オク vs 遅い=オソ). A 3-tuple variant additionally
+        requires the char before the kanji to be in the given set
+        (を通って=トオ vs に通って=カヨ)."""
         variants = KUN_OKURI.get(ch)
         if variants:
-            for okuri, reading in variants:
-                if text.startswith(okuri, okuri_pos):
-                    return reading
+            prev = text[kanji_pos - 1] if kanji_pos > 0 else ""
+            for variant in variants:
+                okuri, reading = variant[0], variant[1]
+                if not text.startswith(okuri, okuri_pos):
+                    continue
+                if len(variant) > 2 and prev not in variant[2]:
+                    continue
+                return reading
         return KUN.get(ch, "")
 
 
