@@ -230,3 +230,103 @@ def test_number_normalization_g2pen_conventions():
     assert g("40th") == "F AO1 R T IY0 AH0 TH".split()
     # comma-separated thousands
     assert g("1,000")[0] == "W"
+
+
+def test_common_word_probe():
+    """Out-of-gold common-word probe (typical-word accuracy, vs the
+    irregular gold floor): composed blind, then the error classes were
+    fixed (compound splitting, final -ant reduction, espec-/loan pins).
+    All 57 must stay exact end-to-end through G2P().__call__."""
+    g = G2P()
+    cases = [
+        ("morning", "M AO1 R N IH0 NG"), ("evening", "IY1 V N IH0 NG"),
+        ("understand", "AH2 N D ER0 S T AE1 N D"),
+        ("remember", "R IH0 M EH1 M B ER0"),
+        ("important", "IH0 M P AO1 R T AH0 N T"),
+        ("different", "D IH1 F ER0 AH0 N T"),
+        ("together", "T AH0 G EH1 DH ER0"),
+        ("children", "CH IH1 L D R AH0 N"),
+        ("building", "B IH1 L D IH0 NG"),
+        ("history", "HH IH1 S T ER0 IY0"),
+        ("window", "W IH1 N D OW0"), ("yellow", "Y EH1 L OW0"),
+        ("breakfast", "B R EH1 K F AH0 S T"),
+        ("chicken", "CH IH1 K AH0 N"), ("kitchen", "K IH1 CH AH0 N"),
+        ("hospital", "HH AA1 S P IH0 T AH0 L"),
+        ("newspaper", "N UW1 Z P EY2 P ER0"),
+        ("sentence", "S EH1 N T AH0 N S"),
+        ("question", "K W EH1 S CH AH0 N"),
+        ("mountain", "M AW1 N T AH0 N"), ("trouble", "T R AH1 B AH0 L"),
+        ("chocolate", "CH AO1 K L AH0 T"),
+        ("vegetable", "V EH1 JH T AH0 B AH0 L"),
+        ("comfortable", "K AH1 M F ER0 T AH0 B AH0 L"),
+        ("temperature", "T EH1 M P R AH0 CH ER0"),
+        ("interesting", "IH1 N T R AH0 S T IH0 NG"),
+        ("necessary", "N EH1 S AH0 S EH2 R IY0"),
+        ("dangerous", "D EY1 N JH ER0 AH0 S"),
+        ("hungry", "HH AH1 NG G R IY0"), ("thirsty", "TH ER1 S T IY0"),
+        ("strawberry", "S T R AO1 B EH2 R IY0"),
+        ("umbrella", "AH0 M B R EH1 L AH0"),
+        ("tomorrow", "T AH0 M AA1 R OW2"),
+        ("yesterday", "Y EH1 S T ER0 D EY2"),
+        ("decision", "D IH0 S IH1 ZH AH0 N"),
+        ("development", "D IH0 V EH1 L AH0 P M AH0 N T"),
+        ("government", "G AH1 V ER0 M AH0 N T"),
+        ("information", "IH2 N F ER0 M EY1 SH AH0 N"),
+        ("conversation", "K AA2 N V ER0 S EY1 SH AH0 N"),
+        ("celebration", "S EH2 L AH0 B R EY1 SH AH0 N"),
+        ("university", "Y UW2 N AH0 V ER1 S AH0 T IY0"),
+        ("community", "K AH0 M Y UW1 N AH0 T IY0"),
+        ("suddenly", "S AH1 D AH0 N L IY0"),
+        ("probably", "P R AA1 B AH0 B L IY0"),
+        ("actually", "AE1 K CH UW0 AH0 L IY0"),
+        ("especially", "AH0 S P EH1 SH AH0 L IY0"),
+        ("beautiful", "B Y UW1 T AH0 F AH0 L"),
+        ("wonderful", "W AH1 N D ER0 F AH0 L"),
+        ("exciting", "IH0 K S AY1 T IH0 NG"),
+        ("expensive", "IH0 K S P EH1 N S IH0 V"),
+        ("delicious", "D IH0 L IH1 SH AH0 S"),
+        ("favorite", "F EY1 V ER0 IH0 T"),
+        ("library", "L AY1 B R EH2 R IY0"),
+        ("dictionary", "D IH1 K SH AH0 N EH2 R IY0"),
+        ("elephant", "EH1 L AH0 F AH0 N T"),
+        ("banana", "B AH0 N AE1 N AH0"), ("potato", "P AH0 T EY1 T OW2"),
+    ]
+    misses = [(w, " ".join(g(w)), want) for w, want in cases
+              if " ".join(g(w)) != want]
+    assert not misses, misses
+
+
+def test_compound_splitting():
+    """Noun compounds resolve by splitting into lexicon words with the
+    second element demoted to secondary stress (subordinating prefixes
+    demote the first); lexicalized exceptions are pinned."""
+    g = G2P()
+    cases = [
+        ("toothbrush", "T UW1 TH B R AH2 SH"),
+        ("basketball", "B AE1 S K AH0 T B AO2 L"),
+        ("waterfall", "W AO1 T ER0 F AO2 L"),
+        ("fireplace", "F AY1 ER0 P L EY2 S"),
+        ("everything", "EH1 V R IY0 TH IH2 NG"),
+        ("password", "P AE1 S W ER2 D"),
+        ("newspapers", "N UW1 Z P EY2 P ER0 Z"),
+        ("homework", "HH OW1 M W ER2 K"),
+        ("classmate", "K L AE1 S M EY2 T"),
+        ("playground", "P L EY1 G R AW2 N D"),
+        ("sidewalk", "S AY1 D W AO2 K"),
+        ("moonlight", "M UW1 N L AY2 T"),
+        ("nightmare", "N AY1 T M EH2 R"),
+        ("lighthouse", "L AY1 T HH AW2 S"),
+        ("grandmother", "G R AE1 N D M AH2 DH ER0"),
+        ("friendship", "F R EH1 N D SH IH2 P"),
+        ("wholesome", "HH OW1 L S AH0 M"),
+        ("overcome", "OW2 V ER0 K AH1 M"),
+        ("snowstorm", "S N OW1 S T AO2 R M"),
+        ("workshop", "W ER1 K SH AA2 P"),
+        # must NOT split (suffix, lexicalized, or short first element)
+        ("handsome", "HH AE1 N S AH0 M"),
+        ("carpet", "K AA1 R P AH0 T"),
+        ("comfortable", "K AH1 M F ER0 T AH0 B AH0 L"),
+    ]
+    misses = [(w, " ".join(g(w)), want) for w, want in cases
+              if " ".join(g(w)) != want]
+    assert not misses, misses

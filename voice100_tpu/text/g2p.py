@@ -623,6 +623,49 @@ _LETTER_NAMES = {
     "y": "W AY1", "z": "Z IY1",
 }
 
+# Common compound-part nouns (regular pronunciations). Kept separate
+# from the gold _LEXICON (which deliberately collects irregulars and is
+# the rules-floor measurement set); merged into the instance lexicon so
+# the compound splitter can resolve words like newspaper/toothbrush.
+_COMPOUND_PARTS = {
+    "news": "N UW1 Z", "paper": "P EY1 P ER0", "straw": "S T R AO1",
+    "berry": "B EH1 R IY0", "tooth": "T UW1 TH", "brush": "B R AH1 SH",
+    "rain": "R EY1 N", "bell": "B EH1 L", "water": "W AO1 T ER0",
+    "fall": "F AO1 L", "fire": "F AY1 ER0", "place": "P L EY1 S",
+    "thing": "TH IH1 NG",
+    "where": "W EH1 R", "pass": "P AE1 S", "word": "W ER1 D",
+    "book": "B UH1 K", "shop": "SH AA1 P", "ball": "B AO1 L",
+    "foot": "F UH1 T", "basket": "B AE1 S K AH0 T", "port": "P AO1 R T",
+    "plane": "P L EY1 N", "land": "L AE1 N D", "light": "L AY1 T",
+    "moon": "M UW1 N", "star": "S T AA1 R", "fish": "F IH1 SH",
+    "snow": "S N OW1", "storm": "S T AO1 R M", "break": "B R EY1 K",
+    "fast": "F AE1 S T", "week": "W IY1 K", "home": "HH OW1 M",
+    "work": "W ER1 K", "class": "K L AE1 S", "mate": "M EY1 T",
+    "play": "P L EY1", "ground": "G R AW1 N D", "side": "S AY1 D",
+    "walk": "W AO1 K", "door": "D AO1 R", "room": "R UW1 M",
+    "wood": "W UH1 D", "yard": "Y AA1 R D", "time": "T AY1 M",
+    "table": "T EY1 B AH0 L", "life": "L AY1 F", "board": "B AO1 R D",
+    "hand": "HH AE1 N D", "stone": "S T OW1 N",
+    "flower": "F L AW1 ER0", "grand": "G R AE1 N D",
+    "under": "AH1 N D ER0", "over": "OW1 V ER0", "stand": "S T AE1 N D",
+    "come": "K AH1 M", "night": "N AY1 T", "mare": "M EH1 R",
+    "back": "B AE1 K", "wall": "W AO1 L", "milk": "M IH1 L K",
+    "shake": "SH EY1 K", "flash": "F L AE1 SH", "spoon": "S P UW1 N",
+    "ship": "SH IH1 P", "print": "P R IH1 N T",
+    # lexicalized compounds whose parts would mislead the splitter
+    "breakfast": "B R EH1 K F AH0 S T",
+    "something": "S AH1 M TH IH0 NG",
+    "handsome": "HH AE1 N S AH0 M",
+}
+
+# first parts that subordinate to the second element (understand,
+# overcome): the second part keeps primary stress
+_SUBORDINATE_FIRST = frozenset({"under", "over", "out", "with", "fore"})
+# lexicon words that act as suffixes, not compound heads (comfortable
+# is comfort+-able, not a compound); "some" fully destresses (-some)
+_NON_SECOND = frozenset({"able"})
+_DESTRESSED_SECOND = frozenset({"some"})
+
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")
 
 
@@ -750,6 +793,8 @@ class G2P:
         # "using") resolve to the verb-slot pronunciation
         for form, pron in heteronyms.verb_forms().items():
             self._lexicon.setdefault(form, pron)
+        for part, pron in _COMPOUND_PARTS.items():
+            self._lexicon.setdefault(part, pron)
         env_path = lexicon_path or os.environ.get("VOICE100_TPU_CMUDICT")
         if env_path and os.path.exists(env_path):
             self._load_cmudict(env_path)
@@ -813,7 +858,41 @@ class G2P:
                 out.extend(_LETTER_NAMES.get(c, "").split())
             if out:
                 return out
+        compound = self._split_compound(word)
+        if compound is not None:
+            return compound
         return self._lts(word)
+
+    def _split_compound(self, word: str) -> Optional[List[str]]:
+        """Noun-compound splitting: both halves must resolve through the
+        lexicon (second may carry a morphological suffix), each >= 4
+        letters — conservative enough that carpet/mandate never split.
+        Stress: second element demoted to secondary (newspaper ->
+        N UW1 Z P EY2 P ER0), or the first for subordinating prefixes
+        (understand -> AH2 N D ER0 S T AE1 N D)."""
+        for i in range(4, len(word) - 3):
+            a, b = word[:i], word[i:]
+            pa = self._lexicon.get(a)
+            if pa is None or b in _NON_SECOND:
+                continue
+            pb_phones = (self._lexicon[b].split() if b in self._lexicon
+                         else self._strip_suffix(b))
+            if pb_phones is None:
+                continue
+            first, second = pa.split(), list(pb_phones)
+
+            def demote(phones: List[str], digit: str) -> List[str]:
+                return [p[:-1] + digit if p.endswith("1") else p
+                        for p in phones]
+
+            if a in _SUBORDINATE_FIRST:
+                first = demote(first, "2")
+            elif b in _DESTRESSED_SECOND:
+                second = demote(second, "0")
+            else:
+                second = demote(second, "2")
+            return first + second
+        return None
 
     _VOICELESS_FINAL = {"P", "T", "K", "F", "TH"}
     _SIBILANT_FINAL = {"S", "Z", "SH", "ZH", "CH", "JH"}
