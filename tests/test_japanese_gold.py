@@ -220,6 +220,25 @@ GOLD_SENTENCES = [
      "ムスコワジテンシャデガッコウニカヨイマス。"),
     ("八百屋で野菜を買います。", "ヤオヤデヤサイヲカイマス。"),
     ("大通りを通って帰ります。", "オオドオリヲトオッテカエリマス。"),
+    # probe round 11: news/sports/music/formal register
+    ("首相は記者会見で新しい政策を発表しました。",
+     "シュショウワキシャカイケンデアタラシイセイサクヲハッピョウシマシタ。"),
+    ("選挙の結果は夜に判明します。", "センキョノケッカワヨルニハンメイシマス。"),
+    ("株価が大きく下がりました。", "カブカガオオキクサガリマシタ。"),
+    ("警察は事件の原因を調査しています。",
+     "ケイサツワジケンノゲンインヲチョウサシテイマス。"),
+    ("彼はピアノの練習を毎日続けています。",
+     "カレワピアノノレンシュウヲマイニチツヅケテイマス。"),
+    ("試合は雨で中止になりました。", "シアイワアメデチュウシニナリマシタ。"),
+    ("チームは優勝を目指して頑張っています。",
+     "チームワユウショウヲメザシテガンバッテイマス。"),
+    ("映画の主人公は若い医者です。", "エイガノシュジンコウワワカイイシャデス。"),
+    ("美しい歌声に感動しました。", "ウツクシイウタゴエニカンドウシマシタ。"),
+    ("新製品の販売が始まりました。", "シンセイヒンノハンバイガハジマリマシタ。"),
+    ("契約の内容を確認してください。", "ケイヤクノナイヨウヲカクニンシテクダサイ。"),
+    ("空港で荷物を預けました。", "クウコウデニモツヲアズケマシタ。"),
+    ("相手の話をよく聞きます。", "アイテノハナシヲヨクキキマス。"),
+    ("話せば分かります。", "ハナセバワカリマス。"),
 ]
 
 
