@@ -330,3 +330,28 @@ def test_compound_splitting():
     misses = [(w, " ".join(g(w)), want) for w, want in cases
               if " ".join(g(w)) != want]
     assert not misses, misses
+
+
+def test_normalize_numbers_malformed_currency():
+    """Stray separators after a currency sign must not crash
+    (regression: "$,0" raised ValueError in _expand_dollars)."""
+    g = G2P()
+    for s in ("$,0", "$..5", "$", "$.", "a $,6 b", "$9999999999999.999"):
+        g(s)  # must not raise
+    assert g("$2.50") == g("2 dollars, 50 cents")
+
+
+def test_frontend_fuzz_no_crash():
+    """Seeded fuzz over mixed scripts/punctuation/currency: the G2P
+    front-end must never raise on arbitrary text."""
+    import random
+    import string
+
+    random.seed(1234)
+    g = G2P()
+    pools = [string.ascii_letters, string.digits, string.punctuation,
+             "あい日本カナ", " \t\n", "'''", "$£.,-", "éüßő", "\U0001F600　０"]
+    for _ in range(500):
+        n = random.randint(0, 30)
+        s = "".join(random.choice(random.choice(pools)) for _ in range(n))
+        g(s)  # must not raise

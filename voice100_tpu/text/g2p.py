@@ -749,9 +749,13 @@ _ORDINAL_RX = re.compile(r"([0-9]+)(st|nd|rd|th)\b")
 
 
 def _expand_dollars(m: "re.Match") -> str:
-    parts = m.group(1).split(".")
-    dollars = int(parts[0]) if parts[0] else 0
-    cents = int(parts[1][:2]) if len(parts) > 1 and parts[1] else 0
+    # stray separators ("$,0", "$1..5") read as plain digits
+    parts = m.group(1).replace(",", "").split(".")
+    try:
+        dollars = int(parts[0]) if parts[0] else 0
+        cents = int(parts[1][:2]) if len(parts) > 1 and parts[1] else 0
+    except ValueError:
+        return m.group(1)
     d_unit = "dollar" if dollars == 1 else "dollars"
     c_unit = "cent" if cents == 1 else "cents"
     if dollars and cents:
