@@ -239,6 +239,35 @@ GOLD_SENTENCES = [
     ("空港で荷物を預けました。", "クウコウデニモツヲアズケマシタ。"),
     ("相手の話をよく聞きます。", "アイテノハナシヲヨクキキマス。"),
     ("話せば分かります。", "ハナセバワカリマス。"),
+    # round-3 health/nature/directions register (twelfth out-of-gold
+    # probe: 10/12 before the 降る=フ variants and the 訪 entries)
+    ("病気になったので、薬を飲みました。",
+     "ビョウキニナッタノデ、クスリヲノミマシタ。"),
+    ("庭に小さな鳥が来ました。", "ニワニチイサナトリガキマシタ。"),
+    ("野菜を切って、鍋に入れてください。",
+     "ヤサイヲキッテ、ナベニイレテクダサイ。"),
+    ("次の角を右に曲がってください。",
+     "ツギノカドヲミギニマガッテクダサイ。"),
+    ("彼の意見に賛成です。", "カレノイケンニサンセイデス。"),
+    ("空港までタクシーで三十分かかります。",
+     "クウコウマデタクシーデサンジュップンカカリマス。"),
+    ("天気予報によると、午後から雨が降るそうです。",
+     "テンキヨホウニヨルト、ゴゴカラアメガフルソウデス。"),
+    ("荷物が重いので、手伝ってもらえますか。",
+     "ニモツガオモイノデ、テツダッテモラエマスカ。"),
+    ("約束の時間に遅れてすみません。",
+     "ヤクソクノジカンニオクレテスミマセン。"),
+    ("海の近くの町で生まれました。", "ウミノチカクノマチデウマレマシタ。"),
+    ("夏休みに祖父母の家を訪ねる予定です。",
+     "ナツヤスミニソフボノイエヲタズネルヨテイデス。"),
+    ("彼女は歌が上手で、声がきれいです。",
+     "カノジョワウタガジョウズデ、コエガキレイデス。"),
+    # 降る (fall) vs 降りる (get off) vs 降ろす (unload); 訪ねる/訪れる
+    ("雪が降っています。", "ユキガフッテイマス。"),
+    ("バスを降りました。", "バスヲオリマシタ。"),
+    ("荷物を降ろします。", "ニモツヲオロシマス。"),
+    ("春が訪れました。", "ハルガオトズレマシタ。"),
+    ("先生を訪問します。", "センセイヲホウモンシマス。"),
 ]
 
 

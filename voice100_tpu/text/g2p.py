@@ -29,6 +29,30 @@ __all__ = ["G2P"]
 # Accurate CMUdict pronunciations for frequent words (function words and
 # words appearing in the project's demo texts / tests).
 _LEXICON: Dict[str, str] = {
+    # round-3 thirteenth probe: -ile split family (US: Latinate
+    # adjectives reduce to AH0 L, nouns keep AY2 L), wh+ever stress,
+    # indefinite-pronoun secondary stress, -ture irregulars
+    "adventure": "AE0 D V EH1 N CH ER0",
+    "agriculture": "AE1 G R IH0 K AH2 L CH ER0",
+    "architecture": "AA1 R K AH0 T EH2 K CH ER0",
+    "automobile": "AO1 T AH0 M OW0 B IY2 L",
+    "mobile": "M OW1 B AH0 L", "profile": "P R OW1 F AY2 L",
+    "reptile": "R EH1 P T AY2 L", "textile": "T EH1 K S T AY2 L",
+    "percentile": "P ER0 S EH1 N T AY2 L",
+    "missile": "M IH1 S AH0 L", "fragile": "F R AE1 JH AH0 L",
+    "hostile": "HH AA1 S T AH0 L", "fertile": "F ER1 T AH0 L",
+    "sterile": "S T EH1 R AH0 L", "futile": "F Y UW1 T AH0 L",
+    "meanwhile": "M IY1 N W AY2 L", "nowhere": "N OW1 W EH2 R",
+    "keyboard": "K IY1 B AO2 R D",
+    "anybody": "EH1 N IY0 B AA2 D IY0", "anyone": "EH1 N IY0 W AH2 N",
+    "anything": "EH1 N IY0 TH IH2 NG", "someone": "S AH1 M W AH2 N",
+    "nobody": "N OW1 B AA2 D IY0",
+    "whoever": "HH UW0 EH1 V ER0", "whenever": "W EH0 N EH1 V ER0",
+    "whatever": "W AH2 T EH1 V ER0", "wherever": "W EH0 R EH1 V ER0",
+    "whichever": "W IH0 CH EH1 V ER0",
+    "acknowledge": "AE0 K N AA1 L IH0 JH",
+    "privilege": "P R IH1 V L AH0 JH",
+    "beverage": "B EH1 V ER0 IH0 JH",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
@@ -652,6 +676,8 @@ _COMPOUND_PARTS = {
     "back": "B AE1 K", "wall": "W AO1 L", "milk": "M IH1 L K",
     "shake": "SH EY1 K", "flash": "F L AE1 SH", "spoon": "S P UW1 N",
     "ship": "SH IH1 P", "print": "P R IH1 N T",
+    "while": "W AY1 L", "quake": "K W EY1 K", "skate": "S K EY1 T",
+    "black": "B L AE1 K", "else": "EH1 L S",
     # lexicalized compounds whose parts would mislead the splitter
     "breakfast": "B R EH1 K F AH0 S T",
     "something": "S AH1 M TH IH0 NG",
