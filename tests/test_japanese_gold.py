@@ -268,6 +268,30 @@ GOLD_SENTENCES = [
     ("荷物を降ろします。", "ニモツヲオロシマス。"),
     ("春が訪れました。", "ハルガオトズレマシタ。"),
     ("先生を訪問します。", "センセイヲホウモンシマス。"),
+    # round-3 sports/medical/keigo register (thirteenth out-of-gold
+    # probe: 7/12 before 射/干, the 様 honorific compounds, and the
+    # run-initial demonstrative+particle pass こちらへ/これは)
+    ("毎朝三十分走っています。", "マイアササンジュップンハシッテイマス。"),
+    ("チームの練習は夕方六時からです。",
+     "チームノレンシュウワユウガタロクジカラデス。"),
+    ("頭が痛いので病院へ行きます。",
+     "アタマガイタイノデビョウインエイキマス。"),
+    ("注射は少し痛かったです。", "チュウシャワスコシイタカッタデス。"),
+    ("少々お待ちください。", "ショウショウオマチクダサイ。"),
+    ("お客様、こちらへどうぞ。", "オキャクサマ、コチラエドウゾ。"),
+    ("ご注文はお決まりですか。", "ゴチュウモンワオキマリデスカ。"),
+    ("資料を明日までに送ってください。",
+     "シリョウヲアシタマデニオクッテクダサイ。"),
+    ("会議室の予約をお願いします。",
+     "カイギシツノヨヤクヲオネガイシマス。"),
+    ("洗濯物を干してから出かけました。",
+     "センタクモノヲホシテカラデカケマシタ。"),
+    ("冷蔵庫に牛乳が残っています。",
+     "レイゾウコニギュウニュウガノコッテイマス。"),
+    ("髪を切ってもらいました。", "カミヲキッテモライマシタ。"),
+    ("これはいいですね。", "コレワイイデスネ。"),
+    ("どこへ行きますか。", "ドコエイキマスカ。"),
+    ("皆様にご挨拶します。", "ミナサマニゴアイサツシマス。"),
 ]
 
 

@@ -52,6 +52,13 @@ _NP_KEEP = {"ヒャク", "ホク", "ホン"}
 # keep their kun stems.
 _PARTICLE_HEADS = set("はをがのでともへやかだねよに")
 
+# hiragana demonstratives/pronouns that a topic/directional particle
+# commonly follows inside one hiragana run (こちらへ, これは)
+_DEMONSTRATIVES = (
+    "こちら", "そちら", "あちら", "どちら", "これ", "それ", "あれ",
+    "どれ", "ここ", "そこ", "どこ", "うち", "わたし", "ぼく", "みんな",
+)
+
 
 def _euphonic_join(prev: str, nxt: str):
     """Adjust an (on, on) reading pair at a morpheme boundary."""
@@ -143,6 +150,17 @@ class LexiconReader:
                     yomi = hira2kata(run[:-1]) + "ワ"
                 else:
                     yomi = hira2kata(run)
+                # a particle は/へ directly after a run-INITIAL
+                # demonstrative/pronoun reads ワ/エ even mid-run
+                # (こちらへどうぞ, これはいい); それでは etc. keep the
+                # run-final rules above (で precedes the は there)
+                for dem in _DEMONSTRATIVES:
+                    k = len(dem)
+                    if run.startswith(dem) and k < len(run) \
+                            and run[k] in "はへ":
+                        rep = "ワ" if run[k] == "は" else "エ"
+                        yomi = yomi[:k] + rep + yomi[k + 1:]
+                        break
                 out.append((run, yomi))
                 i = m.end()
                 continue
