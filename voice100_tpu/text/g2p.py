@@ -53,6 +53,23 @@ _LEXICON: Dict[str, str] = {
     "acknowledge": "AE0 K N AA1 L IH0 JH",
     "privilege": "P R IH1 V L AH0 JH",
     "beverage": "B EH1 V ER0 IH0 JH",
+    # round-3 fourteenth probe: tech/civic vocabulary
+    "technology": "T EH0 K N AA1 L AH0 JH IY0",
+    "photographer": "F AH0 T AA1 G R AH0 F ER0",
+    "economy": "IH0 K AA1 N AH0 M IY0",
+    "economic": "EH2 K AH0 N AA1 M IH0 K",
+    "electronic": "IH0 L EH2 K T R AA1 N IH0 K",
+    "software": "S AO1 F T W EH2 R", "hardware": "HH AA1 R D W EH2 R",
+    "network": "N EH1 T W ER2 K", "email": "IY1 M EY2 L",
+    "algorithm": "AE1 L G ER0 IH2 DH AH0 M", "data": "D EY1 T AH0",
+    "environment": "IH0 N V AY1 R AH0 N M AH0 N T",
+    "parliament": "P AA1 R L AH0 M AH0 N T",
+    "president": "P R EH1 Z AH0 D AH0 N T",
+    "election": "IH0 L EH1 K SH AH0 N",
+    "politics": "P AA1 L AH0 T IH2 K S",
+    "society": "S AH0 S AY1 AH0 T IY0",
+    "education": "EH2 JH AH0 K EY1 SH AH0 N",
+    "professor": "P R AH0 F EH1 S ER0",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
@@ -678,6 +695,7 @@ _COMPOUND_PARTS = {
     "ship": "SH IH1 P", "print": "P R IH1 N T",
     "while": "W AY1 L", "quake": "K W EY1 K", "skate": "S K EY1 T",
     "black": "B L AE1 K", "else": "EH1 L S",
+    "soft": "S AO1 F T", "hard": "HH AA1 R D", "ware": "W EH1 R",
     # lexicalized compounds whose parts would mislead the splitter
     "breakfast": "B R EH1 K F AH0 S T",
     "something": "S AH1 M TH IH0 NG",
