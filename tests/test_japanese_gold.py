@@ -292,6 +292,28 @@ GOLD_SENTENCES = [
     ("これはいいですね。", "コレワイイデスネ。"),
     ("どこへ行きますか。", "ドコエイキマスカ。"),
     ("皆様にご挨拶します。", "ミナサマニゴアイサツシマス。"),
+    # round-3 conjugation/news/quantity register (fourteenth
+    # out-of-gold probe: 9/12 before 状況/善/個 entries, the
+    # ON-prefix-before-katakana rule, and the 半分 compound)
+    ("今日は何も食べなかった。", "キョウワナニモタベナカッタ。"),
+    ("早く行こうと思います。", "ハヤクイコウトオモイマス。"),
+    ("彼は何も言わずに帰った。", "カレワナニモイワズニカエッタ。"),
+    ("字が小さくて読めません。", "ジガチイサクテヨメマセン。"),
+    ("時間がないから急ごう。", "ジカンガナイカライソゴウ。"),
+    ("政府は新しい政策を発表した。",
+     "セイフワアタラシイセイサクヲハッピョウシタ。"),
+    ("事故の原因を調査しています。",
+     "ジコノゲンインヲチョウサシテイマス。"),
+    ("台風の影響で電車が止まった。",
+     "タイフウノエイキョウデデンシャガトマッタ。"),
+    ("経済の状況が改善しました。",
+     "ケイザイノジョウキョウガカイゼンシマシタ。"),
+    ("りんごを三個と卵を一パック買った。",
+     "リンゴヲサンコトタマゴヲイチパックカッタ。"),
+    ("全部で二千三百円です。", "ゼンブデニセンサンビャクエンデス。"),
+    ("半分に切って分けましょう。", "ハンブンニキッテワケマショウ。"),
+    ("新サービスが始まった。", "シンサービスガハジマッタ。"),
+    ("十分に休みました。", "ジュウブンニヤスミマシタ。"),
 ]
 
 

@@ -52,6 +52,9 @@ _NP_KEEP = {"ヒャク", "ホク", "ホン"}
 # keep their kun stems.
 _PARTICLE_HEADS = set("はをがのでともへやかだねよに")
 
+# numeral and prefix kanji that read ON before a katakana loanword
+_ON_PREFIX_KANJI = set("一二三四五六七八九十百千万新超大全各約元非再最")
+
 # hiragana demonstratives/pronouns that a topic/directional particle
 # commonly follows inside one hiragana run (こちらへ, これは)
 _DEMONSTRATIVES = (
@@ -264,6 +267,15 @@ class LexiconReader:
                 and not (pos > seg_start and text[end] in "しさせな")
             )
             isolated = run_len == 1 or okurigana or before_iter
+            if (
+                isolated and pos == end - 1 and end < len(text)
+                and _KATA_RX.match(text, end) is not None
+                and ch in _ON_PREFIX_KANJI
+            ):
+                # numeral/prefix kanji before a katakana loan reads ON
+                # (一パック=イチ, 新サービス=シン), unlike a standalone
+                # noun (犬カフェ keeps kun)
+                isolated = False
             if isolated:
                 yomi = self._kun(text, ch, end, pos) or ON.get(ch) or ""
                 on_read = not KUN.get(ch) and bool(ON.get(ch))
