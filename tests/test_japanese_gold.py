@@ -481,3 +481,38 @@ def test_number_reader_total_and_katakana():
         assert got and kata.match(got), (n, got)
     # digit-by-digit fallback for phone-number-length runs
     assert read_number("09012345678").startswith("ゼロキュウ")
+
+
+def test_ja_phonemizer_fuzz_no_crash():
+    """Seeded fuzz: the JA phonemizer (both modes) must never raise on
+    arbitrary mixed-script text, and the end-to-end contract —
+    tokenizer(phonemizer(s)) — must yield only in-vocabulary ids.
+    (The phonemizer itself passes unknown characters through as their
+    own token, reference parity per tests/test_text.py's garbage case;
+    BasicTokenizer.encode is the layer that drops them.)"""
+    import random
+
+    import numpy as np
+
+    from voice100_tpu.text.tokenizers import get_tokenizer
+
+    random.seed(5678)
+    tok = get_tokenizer(language="ja", use_phone=True)
+    ph_char = JapanesePhonemizer(use_phone=False)
+    ph_phone = JapanesePhonemizer(use_phone=True)
+    pools = [
+        "日本語の漢字龍鷹麒麟",      # common + out-of-table kanji
+        "あいうえおゃゅょっんー",
+        "アイウエオヴヵヶ・",
+        "0123456789０１２３",
+        "abcXYZ .,!?「」()『』",
+        "々〆〇　\U0001F600",
+    ]
+    for _ in range(400):
+        n = random.randint(0, 24)
+        s = "".join(random.choice(random.choice(pools)) for _ in range(n))
+        out_c = ph_char(s)
+        assert isinstance(out_c, str)
+        ids = np.asarray(tok(ph_phone(s)))
+        assert ids.ndim == 1
+        assert ((ids >= 0) & (ids < tok.vocab_size)).all(), s

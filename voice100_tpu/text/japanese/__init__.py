@@ -40,6 +40,11 @@ class JapanesePhonemizer:
             text = text.replace("c ", "k ")
             text = text.replace("x", "k")
             text = text.replace("v", "b")
+            # unknown characters stay in the output as their own token
+            # (reference parity, tests/test_text.py garbage case:
+            # ★ survives phonemization and BasicTokenizer.encode drops
+            # it) — phone corpora therefore may contain passthrough
+            # junk exactly like the reference's prepare_dataset output
             return _SPACES_RX.sub(" ", text)
         # Character mode: romaji, with long vowels doubled and the moraic
         # nasal/gemination mapped into the 29-char vocabulary
