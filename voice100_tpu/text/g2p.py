@@ -70,6 +70,7 @@ _LEXICON: Dict[str, str] = {
     "society": "S AH0 S AY1 AH0 T IY0",
     "education": "EH2 JH AH0 K EY1 SH AH0 N",
     "professor": "P R AH0 F EH1 S ER0",
+    "percent": "P ER0 S EH1 N T",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
@@ -822,6 +823,11 @@ def _normalize_numbers(text: str) -> str:
                            text)
     text = _ORDINAL_RX.sub(
         lambda m: " ".join(_ordinal_words(m.group(1))), text)
+    # documented superset of g2p_en: it silently DROPS %/& in its
+    # character filter, losing spoken content ("25%" -> "twenty five");
+    # expanding them reads the text the way a speaker would
+    text = text.replace("%", " percent")
+    text = text.replace("&", " and ")
     return text
 
 
