@@ -314,6 +314,15 @@ GOLD_SENTENCES = [
     ("半分に切って分けましょう。", "ハンブンニキッテワケマショウ。"),
     ("新サービスが始まった。", "シンサービスガハジマッタ。"),
     ("十分に休みました。", "ジュウブンニヤスミマシタ。"),
+    # round-3 era-name/keigo register (fifteenth out-of-gold probe:
+    # 2/6 before the 和/卒/昭/召/伺 entries)
+    ("令和六年に卒業しました。", "レイワロクネンニソツギョウシマシタ。"),
+    ("昭和の時代の音楽が好きです。",
+     "ショウワノジダイノオンガクガスキデス。"),
+    ("平成三十年です。", "ヘイセイサンジュウネンデス。"),
+    ("先生がいらっしゃいます。", "センセイガイラッシャイマス。"),
+    ("どうぞ召し上がってください。", "ドウゾメシアガッテクダサイ。"),
+    ("お名前を伺います。", "オナマエヲウカガイマス。"),
 ]
 
 

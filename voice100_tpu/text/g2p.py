@@ -204,7 +204,9 @@ _LEXICON: Dict[str, str] = {
     "year": "Y IH1 R", "day": "D EY1", "good": "G UH1 D",
     "great": "G R EY1 T", "little": "L IH1 T AH0 L",
     "own": "OW1 N", "say": "S EY1", "says": "S EH1 Z",
-    "mr": "M IH1 S T ER0", "mrs": "M IH1 S IH0 Z",
+    "mr": "M IH1 S T ER0", "mrs": "M IH1 S IH0 Z", "ms": "M IH1 Z",
+    "versus": "V ER1 S AH0 S", "avenue": "AE1 V AH0 N UW2",
+    "etcetera": "EH2 T S EH1 T ER0 AH0",
     "new": "N UW1", "old": "OW1 L D", "see": "S IY1",
     "way": "W EY1", "may": "M EY1", "come": "K AH1 M",
     "work": "W ER1 K", "made": "M EY1 D", "live": "L IH1 V",
@@ -791,6 +793,12 @@ _DOLLARS_RX = re.compile(r"\$([0-9.,]*[0-9]+)")
 _POUNDS_RX = re.compile(r"£([0-9,]*[0-9]+)")
 _DECIMAL_RX = re.compile(r"([0-9]+)\.([0-9]+)")
 _ORDINAL_RX = re.compile(r"([0-9]+)(st|nd|rd|th)\b")
+_ABBREVIATIONS = {
+    "mr": "mister", "mrs": "mrs", "ms": "ms", "dr": "doctor",
+    "vs": "versus", "ave": "avenue", "etc": "etcetera",
+}
+_ABBREV_RX = re.compile(
+    r"\b(" + "|".join(_ABBREVIATIONS) + r")\.")
 
 
 def _expand_dollars(m: "re.Match") -> str:
@@ -828,6 +836,10 @@ def _normalize_numbers(text: str) -> str:
     # expanding them reads the text the way a speaker would
     text = text.replace("%", " percent")
     text = text.replace("&", " and ")
+    # title/common abbreviations with their period consumed ("dr."
+    # would otherwise spell out as D IY1 AA1 R); g2p_en leaves these
+    # unexpanded. "st." stays untouched: saint vs street is ambiguous
+    text = _ABBREV_RX.sub(lambda m: _ABBREVIATIONS[m.group(1)], text)
     return text
 
 
