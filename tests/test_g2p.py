@@ -235,8 +235,9 @@ def test_number_normalization_g2pen_conventions():
 def test_common_word_probe():
     """Out-of-gold common-word probe (typical-word accuracy, vs the
     irregular gold floor): composed blind, then the error classes were
-    fixed (compound splitting, final -ant reduction, espec-/loan pins).
-    All 57 must stay exact end-to-end through G2P().__call__."""
+    fixed (compound splitting, final -ant reduction, espec-/loan pins,
+    the 1-letter-stem stripper guard).
+    All 83 must stay exact end-to-end through G2P().__call__."""
     g = G2P()
     cases = [
         ("morning", "M AO1 R N IH0 NG"), ("evening", "IY1 V N IH0 NG"),
@@ -290,6 +291,23 @@ def test_common_word_probe():
         ("dictionary", "D IH1 K SH AH0 N EH2 R IY0"),
         ("elephant", "EH1 L AH0 F AH0 N T"),
         ("banana", "B AH0 N AE1 N AH0"), ("potato", "P AH0 T EY1 T OW2"),
+        # round-3 sixteenth probe band (household/nature nouns; found
+        # the 1-letter-stem stripper bug: west read as we+est, bed as
+        # be+d)
+        ("west", "W EH1 S T"), ("bed", "B EH1 D"),
+        ("season", "S IY1 Z AH0 N"), ("corner", "K AO1 R N ER0"),
+        ("forest", "F AO1 R AH0 S T"), ("garden", "G AA1 R D AH0 N"),
+        ("cattle", "K AE1 T AH0 L"), ("insect", "IH1 N S EH2 K T"),
+        ("orange", "AO1 R AH0 N JH"), ("lemon", "L EH1 M AH0 N"),
+        ("sugar", "SH UH1 G ER0"), ("coffee", "K AA1 F IY0"),
+        ("juice", "JH UW1 S"), ("beer", "B IH1 R"),
+        ("bottle", "B AA1 T AH0 L"), ("napkin", "N AE1 P K IH0 N"),
+        ("bathroom", "B AE1 TH R UW2 M"),
+        ("ceiling", "S IY1 L IH0 NG"), ("curtain", "K ER1 T AH0 N"),
+        ("carpet", "K AA1 R P AH0 T"), ("blanket", "B L AE1 NG K AH0 T"),
+        ("pillow", "P IH1 L OW0"), ("towel", "T AW1 AH0 L"),
+        ("razor", "R EY1 Z ER0"), ("mirror", "M IH1 R ER0"),
+        ("closet", "K L AA1 Z AH0 T"), ("mountain", "M AW1 N T AH0 N"),
     ]
     misses = [(w, " ".join(g(w)), want) for w, want in cases
               if " ".join(g(w)) != want]

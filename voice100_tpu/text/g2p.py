@@ -71,6 +71,8 @@ _LEXICON: Dict[str, str] = {
     "education": "EH2 JH AH0 K EY1 SH AH0 N",
     "professor": "P R AH0 F EH1 S ER0",
     "percent": "P ER0 S EH1 N T",
+    "insect": "IH1 N S EH2 K T", "beer": "B IH1 R",
+    "razor": "R EY1 Z ER0",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
@@ -994,6 +996,10 @@ class G2P:
             if not word.endswith(suffix) or len(word) <= len(suffix):
                 continue
             stem = word[: -len(suffix)]
+            if len(stem) < 2:
+                # a 1-letter stem is never a real morphological base:
+                # "west" is not we+est (W IY1 AH0 S T), "bed" not be+d
+                continue
             for variant in (stem, stem + "e"):
                 if variant in self._lexicon:
                     return attach(self._lexicon[variant].split())
