@@ -47,9 +47,9 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.9807 stripped /
-    # 0.9791 with-stress (phone acc 0.994, stress-only misses 2) on
-    # the probe-grown 1194-word set after
+    # hard floor, not typical-word accuracy. Measured 0.9935 stripped /
+    # 0.9927 with-stress (phone acc 0.9985, stress-only misses 1) on
+    # the probe-grown 1228-word set after
     # the round-3 error-class sweeps: systematic spelling families
     # (-ough, -oul, silent mb/l, ch->K Greek contexts, o->AH families,
     # ed-after-t/d syllabification, -ies/-ean/-ature/-ence/-ful
@@ -57,9 +57,9 @@ def test_lts_accuracy_vs_gold_lexicon():
     # the commonest irregular words (a rule that emits an explicit *1
     # suppresses heuristic stress/reduction for that word); floors
     # leave a small margin.
-    assert exact / total > 0.975, f"word-exact {exact}/{total}"
-    assert match / denom > 0.99, f"phone accuracy {match / denom:.3f}"
-    assert with_stress / total > 0.975, (
+    assert exact / total > 0.985, f"word-exact {exact}/{total}"
+    assert match / denom > 0.995, f"phone accuracy {match / denom:.3f}"
+    assert with_stress / total > 0.985, (
         f"with-stress exact {with_stress}/{total}"
     )
     # stress-only error mass (stripped-correct but mis-stressed):

@@ -73,6 +73,11 @@ _LEXICON: Dict[str, str] = {
     "percent": "P ER0 S EH1 N T",
     "insect": "IH1 N S EH2 K T", "beer": "B IH1 R",
     "razor": "R EY1 Z ER0",
+    # irregular-verb band (seventeenth probe)
+    "drove": "D R OW1 V", "forget": "F ER0 G EH1 T",
+    "forgot": "F ER0 G AA1 T", "forgotten": "F ER0 G AA1 T AH0 N",
+    "risen": "R IH1 Z AH0 N", "shaken": "SH EY1 K AH0 N",
+    "worn": "W AO1 R N",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
