@@ -308,6 +308,18 @@ def test_common_word_probe():
         ("pillow", "P IH1 L OW0"), ("towel", "T AW1 AH0 L"),
         ("razor", "R EY1 Z ER0"), ("mirror", "M IH1 R ER0"),
         ("closet", "K L AA1 Z AH0 T"), ("mountain", "M AW1 N T AH0 N"),
+        # round-3 eighteenth probe band (body/clothing/weather/emotion)
+        ("shoulder", "SH OW1 L D ER0"), ("stomach", "S T AH1 M AH0 K"),
+        ("eyebrow", "AY1 B R AW2"), ("mustache", "M AH1 S T AE2 SH"),
+        ("sweater", "S W EH1 T ER0"), ("trousers", "T R AW1 Z ER0 Z"),
+        ("lightning", "L AY1 T N IH0 NG"), ("windy", "W IH1 N D IY0"),
+        ("jealous", "JH EH1 L AH0 S"), ("ashamed", "AH0 SH EY1 M D"),
+        ("embarrassed", "IH0 M B EH1 R AH0 S T"),
+        ("disappointed", "D IH2 S AH0 P OY1 N T IH0 D"),
+        ("miserable", "M IH1 Z ER0 AH0 B AH0 L"),
+        ("grateful", "G R EY1 T F AH0 L"), ("polite", "P AH0 L AY1 T"),
+        ("timid", "T IH1 M AH0 D"), ("stubborn", "S T AH1 B ER0 N"),
+        ("arrogant", "EH1 R AH0 G AH0 N T"),
     ]
     misses = [(w, " ".join(g(w)), want) for w, want in cases
               if " ".join(g(w)) != want]

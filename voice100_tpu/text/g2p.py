@@ -78,6 +78,13 @@ _LEXICON: Dict[str, str] = {
     "forgot": "F ER0 G AA1 T", "forgotten": "F ER0 G AA1 T AH0 N",
     "risen": "R IH1 Z AH0 N", "shaken": "SH EY1 K AH0 N",
     "worn": "W AO1 R N",
+    # emotion/clothing band (eighteenth probe)
+    "eyebrow": "AY1 B R AW2", "trousers": "T R AW1 Z ER0 Z",
+    "windy": "W IH1 N D IY0", "ashamed": "AH0 SH EY1 M D",
+    "embarrassed": "IH0 M B EH1 R AH0 S T",
+    "disappointed": "D IH2 S AH0 P OY1 N T IH0 D",
+    "grateful": "G R EY1 T F AH0 L", "polite": "P AH0 L AY1 T",
+    "timid": "T IH1 M AH0 D", "arrogant": "EH1 R AH0 G AH0 N T",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
