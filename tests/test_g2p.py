@@ -237,7 +237,7 @@ def test_common_word_probe():
     irregular gold floor): composed blind, then the error classes were
     fixed (compound splitting, final -ant reduction, espec-/loan pins,
     the 1-letter-stem stripper guard).
-    All 83 must stay exact end-to-end through G2P().__call__."""
+    All 117 must stay exact end-to-end through G2P().__call__."""
     g = G2P()
     cases = [
         ("morning", "M AO1 R N IH0 NG"), ("evening", "IY1 V N IH0 NG"),
@@ -320,6 +320,21 @@ def test_common_word_probe():
         ("grateful", "G R EY1 T F AH0 L"), ("polite", "P AH0 L AY1 T"),
         ("timid", "T IH1 M AH0 D"), ("stubborn", "S T AH1 B ER0 N"),
         ("arrogant", "EH1 R AH0 G AH0 N T"),
+        # round-3 nineteenth probe band (countries/places/nationalities)
+        ("america", "AH0 M EH1 R AH0 K AH0"),
+        ("japanese", "JH AE2 P AH0 N IY1 Z"),
+        ("chinese", "CH AY0 N IY1 Z"),
+        ("european", "Y UH2 R AH0 P IY1 AH0 N"),
+        ("english", "IH1 NG G L IH0 SH"),
+        ("germany", "JH ER1 M AH0 N IY0"),
+        ("italian", "IH0 T EY1 L Y AH0 N"),
+        ("russian", "R AH1 SH AH0 N"),
+        ("canada", "K AE1 N AH0 D AH0"),
+        ("mexico", "M EH1 K S AH0 K OW2"),
+        ("brazil", "B R AH0 Z IH1 L"), ("korea", "K ER0 IY1 AH0"),
+        ("tokyo", "T OW1 K IY0 OW2"), ("asia", "EY1 ZH AH0"),
+        ("pacific", "P AH0 S IH1 F IH0 K"),
+        ("antarctica", "AE0 N T AA1 R K T IH0 K AH0"),
     ]
     misses = [(w, " ".join(g(w)), want) for w, want in cases
               if " ".join(g(w)) != want]

@@ -85,6 +85,11 @@ _LEXICON: Dict[str, str] = {
     "disappointed": "D IH2 S AH0 P OY1 N T IH0 D",
     "grateful": "G R EY1 T F AH0 L", "polite": "P AH0 L AY1 T",
     "timid": "T IH1 M AH0 D", "arrogant": "EH1 R AH0 G AH0 N T",
+    # place names (nineteenth probe)
+    "asia": "EY1 ZH AH0", "tokyo": "T OW1 K IY0 OW2",
+    "korea": "K ER0 IY1 AH0", "brazil": "B R AH0 Z IH1 L",
+    "madrid": "M AH0 D R IH1 D", "moscow": "M AA1 S K AW2",
+    "antarctica": "AE0 N T AA1 R K T IH0 K AH0",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
