@@ -323,6 +323,20 @@ GOLD_SENTENCES = [
     ("先生がいらっしゃいます。", "センセイガイラッシャイマス。"),
     ("どうぞ召し上がってください。", "ドウゾメシアガッテクダサイ。"),
     ("お名前を伺います。", "オナマエヲウカガイマス。"),
+    # round-3 passive/causative register (sixteenth out-of-gold probe:
+    # 10/12 blind before the 困/盗 entries)
+    ("先生に褒められました。", "センセイニホメラレマシタ。"),
+    ("母に野菜を食べさせられた。", "ハハニヤサイヲタベサセラレタ。"),
+    ("雨に降られて困りました。", "アメニフラレテコマリマシタ。"),
+    ("犬に手を噛まれた。", "イヌニテヲカマレタ。"),
+    ("部長に呼ばれて会議室へ行った。",
+     "ブチョウニヨバレテカイギシツエイッタ。"),
+    ("子供に泣かれて眠れなかった。", "コドモニナカレテネムレナカッタ。"),
+    ("先生が生徒に本を読ませた。", "センセイガセイトニホンヲヨマセタ。"),
+    ("荷物を持たせてください。", "ニモツヲモタセテクダサイ。"),
+    ("写真を撮られるのが嫌いです。", "シャシンヲトラレルノガキライデス。"),
+    ("駅で財布を盗まれました。", "エキデサイフヲヌスマレマシタ。"),
+    ("みんなに愛される人になりたい。", "ミンナニアイサレルヒトニナリタイ。"),
 ]
 
 
