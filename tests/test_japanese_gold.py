@@ -539,3 +539,40 @@ def test_ja_phonemizer_fuzz_no_crash():
         ids = np.asarray(tok(ph_phone(s)))
         assert ids.ndim == 1
         assert ((ids >= 0) & (ids < tok.vocab_size)).all(), s
+
+
+def test_newspaper_band_jukugo():
+    """Probe round 17: the high-frequency newspaper-band kanji batch
+    (自/民/的/題/験/能/積/組...) forms unlisted jukugo by plain ON
+    concatenation and keeps kun verb stems (当たる, 求める, 組む vs
+    the クミ isolated noun); 組織/番組 are lexicalized compounds."""
+    reader = LexiconReader()
+    cases = {
+        "自動車が走る": "ジドウシャガハシル",
+        "問題があります": "モンダイガアリマス",
+        "目的を持つ": "モクテキヲモツ",
+        "以上です": "イジョウデス",
+        "午前九時": "ゴゼンクジ",
+        "試験に合格した": "シケンニゴウカクシタ",
+        "性能がいい": "セイノウガイイ",
+        "面積が広い": "メンセキガヒロイ",
+        "組織で働く": "ソシキデハタラク",
+        "チームを組みます": "チームヲクミマス",
+        "番組を見る": "バングミヲミル",
+        "当たりました": "アタリマシタ",
+        "求めます": "モトメマス",
+        "示します": "シメシマス",
+        "月が満ちた": "ツキガミチタ",
+        "庭を囲んで": "ニワヲカコンデ",
+        "雪が積もる": "ユキガツモル",
+        "他の人": "ホカノヒト",
+        "お化けが現れた": "オバケガアラワレタ",
+        "関係があります": "カンケイガアリマス",
+        "仕事に関わる": "シゴトニカカワル",
+        "昨年の経歴": "サクネンノケイレキ",
+        "自民党の総裁": "ジミントウノソウサイ",
+        "布を織る": "ヌノヲオル",
+    }
+    for surface, want in cases.items():
+        assert _read(reader, surface) == want, (
+            surface, _read(reader, surface))
