@@ -337,6 +337,34 @@ GOLD_SENTENCES = [
     ("写真を撮られるのが嫌いです。", "シャシンヲトラレルノガキライデス。"),
     ("駅で財布を盗まれました。", "エキデサイフヲヌスマレマシタ。"),
     ("みんなに愛される人になりたい。", "ミンナニアイサレルヒトニナリタイ。"),
+    # round-3 blind measurement round (eighteenth probe: 14/20 before
+    # 貼/留/流/冗/談, 変な=ヘン vs 変わる=カ, and the 夜中/水分/作業
+    # compounds)
+    ("弟は自転車で学校に通っています。",
+     "オトウトワジテンシャデガッコウニカヨッテイマス。"),
+    ("今夜は星がきれいに見えます。", "コンヤワホシガキレイニミエマス。"),
+    ("彼は有名な作家になりました。", "カレワユウメイナサッカニナリマシタ。"),
+    ("手紙に切手を貼って出しました。",
+     "テガミニキッテヲハッテダシマシタ。"),
+    ("夜中に変な音が聞こえた。", "ヨナカニヘンナオトガキコエタ。"),
+    ("道に迷って遅刻しました。", "ミチニマヨッテチコクシマシタ。"),
+    ("木の枝に鳥が止まっている。", "キノエダニトリガトマッテイル。"),
+    ("机の上に眼鏡を置いた。", "ツクエノウエニメガネヲオイタ。"),
+    ("暑い日は水分を取りましょう。", "アツイヒワスイブンヲトリマショウ。"),
+    ("彼は自信を持って発言した。", "カレワジシンヲモッテハツゲンシタ。"),
+    ("新しい橋の建設が進んでいる。",
+     "アタラシイハシノケンセツガススンデイル。"),
+    ("留学生と文化交流をしました。",
+     "リュウガクセイトブンカコウリュウヲシマシタ。"),
+    ("夕方になると空が赤く染まる。", "ユウガタニナルトソラガアカクソマル。"),
+    ("彼の冗談にみんなが笑った。", "カレノジョウダンニミンナガワラッタ。"),
+    ("図面を確認してから作業を始める。",
+     "ズメンヲカクニンシテカラサギョウヲハジメル。"),
+    ("電池が切れたので交換した。", "デンチガキレタノデコウカンシタ。"),
+    ("社会を変えます。", "シャカイヲカエマス。"),
+    ("色が変わりました。", "イロガカワリマシタ。"),
+    ("五分待ってください。", "ゴフンマッテクダサイ。"),
+    ("気分がいいです。", "キブンガイイデス。"),
 ]
 
 
