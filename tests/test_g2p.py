@@ -237,7 +237,7 @@ def test_common_word_probe():
     irregular gold floor): composed blind, then the error classes were
     fixed (compound splitting, final -ant reduction, espec-/loan pins,
     the 1-letter-stem stripper guard).
-    All 117 must stay exact end-to-end through G2P().__call__."""
+    All 138 must stay exact end-to-end through G2P().__call__."""
     g = G2P()
     cases = [
         ("morning", "M AO1 R N IH0 NG"), ("evening", "IY1 V N IH0 NG"),
@@ -335,6 +335,27 @@ def test_common_word_probe():
         ("tokyo", "T OW1 K IY0 OW2"), ("asia", "EY1 ZH AH0"),
         ("pacific", "P AH0 S IH1 F IH0 K"),
         ("antarctica", "AE0 N T AA1 R K T IH0 K AH0"),
+        # round-3 twentieth probe band (communication/cooking)
+        ("description", "D AH0 S K R IH1 P SH AH0 N"),
+        ("explanation", "EH2 K S P L AH0 N EY1 SH AH0 N"),
+        ("suggestion", "S AH0 G JH EH1 S CH AH0 N"),
+        ("invitation", "IH2 N V IH0 T EY1 SH AH0 N"),
+        ("introduce", "IH2 N T R AH0 D UW1 S"),
+        ("introduction", "IH2 N T R AH0 D AH1 K SH AH0 N"),
+        ("pronounce", "P R AH0 N AW1 N S"),
+        ("pronunciation", "P R OW0 N AH2 N S IY0 EY1 SH AH0 N"),
+        ("repetition", "R IH2 P AH0 T IH1 SH AH0 N"),
+        ("translate", "T R AE0 N S L EY1 T"),
+        ("translation", "T R AE0 N S L EY1 SH AH0 N"),
+        ("announce", "AH0 N AW1 N S"),
+        ("squeeze", "S K W IY1 Z"),
+        ("microwave", "M AY1 K R OW0 W EY2 V"),
+        ("recipe", "R EH1 S AH0 P IY0"),
+        ("ingredient", "IH0 N G R IY1 D IY0 AH0 N T"),
+        ("vinegar", "V IH1 N AH0 G ER0"),
+        ("flavor", "F L EY1 V ER0"),
+        ("favorite", "F EY1 V ER0 IH0 T"),
+        ("dessert", "D IH0 Z ER1 T"), ("supper", "S AH1 P ER0"),
     ]
     misses = [(w, " ".join(g(w)), want) for w, want in cases
               if " ".join(g(w)) != want]

@@ -90,6 +90,16 @@ _LEXICON: Dict[str, str] = {
     "korea": "K ER0 IY1 AH0", "brazil": "B R AH0 Z IH1 L",
     "madrid": "M AH0 D R IH1 D", "moscow": "M AA1 S K AW2",
     "antarctica": "AE0 N T AA1 R K T IH0 K AH0",
+    # communication/cooking band (twentieth probe)
+    "explanation": "EH2 K S P L AH0 N EY1 SH AH0 N",
+    "introduce": "IH2 N T R AH0 D UW1 S",
+    "pronounce": "P R AH0 N AW1 N S",
+    "pronunciation": "P R OW0 N AH2 N S IY0 EY1 SH AH0 N",
+    "translate": "T R AE0 N S L EY1 T",
+    "translation": "T R AE0 N S L EY1 SH AH0 N",
+    "microwave": "M AY1 K R OW0 W EY2 V",
+    "ingredient": "IH0 N G R IY1 D IY0 AH0 N T",
+    "flavor": "F L EY1 V ER0", "supper": "S AH1 P ER0",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
@@ -1187,6 +1197,7 @@ class G2P:
         record records region regions recent refuge rebel regular
         regularly depot depots decade decades demon demons
         exodus exorcist exorcists exoskeleton exoskeletons
+        supper suppers
         """.split()
     )
 
