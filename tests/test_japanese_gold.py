@@ -365,6 +365,28 @@ GOLD_SENTENCES = [
     ("色が変わりました。", "イロガカワリマシタ。"),
     ("五分待ってください。", "ゴフンマッテクダサイ。"),
     ("気分がいいです。", "キブンガイイデス。"),
+    # round-3 recipe/business-mail register (nineteenth out-of-gold
+    # probe: 4/12 before 玉/振/煮/完/添/訳/程, the 認 okurigana keying,
+    # 十分+duration-suffix, and the 胡椒/弱火/何卒/煮込/間違 compounds)
+    ("玉ねぎを薄く切ります。", "タマネギヲウスクキリマス。"),
+    ("肉に塩と胡椒を振ってください。",
+     "ニクニシオトコショウヲフッテクダサイ。"),
+    ("鍋に油を入れて温めます。", "ナベニアブラヲイレテアタタメマス。"),
+    ("弱火で十分ほど煮込みます。", "ヨワビデジュップンホドニコミマス。"),
+    ("最後に醤油を加えて完成です。",
+     "サイゴニショウユヲクワエテカンセイデス。"),
+    ("ご連絡ありがとうございます。", "ゴレンラクアリガトウゴザイマス。"),
+    ("お世話になっております。", "オセワニナッテオリマス。"),
+    ("添付の資料をご確認ください。",
+     "テンプノシリョウヲゴカクニンクダサイ。"),
+    ("何卒よろしくお願いいたします。",
+     "ナニトゾヨロシクオネガイイタシマス。"),
+    ("返信が遅くなり申し訳ありません。",
+     "ヘンシンガオソクナリモウシワケアリマセン。"),
+    ("会議の日程を変更しました。", "カイギノニッテイヲヘンコウシマシタ。"),
+    ("間違いを認めました。", "マチガイヲミトメマシタ。"),
+    ("十分後に出発します。", "ジュップンゴニシュッパツシマス。"),
+    ("人間の時間と空間。", "ニンゲンノジカントクウカン。"),
 ]
 
 

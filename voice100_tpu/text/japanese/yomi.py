@@ -224,8 +224,11 @@ class LexiconReader:
             # numeric counter 分: 三十分 = サンジュップン (the generic
             # 十分 compound reads the adverb ジュウブン)
             if (
-                text.startswith("十分", pos) and pos > i
-                and text[pos - 1] in "一二三四五六七八九"
+                text.startswith("十分", pos)
+                and ((pos > i and text[pos - 1] in "一二三四五六七八九")
+                     or any(text.startswith(sfx, pos + 2)
+                            for sfx in ("ほど", "間", "くらい",
+                                        "ぐらい", "後", "前")))
             ):
                 out.append(("十分", "ジュップン"))
                 pos += 2
