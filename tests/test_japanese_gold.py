@@ -387,6 +387,21 @@ GOLD_SENTENCES = [
     ("間違いを認めました。", "マチガイヲミトメマシタ。"),
     ("十分後に出発します。", "ジュップンゴニシュッパツシマス。"),
     ("人間の時間と空間。", "ニンゲンノジカントクウカン。"),
+    # round-3 hobbies/animals register (twentieth out-of-gold probe:
+    # 7/12 before 登/兎/周/展/素 and the 登山/素晴らし compounds)
+    ("趣味は写真を撮ることです。", "シュミワシャシンヲトルコトデス。"),
+    ("週末に釣りに行きます。", "シュウマツニツリニイキマス。"),
+    ("動物園でパンダを見た。", "ドウブツエンデパンダヲミタ。"),
+    ("猿が木に登っている。", "サルガキニノボッテイル。"),
+    ("兎は速く走ります。", "ウサギワハヤクハシリマス。"),
+    ("蝶が花の周りを飛んでいる。", "チョウガハナノマワリヲトンデイル。"),
+    ("亀はゆっくり歩く。", "カメワユックリアルク。"),
+    ("熊が山に現れた。", "クマガヤマニアラワレタ。"),
+    ("切符を二枚買いました。", "キップヲニマイカイマシタ。"),
+    ("展覧会の絵が素晴らしかった。",
+     "テンランカイノエガスバラシカッタ。"),
+    ("登山の装備を準備する。", "トザンノソウビヲジュンビスル。"),
+    ("湖で白鳥を見ました。", "ミズウミデハクチョウヲミマシタ。"),
 ]
 
 
