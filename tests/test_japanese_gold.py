@@ -402,6 +402,24 @@ GOLD_SENTENCES = [
      "テンランカイノエガスバラシカッタ。"),
     ("登山の装備を準備する。", "トザンノソウビヲジュンビスル。"),
     ("湖で白鳥を見ました。", "ミズウミデハクチョウヲミマシタ。"),
+    # round-3 relationships/idioms register (twenty-first out-of-gold
+    # probe: 7/12 before 仲/堅, 目上/年上/従兄弟/仲良 compounds, and the
+    # 空く=アク default with 腹が空く=スク lexicalized)
+    ("彼とは長い付き合いです。", "カレトワナガイツキアイデス。"),
+    ("隣の家族と仲良くしています。",
+     "トナリノカゾクトナカヨクシテイマス。"),
+    ("腹が立って眠れなかった。", "ハラガタッテネムレナカッタ。"),
+    ("目上の人には敬語を使います。",
+     "メウエノヒトニワケイゴヲツカイマス。"),
+    ("心配をかけてすみません。", "シンパイヲカケテスミマセン。"),
+    ("彼は口が堅い人です。", "カレワクチガカタイヒトデス。"),
+    ("手が空いたら手伝います。", "テガアイタラテツダイマス。"),
+    ("顔が広い先輩に紹介してもらった。",
+     "カオガヒロイセンパイニショウカイシテモラッタ。"),
+    ("息子の成長が楽しみです。", "ムスコノセイチョウガタノシミデス。"),
+    ("年上の従兄弟がいます。", "トシウエノイトコガイマス。"),
+    ("席が空きました。", "セキガアキマシタ。"),
+    ("二人は仲良しです。", "フタリワナカヨシデス。"),
 ]
 
 
