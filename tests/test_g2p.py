@@ -237,7 +237,7 @@ def test_common_word_probe():
     irregular gold floor): composed blind, then the error classes were
     fixed (compound splitting, final -ant reduction, espec-/loan pins,
     the 1-letter-stem stripper guard).
-    All 138 must stay exact end-to-end through G2P().__call__."""
+    All 163 must stay exact end-to-end through G2P().__call__."""
     g = G2P()
     cases = [
         ("morning", "M AO1 R N IH0 NG"), ("evening", "IY1 V N IH0 NG"),
@@ -356,6 +356,30 @@ def test_common_word_probe():
         ("flavor", "F L EY1 V ER0"),
         ("favorite", "F EY1 V ER0 IH0 T"),
         ("dessert", "D IH0 Z ER1 T"), ("supper", "S AH1 P ER0"),
+        # round-3 twenty-first probe band (adverbs/connectives; found
+        # the general+ly double-L bug in the suffix layer)
+        ("although", "AO0 L DH OW1"), ("thorough", "TH ER1 OW0"),
+        ("throughout", "TH R UW0 AW1 T"),
+        ("nevertheless", "N EH2 V ER0 DH AH0 L EH1 S"),
+        ("nonetheless", "N AH2 N DH AH0 L EH1 S"),
+        ("otherwise", "AH1 DH ER0 W AY2 Z"),
+        ("therefore", "DH EH1 R F AO2 R"),
+        ("unless", "AH0 N L EH1 S"), ("until", "AH0 N T IH1 L"),
+        ("whereas", "W EH0 R AE1 Z"), ("whilst", "W AY1 L S T"),
+        ("definitely", "D EH1 F AH0 N AH0 T L IY0"),
+        ("obviously", "AA1 B V IY0 AH0 S L IY0"),
+        ("fortunately", "F AO1 R CH AH0 N AH0 T L IY0"),
+        ("unfortunately", "AH0 N F AO1 R CH AH0 N AH0 T L IY0"),
+        ("immediately", "IH0 M IY1 D IY0 AH0 T L IY0"),
+        ("eventually", "IH0 V EH1 N CH UW0 AH0 L IY0"),
+        ("occasionally", "AH0 K EY1 ZH AH0 N AH0 L IY0"),
+        ("nearly", "N IH1 R L IY0"),
+        ("entirely", "IH0 N T AY1 ER0 L IY0"),
+        ("absolutely", "AE1 B S AH0 L UW0 T L IY0"),
+        ("particularly", "P ER0 T IH1 K Y AH0 L ER0 L IY0"),
+        ("generally", "JH EH1 N ER0 AH0 L IY0"),
+        ("sufficient", "S AH0 F IH1 SH AH0 N T"),
+        ("fortune", "F AO1 R CH AH0 N"),
     ]
     misses = [(w, " ".join(g(w)), want) for w, want in cases
               if " ".join(g(w)) != want]

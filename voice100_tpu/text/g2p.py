@@ -100,6 +100,23 @@ _LEXICON: Dict[str, str] = {
     "microwave": "M AY1 K R OW0 W EY2 V",
     "ingredient": "IH0 N G R IY1 D IY0 AH0 N T",
     "flavor": "F L EY1 V ER0", "supper": "S AH1 P ER0",
+    # adverb/connective band (twenty-first probe)
+    "nevertheless": "N EH2 V ER0 DH AH0 L EH1 S",
+    "nonetheless": "N AH2 N DH AH0 L EH1 S",
+    "therefore": "DH EH1 R F AO2 R", "unless": "AH0 N L EH1 S",
+    "until": "AH0 N T IH1 L", "whilst": "W AY1 L S T",
+    "whereas": "W EH0 R AE1 Z",
+    "definitely": "D EH1 F AH0 N AH0 T L IY0",
+    "obviously": "AA1 B V IY0 AH0 S L IY0",
+    "fortunately": "F AO1 R CH AH0 N AH0 T L IY0",
+    "unfortunately": "AH0 N F AO1 R CH AH0 N AH0 T L IY0",
+    "immediately": "IH0 M IY1 D IY0 AH0 T L IY0",
+    "eventually": "IH0 V EH1 N CH UW0 AH0 L IY0",
+    "nearly": "N IH1 R L IY0",
+    "entirely": "IH0 N T AY1 ER0 L IY0",
+    "particularly": "P ER0 T IH1 K Y AH0 L ER0 L IY0",
+    "sufficient": "S AH0 F IH1 SH AH0 N T",
+    "generally": "JH EH1 N ER0 AH0 L IY0",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
@@ -1013,7 +1030,10 @@ class G2P:
             ("'s", plural), ("s'", plural), ("es", plural), ("s", plural),
             ("ed", past),
             ("ing", lambda p: p + ["IH0", "NG"]),
-            ("ly", lambda p: p + ["L", "IY0"]),
+            # a stem already ending in /l/ absorbs the suffix /l/
+            # (general+ly = JH EH1 N ER0 AH0 L IY0, not ...L L IY0)
+            ("ly", lambda p: p + ["IY0"]
+             if p[-1].rstrip("012") == "L" else p + ["L", "IY0"]),
             ("ness", lambda p: p + ["N", "AH0", "S"]),
             ("ment", lambda p: p + ["M", "AH0", "N", "T"]),
             ("er", lambda p: p + ["ER0"]),
