@@ -420,6 +420,20 @@ GOLD_SENTENCES = [
     ("年上の従兄弟がいます。", "トシウエノイトコガイマス。"),
     ("席が空きました。", "セキガアキマシタ。"),
     ("二人は仲良しです。", "フタリワナカヨシデス。"),
+    # round-3 work/school/housework register (twenty-second
+    # out-of-gold probe: 9/12 blind before 履/喋 and 片付=カタヅ)
+    ("面接の結果を待っています。", "メンセツノケッカヲマッテイマス。"),
+    ("履歴書を書き直しました。", "リレキショヲカキナオシマシタ。"),
+    ("残業が多くて疲れました。", "ザンギョウガオオクテツカレマシタ。"),
+    ("部屋を片付けてから寝ます。", "ヘヤヲカタヅケテカラネマス。"),
+    ("床を拭いて窓を磨いた。", "ユカヲフイテマドヲミガイタ。"),
+    ("布団を干しました。", "フトンヲホシマシタ。"),
+    ("毎日日記を付けています。", "マイニチニッキヲツケテイマス。"),
+    ("漢字の読み方を覚えます。", "カンジノヨミカタヲオボエマス。"),
+    ("先生の授業は分かりやすい。", "センセイノジュギョウワワカリヤスイ。"),
+    ("黒板の字を写しました。", "コクバンノジヲウツシマシタ。"),
+    ("休み時間に友達と喋った。", "ヤスミジカンニトモダチトシャベッタ。"),
+    ("靴を履きました。", "クツヲハキマシタ。"),
 ]
 
 
