@@ -39,6 +39,9 @@ def test_vowel_quality_pairs():
     g = G2P()
     assert _words(g, "the wind blows")[1] == "W IH1 N D".split()
     assert _words(g, "to wind the clock")[1] == "W AY1 N D".split()
+    # verb-particle cue: no left context marks the verb here
+    assert _words(g, "wind up the string")[0] == "W AY1 N D".split()
+    assert _words(g, "wind down after work")[0] == "W AY1 N D".split()
     assert _words(g, "a live concert")[1] == "L AY1 V".split()
     assert _words(g, "they live here")[1] == "L IH1 V".split()
     assert _words(g, "their lives")[1] == "L AY1 V Z".split()

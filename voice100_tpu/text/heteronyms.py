@@ -275,6 +275,9 @@ def resolve(word: str, words: List[str], i: int) -> Optional[List[str]]:
     tag: Optional[str] = None
     if word == "close" and nxt == "to":
         tag = "ADJ"
+    elif word in ("wind", "winds") and nxt in ("up", "down"):
+        # verb-particle reading: "wind up the kite string" = W AY1 N D
+        tag = "V"
     else:
         tag = _cue_tag(words, i)
     if tag is None:
