@@ -237,7 +237,7 @@ def test_common_word_probe():
     irregular gold floor): composed blind, then the error classes were
     fixed (compound splitting, final -ant reduction, espec-/loan pins,
     the 1-letter-stem stripper guard).
-    All 163 must stay exact end-to-end through G2P().__call__."""
+    All 184 must stay exact end-to-end through G2P().__call__."""
     g = G2P()
     cases = [
         ("morning", "M AO1 R N IH0 NG"), ("evening", "IY1 V N IH0 NG"),
@@ -380,6 +380,25 @@ def test_common_word_probe():
         ("generally", "JH EH1 N ER0 AH0 L IY0"),
         ("sufficient", "S AH0 F IH1 SH AH0 N T"),
         ("fortune", "F AO1 R CH AH0 N"),
+        # round-3 twenty-second probe band (sports/music/arts; found
+        # the silent-interior-e gap: baseball/baseline/escape)
+        ("soccer", "S AA1 K ER0"), ("baseball", "B EY1 S B AO2 L"),
+        ("basketball", "B AE1 S K AH0 T B AO2 L"),
+        ("athlete", "AE1 TH L IY0 T"),
+        ("tournament", "T AO1 R N AH0 M AH0 N T"),
+        ("referee", "R IH2 F ER0 IY1"),
+        ("violin", "V AY2 AH0 L IH1 N"), ("piano", "P IY0 AE1 N OW0"),
+        ("orchestra", "AO1 R K AH0 S T R AH0"),
+        ("concert", "K AA1 N S ER0 T"),
+        ("composer", "K AH0 M P OW1 Z ER0"),
+        ("audience", "AO1 D IY0 EH0 N S"),
+        ("rehearsal", "R IH0 HH ER1 S AH0 L"),
+        ("sculpture", "S K AH1 L P CH ER0"),
+        ("gallery", "G AE1 L ER0 IY0"),
+        ("landscape", "L AE1 N D S K EY2 P"),
+        ("palette", "P AE1 L AH0 T"), ("trophy", "T R OW1 F IY0"),
+        ("novel", "N AA1 V AH0 L"), ("escape", "IH0 S K EY1 P"),
+        ("poetry", "P OW1 AH0 T R IY0"),
     ]
     misses = [(w, " ".join(g(w)), want) for w, want in cases
               if " ".join(g(w)) != want]

@@ -117,6 +117,13 @@ _LEXICON: Dict[str, str] = {
     "particularly": "P ER0 T IH1 K Y AH0 L ER0 L IY0",
     "sufficient": "S AH0 F IH1 SH AH0 N T",
     "generally": "JH EH1 N ER0 AH0 L IY0",
+    # sports/music/arts band (twenty-second probe)
+    "soccer": "S AA1 K ER0", "baseball": "B EY1 S B AO2 L",
+    "violin": "V AY2 AH0 L IH1 N", "piano": "P IY0 AE1 N OW0",
+    "concert": "K AA1 N S ER0 T", "composer": "K AH0 M P OW1 Z ER0",
+    "gallery": "G AE1 L ER0 IY0", "landscape": "L AE1 N D S K EY2 P",
+    "palette": "P AE1 L AH0 T", "trophy": "T R OW1 F IY0",
+    "novel": "N AA1 V AH0 L", "escape": "IH0 S K EY1 P",
     # round-3 additions from out-of-gold generalization probes
     "achieve": "AH0 CH IY1 V", "arrange": "ER0 EY1 N JH",
     "borrow": "B AA1 R OW2", "celebrate": "S EH1 L AH0 B R EY2 T",
@@ -745,6 +752,7 @@ _COMPOUND_PARTS = {
     "while": "W AY1 L", "quake": "K W EY1 K", "skate": "S K EY1 T",
     "black": "B L AE1 K", "else": "EH1 L S",
     "soft": "S AO1 F T", "hard": "HH AA1 R D", "ware": "W EH1 R",
+    "base": "B EY1 S", "line": "L AY1 N",
     # lexicalized compounds whose parts would mislead the splitter
     "breakfast": "B R EH1 K F AH0 S T",
     "something": "S AH1 M TH IH0 NG",
