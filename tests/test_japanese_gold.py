@@ -434,6 +434,24 @@ GOLD_SENTENCES = [
     ("黒板の字を写しました。", "コクバンノジヲウツシマシタ。"),
     ("休み時間に友達と喋った。", "ヤスミジカンニトモダチトシャベッタ。"),
     ("靴を履きました。", "クツヲハキマシタ。"),
+    # round-3 ceremonies/banking/emergencies register (twenty-third
+    # out-of-gold probe: 7/12 before 郎/訓/練, 従姉/怪我 compounds, and
+    # the を-conditioned 開く=ヒラク transitive split)
+    ("従姉の結婚式に出席しました。",
+     "イトコノケッコンシキニシュッセキシマシタ。"),
+    ("新郎新婦が入場しました。", "シンロウシンプガニュウジョウシマシタ。"),
+    ("銀行で口座を開きました。", "ギンコウデコウザヲヒラキマシタ。"),
+    ("現金で支払いました。", "ゲンキンデシハライマシタ。"),
+    ("毎月貯金しています。", "マイツキチョキンシテイマス。"),
+    ("利子が付く預金口座です。", "リシガツクヨキンコウザデス。"),
+    ("火事で建物が燃えました。", "カジデタテモノガモエマシタ。"),
+    ("消防車がすぐに来ました。", "ショウボウシャガスグニキマシタ。"),
+    ("救急車を呼んでください。", "キュウキュウシャヲヨンデクダサイ。"),
+    ("避難訓練を行いました。", "ヒナンクンレンヲオコナイマシタ。"),
+    ("怪我人を助けました。", "ケガニンヲタスケマシタ。"),
+    ("警報が鳴って驚いた。", "ケイホウガナッテオドロイタ。"),
+    ("ドアが開きました。", "ドアガアキマシタ。"),
+    ("本を開く。", "ホンヲヒラク。"),
 ]
 
 
