@@ -464,3 +464,32 @@ def test_frontend_fuzz_no_crash():
         n = random.randint(0, 30)
         s = "".join(random.choice(random.choice(pools)) for _ in range(n))
         g(s)  # must not raise
+
+
+def test_no_duplicate_lexicon_keys():
+    """Last-wins duplicate keys in the _LEXICON/_COMPOUND_PARTS dict
+    literals silently shadow earlier gold entries (regression: 23
+    probe-block entries once shadowed older ones); enforce uniqueness
+    at the source level."""
+    import ast
+    import collections
+    import voice100_tpu.text.g2p as g2p_module
+
+    tree = ast.parse(open(g2p_module.__file__).read())
+    for node in ast.walk(tree):
+        target = None
+        if isinstance(node, ast.Assign) and node.targets:
+            target = getattr(node.targets[0], "id", None)
+        elif isinstance(node, ast.AnnAssign):
+            target = getattr(node.target, "id", None)
+        if target in ("_LEXICON", "_COMPOUND_PARTS") and isinstance(
+            node.value, ast.Dict
+        ):
+            keys = []
+            for k in node.value.keys:
+                try:
+                    keys.append(ast.literal_eval(k))
+                except ValueError:
+                    pass
+            dup = [k for k, c in collections.Counter(keys).items() if c > 1]
+            assert not dup, (target, dup)

@@ -691,3 +691,32 @@ def test_newspaper_band_jukugo():
     for surface, want in cases.items():
         assert _read(reader, surface) == want, (
             surface, _read(reader, surface))
+
+
+def test_no_duplicate_reading_table_keys():
+    """A duplicate key in the dict literals silently drops the earlier
+    entry (last-wins): a conflicting re-addition would shadow a
+    correct reading with no test failure unless the word is in a gold
+    sentence. Enforce uniqueness at the source level."""
+    import ast
+    import collections
+    import voice100_tpu.text.japanese.readings as readings
+
+    tree = ast.parse(open(readings.__file__).read())
+    for node in ast.walk(tree):
+        target = None
+        if isinstance(node, ast.Assign) and node.targets:
+            target = getattr(node.targets[0], "id", None)
+        elif isinstance(node, ast.AnnAssign):
+            target = getattr(node.target, "id", None)
+        if target in ("_TABLE", "COMPOUNDS", "KUN_OKURI") and isinstance(
+            node.value, ast.Dict
+        ):
+            keys = []
+            for k in node.value.keys:
+                try:
+                    keys.append(ast.literal_eval(k))
+                except ValueError:
+                    pass
+            dup = [k for k, c in collections.Counter(keys).items() if c > 1]
+            assert not dup, (target, dup)
