@@ -691,6 +691,24 @@ _LEXICON: Dict[str, str] = {
     "coyote": "K AY0 OW1 T IY0", "karate": "K ER0 AA1 T IY0",
     "adobe": "AH0 D OW1 B IY0", "posse": "P AA1 S IY0",
     "sesame": "S EH1 S AH0 M IY0", "finale": "F IH0 N AE1 L IY0",
+    # money/law/time band (twenty-third probe): reduction-vowel pins
+    # (CMU uses AH0 where the rules emit IH0 and vice versa), silent-t
+    # mortgage, palatalized schedule, nn-blocked prefixes
+    "mortgage": "M AO1 R G AH0 JH", "lawyer": "L AO1 Y ER0",
+    "jury": "JH UH1 R IY0", "credit": "K R EH1 D AH0 T",
+    "debit": "D EH1 B IH0 T", "justice": "JH AH1 S T AH0 S",
+    "evidence": "EH1 V AH0 D AH0 N S",
+    "innocent": "IH1 N AH0 S AH0 N T",
+    "innocence": "IH1 N AH0 S AH0 N S",
+    "innovate": "IH1 N AH0 V EY2 T",
+    "innovation": "IH2 N AH0 V EY1 SH AH0 N",
+    "criminal": "K R IH1 M AH0 N AH0 L",
+    "decade": "D EH1 K EY0 D", "schedule": "S K EH1 JH UW0 L",
+    "annual": "AE1 N Y UW0 AH0 L", "casual": "K AE1 ZH AH0 W AH0 L",
+    "illegal": "IH2 L IY1 G AH0 L", "limit": "L IH1 M AH0 T",
+    "fatal": "F EY1 T AH0 L", "vital": "V AY1 T AH0 L",
+    "total": "T OW1 T AH0 L", "erase": "IH0 R EY1 S",
+    "disease": "D IH0 Z IY1 Z",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
