@@ -452,6 +452,36 @@ GOLD_SENTENCES = [
     ("警報が鳴って驚いた。", "ケイホウガナッテオドロイタ。"),
     ("ドアが開きました。", "ドアガアキマシタ。"),
     ("本を開く。", "ホンヲヒラク。"),
+    # round-3 weather/disaster + technology register (twenty-fourth
+    # out-of-gold probe: 9/12 blind before kanji-numeral counters
+    # (三十五度), 津波, and 懐 entries)
+    ("台風が近づいています。", "タイフウガチカヅイテイマス。"),
+    ("地震の時は机の下に隠れてください。",
+     "ジシンノトキワツクエノシタニカクレテクダサイ。"),
+    ("明日は雨が降るそうです。", "アシタワアメガフルソウデス。"),
+    ("気温が三十五度まで上がりました。",
+     "キオンガサンジュウゴドマデアガリマシタ。"),
+    ("津波警報が出ました。", "ツナミケイホウガデマシタ。"),
+    ("停電に備えて懐中電灯を用意する。",
+     "テイデンニソナエテカイチュウデントウヲヨウイスル。"),
+    ("インターネットで調べてみます。", "インターネットデシラベテミマス。"),
+    ("パスワードを忘れてしまいました。",
+     "パスワードヲワスレテシマイマシタ。"),
+    ("携帯電話の電池が切れそうです。",
+     "ケイタイデンワノデンチガキレソウデス。"),
+    ("新しいアプリを入れました。", "アタラシイアプリヲイレマシタ。"),
+    ("画面が突然消えた。", "ガメンガトツゼンキエタ。"),
+    ("雪で電車が遅れています。", "ユキデデンシャガオクレテイマス。"),
+    # kanji-numeral counter paradigms (ASCII twins already covered by
+    # the counter spot-suite): compound-at-counter splitting and the
+    # ordinal 目
+    ("九時に起きた。", "クジニオキタ。"),
+    ("三回目です。", "サンカイメデス。"),
+    ("四年前のこと。", "ヨネンマエノコト。"),
+    ("三時間かかる。", "サンジカンカカル。"),
+    ("一万二千円払った。", "イチマンニセンエンハラッタ。"),
+    ("三日目の朝。", "ミッカメノアサ。"),
+    ("二人で行く。", "フタリデイク。"),
 ]
 
 

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from typing import Optional
 
-__all__ = ["read_number", "read_with_counter", "COUNTERS"]
+__all__ = ["read_number", "read_with_counter", "COUNTERS",
+           "counter_reading", "kanji_numeral_span",
+           "kanji_numeral_to_int"]
 
 _DIGITS = ["ゼロ", "イチ", "ニ", "サン", "ヨン", "ゴ",
            "ロク", "ナナ", "ハチ", "キュウ"]
@@ -111,6 +113,56 @@ def _join_geminate(num: str, counter: str) -> str:
             return num + "ボ" + counter[1:]
         return num + _P_ROW[head] + counter[1:]
     return num + counter
+
+
+def counter_reading(counter: str) -> Optional[str]:
+    """Canonical (euphony-free) reading of a counter kanji, used to
+    split compounds that start with a counter (年前=ネンマエ after a
+    numeral reads as numeral+ネン, then マエ)."""
+    special = {"月": "ガツ", "日": "ニチ", "時": "ジ", "人": "ニン"}
+    if counter in special:
+        return special[counter]
+    return _GEMINATING.get(counter) or _PLAIN.get(counter)
+
+
+# kanji numerals: positional strings (一九九五) and magnitude strings
+# (三十五, 百二十, 一万二千) both occur before counters
+_KANJI_DIGIT = {"〇": 0, "零": 0, "一": 1, "二": 2, "三": 3, "四": 4,
+                "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+_KANJI_MAG = {"十": 10, "百": 100, "千": 1000}
+_KANJI_NUMERALS = set(_KANJI_DIGIT) | set(_KANJI_MAG) | {"万"}
+
+
+def kanji_numeral_span(text: str, i: int) -> int:
+    """Length of the kanji-numeral run starting at ``i`` (0 if none)."""
+    j = i
+    while j < len(text) and text[j] in _KANJI_NUMERALS:
+        j += 1
+    return j - i
+
+
+def kanji_numeral_to_int(s: str) -> Optional[int]:
+    """Value of a kanji numeral string, or None if it isn't one.
+
+    All-digit strings read positionally (一九九五 = 1995); strings with
+    magnitude kanji read multiplicatively (三十五 = 35, 一万二千 =
+    12000, bare 十/百/千 = their magnitude).
+    """
+    if not s or any(c not in _KANJI_NUMERALS for c in s):
+        return None
+    if all(c in _KANJI_DIGIT for c in s):
+        return int("".join(str(_KANJI_DIGIT[c]) for c in s))
+    total = cur = man = 0
+    for c in s:
+        if c in _KANJI_DIGIT:
+            cur = cur * 10 + _KANJI_DIGIT[c]
+        elif c in _KANJI_MAG:
+            total += (cur or 1) * _KANJI_MAG[c]
+            cur = 0
+        else:  # 万
+            man += ((total + cur) or 1) * 10_000
+            total = cur = 0
+    return man + total + cur
 
 
 def read_with_counter(digits: str, counter: str) -> Optional[str]:

@@ -21,7 +21,9 @@ import re
 from typing import List, Tuple
 
 from .kana import hira2kata
-from .numbers import COUNTERS, read_number, read_with_counter
+from .numbers import (COUNTERS, counter_reading, kanji_numeral_span,
+                      kanji_numeral_to_int, read_number,
+                      read_with_counter)
 from .readings import COMPOUNDS, KUN, KUN_OKURI, ON
 
 __all__ = ["text2kata"]
@@ -176,17 +178,14 @@ class LexiconReader:
             if m:
                 digits = m.group(0)
                 j = m.end()
-                # digit + counter kanji (2026年, 3時, 30分) — unless a
-                # compound starts at the counter (3時間 = サン+ジカン
-                # via the 時間 compound)
-                if (
-                    j < n and text[j] in COUNTERS
-                    and self._match_compound(text, j) is None
-                ):
-                    reading = read_with_counter(digits, text[j])
-                    if reading is not None:
-                        out.append((digits + text[j], reading))
-                        i = j + 1
+                # digit + counter kanji (2026年, 3時, 30分); compounds
+                # at the counter split after it when counter-initial
+                # (4年前 = ヨネン+マエ) via _emit_counter
+                if j < n and text[j] in COUNTERS and digits.isdigit():
+                    consumed = self._emit_counter(
+                        text, i, j - i, int(digits), out)
+                    if consumed:
+                        i += consumed
                         continue
                 out.append((digits, read_number(digits)))
                 i = j
@@ -206,6 +205,40 @@ class LexiconReader:
             if text.startswith(surface, i):
                 return surface, reading
         return None
+
+    def _emit_counter(self, text: str, pos: int, span: int, val,
+                      out: List[Tuple[str, str]]) -> int:
+        """Emit kanji-numeral + counter readings into ``out``; returns
+        the number of characters consumed (0 = branch doesn't apply).
+
+        A compound starting at the counter kanji splits after the
+        counter when its reading begins with the counter's own
+        (四年前 = ヨネン + マエ, 三時間 = サンジ + カン); otherwise it
+        blocks the counter branch and the normal compound path runs.
+        The ordinal suffix 目 directly after a counter reads メ
+        (三回目 = サンカイメ, jukugo ON would give モク)."""
+        if val is None:
+            return 0
+        counter = text[pos + span]
+        reading = read_with_counter(str(val), counter)
+        if reading is None:
+            return 0
+        hit = self._match_compound(text, pos + span)
+        if hit is not None:
+            cr = counter_reading(counter)
+            if not (cr and len(hit[0]) > 1 and hit[1].startswith(cr)):
+                return 0
+            out.append((text[pos:pos + span + 1], reading))
+            out.append((hit[0][1:], hit[1][len(cr):]))
+            consumed = span + len(hit[0])
+        else:
+            out.append((text[pos:pos + span + 1], reading))
+            consumed = span + 1
+        j = pos + consumed
+        if j < len(text) and text[j] == "目":
+            out.append(("目", "メ"))
+            consumed += 1
+        return consumed
 
     def _kanji_run(self, text: str, i: int, end: int,
                    out: List[Tuple[str, str]]) -> int:
@@ -242,7 +275,39 @@ class LexiconReader:
                 seg_start = pos
                 prev_on = -1
                 continue
+            # kanji numeral(s) + counter kanji read via the counter
+            # paradigms (三十五度=サンジュウゴド, 九時=クジ), like their
+            # ASCII-digit twins; bare 十分 stays with the earlier
+            # special case / ジュウブン compound (adverb default)
+            span = kanji_numeral_span(text, pos)
+            if (
+                span and pos + span < end
+                and text[pos + span] in COUNTERS
+                and not (text[pos + span] == "分"
+                         and text[pos:pos + span] == "十")
+            ):
+                val = kanji_numeral_to_int(text[pos:pos + span])
+                consumed = self._emit_counter(text, pos, span, val, out)
+                if consumed:
+                    pos += consumed
+                    seg_start = pos
+                    prev_on = -1
+                    continue
             ch = text[pos]
+            if (
+                ch == "目" and pos - 2 >= i
+                and text[pos - 1] in COUNTERS
+                and (text[pos - 2].isdigit()
+                     or kanji_numeral_span(text, pos - 2))
+            ):
+                # ordinal 目 after numeral+counter reads メ even when
+                # the pair came via a compound (三日目 = ミッカ+メ);
+                # counter+目 jukugo without a numeral keep ON (名目)
+                out.append((ch, "メ"))
+                pos += 1
+                seg_start = pos
+                prev_on = -1
+                continue
             if ch == "々" and out and out[-1][1]:
                 # iteration mark: repeat the previous reading with the
                 # common voicing left alone (人々 is in COMPOUNDS)
