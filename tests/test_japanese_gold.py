@@ -482,6 +482,29 @@ GOLD_SENTENCES = [
     ("一万二千円払った。", "イチマンニセンエンハラッタ。"),
     ("三日目の朝。", "ミッカメノアサ。"),
     ("二人で行く。", "フタリデイク。"),
+    # round-3 travel / sightseeing register (twenty-fifth out-of-gold
+    # probe: 9/12 blind before the 菓/望/景/眺 entries and the
+    # 土産/景色 jukujikun, 地元 ON+kun, 窓側 kun-kun-rendaku compounds)
+    ("空港からホテルまでタクシーで行きました。",
+     "クウコウカラホテルマデタクシーデイキマシタ。"),
+    ("この道をまっすぐ進んで、二つ目の角を右に曲がってください。",
+     "コノミチヲマッスグススンデ、フタツメノカドヲミギニマガッテクダサイ。"),
+    ("切符売り場はどこですか。", "キップウリバワドコデスカ。"),
+    ("荷物を預けてから観光に出かけます。",
+     "ニモツヲアズケテカラカンコウニデカケマス。"),
+    ("地図を見ながら美術館を探しました。",
+     "チズヲミナガラビジュツカンヲサガシマシタ。"),
+    ("温泉に入って疲れを取りました。", "オンセンニハイッテツカレヲトリマシタ。"),
+    ("お土産に地元のお菓子を買いました。",
+     "オミヤゲニジモトノオカシヲカイマシタ。"),
+    ("船で島を渡りました。", "フネデシマヲワタリマシタ。"),
+    ("窓側の席を予約しました。", "マドガワノセキヲヨヤクシマシタ。"),
+    ("出発の時刻を確認してください。",
+     "シュッパツノジコクヲカクニンシテクダサイ。"),
+    ("道に迷ったので交番で聞きました。",
+     "ミチニマヨッタノデコウバンデキキマシタ。"),
+    ("展望台から街の景色を眺めました。",
+     "テンボウダイカラマチノケシキヲナガメマシタ。"),
 ]
 
 
