@@ -709,6 +709,37 @@ _LEXICON: Dict[str, str] = {
     "fatal": "F EY1 T AH0 L", "vital": "V AY1 T AH0 L",
     "total": "T OW1 T AH0 L", "erase": "IH0 R EY1 S",
     "disease": "D IH0 Z IY1 Z",
+    # occupations/workplace band (twenty-fourth probe, 12/24 blind
+    # before the -geon/-itor/-line/final-ice/silent-mb-derivative
+    # rules and the geminate+liquid prefix destress)
+    "plumber": "P L AH1 M ER0",
+    "carpenter": "K AA1 R P AH0 N T ER0",
+    "electrician": "IH0 L EH0 K T R IH1 SH AH0 N",
+    "surgeon": "S ER1 JH AH0 N",
+    "accountant": "AH0 K AW1 N T AH0 N T",
+    "janitor": "JH AE1 N AH0 T ER0",
+    "receptionist": "R IH0 S EH1 P SH AH0 N IH0 S T",
+    "colleague": "K AA1 L IY0 G",
+    "interview": "IH1 N T ER0 V Y UW2",
+    "deadline": "D EH1 D L AY2 N",
+    "promotion": "P R AH0 M OW1 SH AH0 N",
+    "employee": "EH2 M P L OY1 IY0",
+    "employer": "EH0 M P L OY1 ER0",
+    "wage": "W EY1 JH",
+    "overtime": "OW1 V ER0 T AY2 M",
+    "retirement": "R IH0 T AY1 ER0 M AH0 N T",
+    "salesman": "S EY1 L Z M AH0 N",
+    "apprentice": "AH0 P R EH1 N T AH0 S",
+    # neighbor pins from the same band's rule work
+    "advice": "AH0 D V AY1 S", "device": "D IH0 V AY1 S",
+    "discipline": "D IH1 S AH0 P L AH0 N",
+    "monitor": "M AA1 N AH0 T ER0", "editor": "EH1 D AH0 T ER0",
+    "practice": "P R AE1 K T AH0 S", "service": "S ER1 V AH0 S",
+    "pigeon": "P IH1 JH AH0 N", "bomber": "B AA1 M ER0",
+    "headline": "HH EH1 D L AY2 N",
+    "gasoline": "G AE1 S AH0 L IY2 N",
+    "attract": "AH0 T R AE1 K T", "approve": "AH0 P R UW1 V",
+    "decline": "D IH0 K L AY1 N",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1273,8 +1304,12 @@ class G2P:
                 return False
             if len(run) == 1:
                 return True
-            if run[0] == run[1] and len(run) == 2:
-                # geminate spelling = single onset (attack, appear)
+            if run[0] == run[1] and (
+                len(run) == 2 or run[1:] in cls._LEGAL_ONSETS
+            ):
+                # geminate spelling = single onset (attack, appear),
+                # incl. geminate+liquid clusters (apprentice, attract,
+                # approve, aggressive, address)
                 return True
             return run in cls._LEGAL_ONSETS
         for pfx in cls._UNSTRESSED_PREFIXES:
