@@ -505,6 +505,26 @@ GOLD_SENTENCES = [
      "ミチニマヨッタノデコウバンデキキマシタ。"),
     ("展望台から街の景色を眺めました。",
      "テンボウダイカラマチノケシキヲナガメマシタ。"),
+    # round-3 shopping / clothing register (twenty-sixth out-of-gold
+    # probe: 8/12 blind before the 額/季/節/割 entries, the
+    # 半額/色違い/割引/大売り出し compounds, and the 足 counter
+    # paradigm with its サンゾク rendaku)
+    ("このシャツを試着してもいいですか。", "コノシャツヲシチャクシテモイイデスカ。"),
+    ("値段が高すぎるので、安い物を探します。",
+     "ネダンガタカスギルノデ、ヤスイモノヲサガシマス。"),
+    ("全品半額の大売り出しです。", "ゼンピンハンガクノオオウリダシデス。"),
+    ("このズボンは少し短いです。", "コノズボンワスコシミジカイデス。"),
+    ("色違いの靴下を三足ください。",
+     "イロチガイノクツシタヲサンゾククダサイ。"),
+    ("現金で払いますか、カードで払いますか。",
+     "ゲンキンデハライマスカ、カードデハライマスカ。"),
+    ("袋に入れてください。", "フクロニイレテクダサイ。"),
+    ("返品はレシートが必要です。", "ヘンピンワレシートガヒツヨウデス。"),
+    ("店員さんにサイズを聞きました。", "テンインサンニサイズヲキキマシタ。"),
+    ("季節の商品が並んでいます。", "キセツノショウヒンガナランデイマス。"),
+    ("割引券を使って買い物をしました。",
+     "ワリビキケンヲツカッテカイモノヲシマシタ。"),
+    ("品質がいいので長く使えます。", "ヒンシツガイイノデナガクツカエマス。"),
 ]
 
 

@@ -72,7 +72,8 @@ def read_number(digits: str) -> str:
 # geminates into its head consonant
 _GEMINATING = {"回": "カイ", "個": "コ", "本": "ホン", "匹": "ヒキ",
                "歳": "サイ", "階": "カイ", "杯": "ハイ", "冊": "サツ",
-               "分": "フン", "秒": "ビョウ", "軒": "ケン", "頭": "トウ"}
+               "分": "フン", "秒": "ビョウ", "軒": "ケン", "頭": "トウ",
+               "足": "ソク"}
 _PLAIN = {"年": "ネン", "円": "エン", "番": "バン", "枚": "マイ",
           "台": "ダイ", "度": "ド", "点": "テン", "名": "メイ",
           "語": "ゴ", "件": "ケン", "倍": "バイ", "歩": "ホ"}
@@ -196,6 +197,9 @@ def read_with_counter(digits: str, counter: str) -> Optional[str]:
         if counter == "階" and num.endswith("ン"):
             # lexical rendaku: 3階 = サンガイ (回 stays サンカイ)
             return num + "ガイ"
+        if counter == "足" and num.endswith("ン"):
+            # lexical rendaku: 3足 = サンゾク (pairs of footwear)
+            return num + "ゾク"
         return _join_geminate(num, _GEMINATING[counter])
     if counter in _PLAIN:
         num = read_number(digits)
