@@ -740,6 +740,25 @@ _LEXICON: Dict[str, str] = {
     "gasoline": "G AE1 S AH0 L IY2 N",
     "attract": "AH0 T R AE1 K T", "approve": "AH0 P R UW1 V",
     "decline": "D IH0 K L AY1 N",
+    # vehicles/transportation band (twenty-fifth probe, 17/24 blind
+    # before the cy-cle/-rian/license/motor/commute rules)
+    "motorcycle": "M OW1 T ER0 S AY2 K AH0 L",
+    "motor": "M OW1 T ER0", "highway": "HH AY1 W EY2",
+    "license": "L AY1 S AH0 N S",
+    "diesel": "D IY1 Z AH0 L", "mechanic": "M AH0 K AE1 N IH0 K",
+    "brake": "B R EY1 K", "clutch": "K L AH1 CH",
+    "mileage": "M AY1 L AH0 JH",
+    "passenger": "P AE1 S AH0 N JH ER0",
+    "pedestrian": "P AH0 D EH1 S T R IY0 AH0 N",
+    "intersection": "IH2 N T ER0 S EH1 K SH AH0 N",
+    "roundabout": "R AW1 N D AH0 B AW2 T",
+    "accelerate": "AH0 K S EH1 L ER0 EY2 T",
+    "tunnel": "T AH1 N AH0 L",
+    "freight": "F R EY1 T", "caution": "K AO1 SH AH0 N",
+    "detour": "D IY1 T UH0 R", "commute": "K AH0 M Y UW1 T",
+    "commuter": "K AH0 M Y UW1 T ER0",
+    "recycle": "R IY0 S AY1 K AH0 L",
+    "cyclone": "S AY1 K L OW2 N",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
