@@ -525,6 +525,24 @@ GOLD_SENTENCES = [
     ("割引券を使って買い物をしました。",
      "ワリビキケンヲツカッテカイモノヲシマシタ。"),
     ("品質がいいので長く使えます。", "ヒンシツガイイノデナガクツカエマス。"),
+    # round-3 restaurant / food-ordering register (twenty-seventh
+    # out-of-gold probe: 7/12 blind before 何+copula=ナン, 空く=アク,
+    # the 腐 entry, and the 焼き魚/昼御飯/蕎麦 compounds)
+    ("この店の予約をお願いします。", "コノミセノヨヤクヲオネガイシマス。"),
+    ("おすすめの料理は何ですか。", "オススメノリョウリワナンデスカ。"),
+    ("注文を変更してもいいですか。", "チュウモンヲヘンコウシテモイイデスカ。"),
+    ("焼き魚定食を二つください。", "ヤキザカナテイショクヲフタツクダサイ。"),
+    ("辛い物が苦手です。", "カライモノガニガテデス。"),
+    ("お会計は別々にお願いします。", "オカイケイワベツベツニオネガイシマス。"),
+    ("飲み物は後で持ってきてください。",
+     "ノミモノワアトデモッテキテクダサイ。"),
+    ("この豆腐料理は豆乳から作られています。",
+     "コノトウフリョウリワトウニュウカラツクラレテイマス。"),
+    ("席が空くまで三十分待ちました。",
+     "セキガアクマデサンジュップンマチマシタ。"),
+    ("熱いお茶と冷たい水をください。", "アツイオチャトツメタイミズヲクダサイ。"),
+    ("昼御飯に蕎麦を食べました。", "ヒルゴハンニソバヲタベマシタ。"),
+    ("塩と胡椒を少々加えます。", "シオトコショウヲショウショウクワエマス。"),
 ]
 
 
