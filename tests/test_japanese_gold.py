@@ -543,6 +543,27 @@ GOLD_SENTENCES = [
     ("熱いお茶と冷たい水をください。", "アツイオチャトツメタイミズヲクダサイ。"),
     ("昼御飯に蕎麦を食べました。", "ヒルゴハンニソバヲタベマシタ。"),
     ("塩と胡椒を少々加えます。", "シオトコショウヲショウショウクワエマス。"),
+    # round-3 moving-house / directions register (twenty-eighth
+    # out-of-gold probe: 6/12 blind before 家賃/大家/手前 compounds,
+    # the 詰/具/荷 entries, and the 着く=ツ vs 着る=キ okurigana split)
+    ("新しい部屋に引っ越しました。", "アタラシイヘヤニヒッコシマシタ。"),
+    ("家賃は月に八万円です。", "ヤチンワツキニハチマンエンデス。"),
+    ("荷物を箱に詰めて運びます。", "ニモツヲハコニツメテハコビマス。"),
+    ("二階の窓から海が見えます。", "ニカイノマドカラウミガミエマス。"),
+    ("家具を組み立てるのに時間がかかりました。",
+     "カグヲクミタテルノニジカンガカカリマシタ。"),
+    ("大家さんに鍵を返しました。", "オオヤサンニカギヲカエシマシタ。"),
+    ("交差点を右に曲がってください。", "コウサテンヲミギニマガッテクダサイ。"),
+    ("信号の手前で止まります。", "シンゴウノテマエデトマリマス。"),
+    ("この道をまっすぐ行くと駅に着きます。",
+     "コノミチヲマッスグイクトエキニツキマス。"),
+    ("橋を渡って左側の建物です。", "ハシヲワタッテヒダリガワノタテモノデス。"),
+    ("地図を見ながら歩きました。", "チズヲミナガラアルキマシタ。"),
+    ("角の店の前で待っています。", "カドノミセノマエデマッテイマス。"),
+    ("新しい服を着ています。", "アタラシイフクヲキテイマス。"),
+    ("九時に空港に着いた。", "クジニクウコウニツイタ。"),
+    ("体の具合が悪いです。", "カラダノグアイガワルイデス。"),
+    ("道具を使って缶詰を開けました。", "ドウグヲツカッテカンヅメヲアケマシタ。"),
 ]
 
 

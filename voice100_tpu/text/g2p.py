@@ -537,7 +537,7 @@ _LEXICON: Dict[str, str] = {
     "palace": "P AE1 L AH0 S", "village": "V IH1 L AH0 JH",
     "image": "IH1 M AH0 JH", "damage": "D AE1 M AH0 JH",
     "marriage": "M EH1 R IH0 JH",
-    "carriage": "K AE1 R IH0 JH", "knowledge": "N AA1 L AH0 JH",
+    "carriage": "K AE1 R IH0 JH", "knowledge": "N AA1 L IH0 JH",
     "college": "K AA1 L IH0 JH", "orange": "AO1 R AH0 N JH",
     "porridge": "P AO1 R IH0 JH", "message": "M EH1 S AH0 JH",
     "passage": "P AE1 S AH0 JH", "garbage": "G AA1 R B IH0 JH",
@@ -759,6 +759,50 @@ _LEXICON: Dict[str, str] = {
     "commuter": "K AH0 M Y UW1 T ER0",
     "recycle": "R IY0 S AY1 K AH0 L",
     "cyclone": "S AY1 K L OW2 N",
+    # science/education band (twenty-sixth probe, 15/24 blind before
+    # the al-/-sis/-iment/-cil/home-/-less/e+r-destress rules)
+    "mathematics": "M AE2 TH AH0 M AE1 T IH0 K S",
+    "geometry": "JH IY0 AA1 M AH0 T R IY0",
+    "algebra": "AE1 L JH AH0 B R AH0",
+    "laboratory": "L AE1 B R AH0 T AO2 R IY0",
+    "experiment": "IH0 K S P EH1 R AH0 M AH0 N T",
+    "hypothesis": "HH AY0 P AA1 TH AH0 S AH0 S",
+    "molecule": "M AA1 L AH0 K Y UW2 L",
+    "theory": "TH IY1 ER0 IY0",
+    "university": "Y UW2 N AH0 V ER1 S AH0 T IY0",
+    "lecture": "L EH1 K CH ER0",
+    "homework": "HH OW1 M W ER2 K",
+    "pencil": "P EH1 N S AH0 L",
+    "eraser": "IH0 R EY1 S ER0",
+    "analysis": "AH0 N AE1 L AH0 S AH0 S",
+    "basis": "B EY1 S AH0 S",
+    "crisis": "K R AY1 S AH0 S",
+    "diagnosis": "D AY2 AH0 G N OW1 S AH0 S",
+    "emphasis": "EH1 M F AH0 S IH0 S",
+    "thesis": "TH IY1 S IH0 S",
+    "parenthesis": "P ER0 EH1 N TH AH0 S AH0 S",
+    "oasis": "OW0 EY1 S AH0 S",
+    "erect": "IH0 R EH1 K T", "erode": "IH0 R OW1 D",
+    "erupt": "IH0 R AH1 P T",
+    "erosion": "IH0 R OW1 ZH AH0 N",
+    "sediment": "S EH1 D AH0 M AH0 N T",
+    "compliment": "K AA1 M P L AH0 M AH0 N T",
+    "regiment": "R EH1 JH AH0 M AH0 N T",
+    "council": "K AW1 N S AH0 L",
+    "utensil": "Y UW0 T EH1 N S AH0 L",
+    "alcohol": "AE1 L K AH0 HH AA2 L",
+    "alphabet": "AE1 L F AH0 B EH2 T",
+    "album": "AE1 L B AH0 M",
+    "altitude": "AE1 L T AH0 T UW2 D",
+    "always": "AO1 L W EY2 Z",
+    "homesick": "HH OW1 M S IH2 K",
+    "hometown": "HH OW1 M T AW2 N",
+    "homeless": "HH OW1 M L AH0 S",
+    "careless": "K EH1 R L AH0 S",
+    "hopeless": "HH OW1 P L AH0 S",
+    "homepage": "HH OW1 M P EY2 JH",
+    "region": "R IY1 JH AH0 N",
+    "useless": "Y UW1 S L AH0 S",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1306,6 +1350,13 @@ class G2P:
         vowels = "aeiouy"
         if word.startswith("ex") and len(word) >= 4:
             return True
+        # e + single r + vowel: the e- is an unstressed prefix
+        # syllable (erect, erode, erupt, erosion); err- (error,
+        # errand) fails the vowel check and short era/Erie the length
+        # check — twenty-sixth probe band
+        if (word.startswith("er") and len(word) >= 5
+                and word[2] in vowels):
+            return True
         # to- destresses only before the d/g/m/n stems (today, together,
         # tomorrow, tonight) — a bare "to" + w/t (tower, total) keeps
         # first-syllable stress
@@ -1419,8 +1470,14 @@ class G2P:
         if not pinned:
             # heuristic stress ran; reduce around it. Rule-pinned
             # words keep their exact vowels — the rule author wrote
-            # CMUdict forms.
-            out = cls._reduce_unstressed(out, word)
+            # CMUdict forms. Individual vowels a rule emitted WITH a
+            # digit (subject's JH EH0 K T) are likewise exact and must
+            # not reduce even when the rest of the word is heuristic.
+            keep = frozenset(
+                i for i, p in enumerate(phones)
+                if p and p[-1] in "012"
+            )
+            out = cls._reduce_unstressed(out, word, keep=keep)
         # indices the secondary pass must not promote: vowels whose
         # digit a rule pinned explicitly, and schwas that came from AX
         # (a schwa never takes secondary stress: communication's first
@@ -1536,7 +1593,8 @@ class G2P:
     _REDUCIBLE = {"AE", "AA", "EH", "AO", "EY"}
 
     @classmethod
-    def _reduce_unstressed(cls, phones: List[str], word: str = "") -> List[str]:
+    def _reduce_unstressed(cls, phones: List[str], word: str = "",
+                           keep: frozenset = frozenset()) -> List[str]:
         """Unstressed-vowel reduction: a reducible vowel in the syllable
         adjacent to the primary stress reduces to schwa (English stress
         alternation puts secondary stress two syllables away, so the
@@ -1552,6 +1610,7 @@ class G2P:
             and phones
             and phones[-1].endswith("0")
             and phones[-1][:-1] in ("AE", "AA", "EY")
+            and (len(phones) - 1) not in keep
         ):
             phones = phones[:-1] + ["AH0"]
         vowel_idx = [
@@ -1572,6 +1631,7 @@ class G2P:
             if (
                 p.endswith("0")
                 and p[:-1] in cls._REDUCIBLE
+                and i not in keep
                 and i != len(phones) - 1
                 and i != last_keep
                 and abs(k - prim_syl) == 1
