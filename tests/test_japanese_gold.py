@@ -564,6 +564,25 @@ GOLD_SENTENCES = [
     ("九時に空港に着いた。", "クジニクウコウニツイタ。"),
     ("体の具合が悪いです。", "カラダノグアイガワルイデス。"),
     ("道具を使って缶詰を開けました。", "ドウグヲツカッテカンヅメヲアケマシタ。"),
+    # round-3 post-office / delivery / phone register (twenty-ninth
+    # out-of-gold probe: 5/12 blind before the 配/封/筒 entries and the
+    # 小包/留守/葉書/伝言 compounds)
+    ("郵便局で切手を買いました。", "ユウビンキョクデキッテヲカイマシタ。"),
+    ("小包を送りたいのですが。", "コヅツミヲオクリタイノデスガ。"),
+    ("宅配便が午後に届きます。", "タクハイビンガゴゴニトドキマス。"),
+    ("封筒に住所を書いてください。", "フウトウニジュウショヲカイテクダサイ。"),
+    ("留守番電話にメッセージを残しました。",
+     "ルスバンデンワニメッセージヲノコシマシタ。"),
+    ("電話番号を間違えました。", "デンワバンゴウヲマチガエマシタ。"),
+    ("葉書を三枚ください。", "ハガキヲサンマイクダサイ。"),
+    ("速達でお願いします。", "ソクタツデオネガイシマス。"),
+    ("受付で名前を呼ばれました。", "ウケツケデナマエヲヨバレマシタ。"),
+    ("伝言をお願いできますか。", "デンゴンヲオネガイデキマスカ。"),
+    ("配達の時間を変更したいです。", "ハイタツノジカンヲヘンコウシタイデス。"),
+    ("印鑑を押してください。", "インカンヲオシテクダサイ。"),
+    ("友達にお菓子を配りました。", "トモダチニオカシヲクバリマシタ。"),
+    ("竹の筒に水を入れました。", "タケノツツニミズヲイレマシタ。"),
+    ("手紙を封筒に入れて出しました。", "テガミヲフウトウニイレテダシマシタ。"),
 ]
 
 

@@ -803,6 +803,33 @@ _LEXICON: Dict[str, str] = {
     "homepage": "HH OW1 M P EY2 JH",
     "region": "R IY1 JH AH0 N",
     "useless": "Y UW1 S L AH0 S",
+    # medicine/health band (twenty-seventh probe, 8/18 blind before
+    # the -ache/-jur-/-ulance rules and the destress exceptions)
+    "surgery": "S ER1 JH ER0 IY0",
+    "headache": "HH EH1 D EY2 K",
+    "toothache": "T UW1 TH EY2 K",
+    "fever": "F IY1 V ER0",
+    "injury": "IH1 N JH ER0 IY0",
+    "bandage": "B AE1 N D AH0 JH",
+    "vaccine": "V AE0 K S IY1 N",
+    "pharmacy": "F AA1 R M AH0 S IY0",
+    "prescription": "P R AH0 S K R IH1 P SH AH0 N",
+    "allergy": "AE1 L ER0 JH IY0",
+    "symptom": "S IH1 M P T AH0 M",
+    "nurse": "N ER1 S",
+    "ambulance": "AE1 M B Y AH0 L AH0 N S",
+    "emergency": "IH0 M ER1 JH AH0 N S IY0",
+    "infection": "IH0 N F EH1 K SH AH0 N",
+    "vitamin": "V AY1 T AH0 M AH0 N",
+    "appetite": "AE1 P AH0 T AY2 T",
+    "injection": "IH0 N JH EH1 K SH AH0 N",
+    "therapy": "TH EH1 R AH0 P IY0",
+    "therapist": "TH EH1 R AH0 P IH0 S T",
+    "alley": "AE1 L IY0",
+    "distance": "D IH1 S T AH0 N S",
+    "emerge": "IH0 M ER1 JH",
+    "conjure": "K AA1 N JH ER0",
+    "perjury": "P ER1 JH ER0 IY0",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1306,7 +1333,8 @@ class G2P:
     _SECOND_STRESS_WORDS = frozenset(
         """into without although throughout sometimes therein whereas
         whereby wherein herself himself itself myself yourself
-        themselves ourselves idea ideas""".split()
+        themselves ourselves idea ideas
+        emerge emerged emerges emergency emergencies""".split()
     )
 
     # Consonant sequences that can open an English syllable.  A
@@ -1338,6 +1366,9 @@ class G2P:
         regularly depot depots decade decades demon demons
         exodus exorcist exorcists exoskeleton exoskeletons
         supper suppers
+        allergy allergies appetite appetites appetizer appetizers
+        injury injuries injure injured injures perjury perjuries
+        distance distances alley alleys
         """.split()
     )
 
@@ -1439,9 +1470,8 @@ class G2P:
                 pos -= 1
         elif idxs and cls._final_stressed(word):
             target = idxs[-1]
-        elif len(idxs) >= 2 and word in cls._SECOND_STRESS_WORDS:
-            target = idxs[1]
-        elif len(idxs) >= 2 and cls._prefix_destresses(word):
+        elif len(idxs) >= 2 and (word in cls._SECOND_STRESS_WORDS
+                                 or cls._prefix_destresses(word)):
             target = idxs[1]
             # the destressed prefix "a" is always schwa (about, ago);
             # destressed e-prefixes raise to IH (bIHlieve, rIHturn,
@@ -1449,7 +1479,11 @@ class G2P:
             if word[0] == "a":
                 phones = list(phones)
                 phones[idxs[0]] = "AX"
-            elif word[1] == "e" and phones[idxs[0]] == "EH":
+            elif ((word[1] == "e" or word[0] == "e")
+                  and phones[idxs[0]] == "EH"):
+                # destressed e-prefixes raise to IH whether the e is
+                # the prefix vowel itself (emergency) or follows an
+                # onset consonant (believe, return)
                 phones = list(phones)
                 phones[idxs[0]] = "IH"
         out: List[str] = []
