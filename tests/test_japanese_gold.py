@@ -583,6 +583,24 @@ GOLD_SENTENCES = [
     ("友達にお菓子を配りました。", "トモダチニオカシヲクバリマシタ。"),
     ("竹の筒に水を入れました。", "タケノツツニミズヲイレマシタ。"),
     ("手紙を封筒に入れて出しました。", "テガミヲフウトウニイレテダシマシタ。"),
+    # round-3 school-life / exams register (thirtieth out-of-gold
+    # probe: 11/12 blind; only the 替 entry was missing)
+    ("来月、入学試験があります。", "ライゲツ、ニュウガクシケンガアリマス。"),
+    ("合格発表は金曜日です。", "ゴウカクハッピョウワキンヨウビデス。"),
+    ("息子は算数が得意です。", "ムスコワサンスウガトクイデス。"),
+    ("宿題を忘れて先生に叱られました。",
+     "シュクダイヲワスレテセンセイニシカラレマシタ。"),
+    ("黒板の字が見えません。", "コクバンノジガミエマセン。"),
+    ("卒業式で歌を歌いました。", "ソツギョウシキデウタヲウタイマシタ。"),
+    ("試験の結果が心配です。", "シケンノケッカガシンパイデス。"),
+    ("鉛筆と消しゴムを忘れました。", "エンピツトケシゴムヲワスレマシタ。"),
+    ("休み時間に友達と遊びました。", "ヤスミジカンニトモダチトアソビマシタ。"),
+    ("制服を着て学校に行きます。", "セイフクヲキテガッコウニイキマス。"),
+    ("辞書で言葉の意味を調べました。", "ジショデコトバノイミヲシラベマシタ。"),
+    ("教室の窓を開けて空気を入れ替えました。",
+     "キョウシツノマドヲアケテクウキヲイレカエマシタ。"),
+    ("銀行で両替をしました。", "ギンコウデリョウガエヲシマシタ。"),
+    ("服を着替えてから出かけます。", "フクヲキガエテカラデカケマス。"),
 ]
 
 

@@ -830,6 +830,22 @@ _LEXICON: Dict[str, str] = {
     "emerge": "IH0 M ER1 JH",
     "conjure": "K AA1 N JH ER0",
     "perjury": "P ER1 JH ER0 IY0",
+    # emotions/personality band (twenty-eighth probe, 9/12 blind
+    # before the -ageous/-cere/-ierce rules)
+    "furious": "F Y UH1 R IY0 AH0 S",
+    "selfish": "S EH1 L F IH0 SH",
+    "stubborn": "S T AH1 B ER0 N",
+    "humble": "HH AH1 M B AH0 L",
+    "cheerful": "CH IH1 R F AH0 L",
+    "miserable": "M IH1 Z ER0 AH0 B AH0 L",
+    "gloomy": "G L UW1 M IY0",
+    "courageous": "K ER0 EY1 JH AH0 S",
+    "sincere": "S IH0 N S IH1 R",
+    "loyal": "L OY1 AH0 L",
+    "gentle": "JH EH1 N T AH0 L",
+    "fierce": "F IH1 R S",
+    "pierce": "P IH1 R S",
+    "outrageous": "AW0 T R EY1 JH AH0 S",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
