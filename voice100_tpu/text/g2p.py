@@ -846,6 +846,24 @@ _LEXICON: Dict[str, str] = {
     "fierce": "F IH1 R S",
     "pierce": "P IH1 R S",
     "outrageous": "AW0 T R EY1 JH AH0 S",
+    # technology/internet band (twenty-ninth probe, 7/14 blind before
+    # the password/wire/update/browse/-enna fixes)
+    "website": "W EH1 B S AY2 T",
+    "download": "D AW1 N L OW2 D",
+    "upload": "AH1 P L OW2 D",
+    "password": "P AE1 S W ER2 D",
+    "screen": "S K R IY1 N",
+    "battery": "B AE1 T ER0 IY0",
+    "charger": "CH AA1 R JH ER0",
+    "wireless": "W AY1 R L AH0 S",
+    "folder": "F OW1 L D ER0",
+    "virus": "V AY1 R AH0 S",
+    "update": "AH1 P D EY2 T",
+    "digital": "D IH1 JH AH0 T AH0 L",
+    "browser": "B R AW1 Z ER0",
+    "bluetooth": "B L UW1 T UW2 TH",
+    "antenna": "AE0 N T EH1 N AH0",
+    "wire": "W AY1 ER0",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()

@@ -375,8 +375,22 @@ class LexiconReader:
                 okuri, reading = variant[0], variant[1]
                 if not text.startswith(okuri, okuri_pos):
                     continue
-                if len(variant) > 2 and prev not in variant[2]:
-                    continue
+                if len(variant) > 2:
+                    cond = variant[2]
+                    if cond.startswith("*"):
+                        # clause-scan: the governing particle may be
+                        # separated from the verb by adverbs (雪が
+                        # たくさん降ります); scan back to the nearest
+                        # case particle and test that instead
+                        found = ""
+                        for j in range(kanji_pos - 1, -1, -1):
+                            if text[j] in "がをにもはへで、。．！？　 ":
+                                found = text[j]
+                                break
+                        if found not in cond[1:]:
+                            continue
+                    elif prev not in cond:
+                        continue
                 return reading
         return KUN.get(ch, "")
 
