@@ -864,6 +864,26 @@ _LEXICON: Dict[str, str] = {
     "bluetooth": "B L UW1 T UW2 TH",
     "antenna": "AE0 N T EH1 N AH0",
     "wire": "W AY1 ER0",
+    # house/kitchen band (thirtieth probe, 11/17 blind before the
+    # drawer/cushion/-erator/-washer/vacuum/sponge fixes)
+    "drawer": "D R AO1 R",
+    "shelf": "SH EH1 L F",
+    "cushion": "K UH1 SH AH0 N",
+    "blanket": "B L AE1 NG K AH0 T",
+    "pillow": "P IH1 L OW0",
+    "mattress": "M AE1 T R AH0 S",
+    "faucet": "F AO1 S AH0 T",
+    "refrigerator": "R IH0 F R IH1 JH ER0 EY2 T ER0",
+    "generator": "JH EH1 N ER0 EY2 T ER0",
+    "dishwasher": "D IH1 SH W AA2 SH ER0",
+    "vacuum": "V AE1 K Y UW0 M",
+    "broom": "B R UW1 M",
+    "bucket": "B AH1 K AH0 T",
+    "sponge": "S P AH1 N JH",
+    "detergent": "D IH0 T ER1 JH AH0 N T",
+    "hammer": "HH AE1 M ER0",
+    "ladder": "L AE1 D ER0",
+    "laundry": "L AO1 N D R IY0",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
