@@ -884,6 +884,29 @@ _LEXICON: Dict[str, str] = {
     "hammer": "HH AE1 M ER0",
     "ladder": "L AE1 D ER0",
     "laundry": "L AO1 N D R IY0",
+    # government/politics band (thirty-first probe, 10/19 blind
+    # before the -icy/-ulation/-itut- rules and the pins)
+    "citizen": "S IH1 T AH0 Z AH0 N",
+    "democracy": "D IH0 M AA1 K R AH0 S IY0",
+    "senator": "S EH1 N AH0 T ER0",
+    "governor": "G AH1 V ER0 N ER0",
+    "mayor": "M EY1 ER0",
+    "policy": "P AA1 L AH0 S IY0",
+    "debate": "D IH0 B EY1 T",
+    "protest": "P R OW1 T EH2 S T",
+    "freedom": "F R IY1 D AH0 M",
+    "equality": "IH0 K W AA1 L AH0 T IY0",
+    "equal": "IY1 K W AH0 L",
+    "community": "K AH0 M Y UW1 N AH0 T IY0",
+    "population": "P AA2 P Y AH0 L EY1 SH AH0 N",
+    "immigrant": "IH1 M AH0 G R AH0 N T",
+    "immigration": "IH2 M AH0 G R EY1 SH AH0 N",
+    "refugee": "R EH2 F Y UW0 JH IY1",
+    "border": "B AO1 R D ER0",
+    "treaty": "T R IY1 T IY0",
+    "constitution": "K AA2 N S T AH0 T UW1 SH AH0 N",
+    "liberty": "L IH1 B ER0 T IY0",
+    "congress": "K AA1 NG G R AH0 S",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1422,7 +1445,7 @@ class G2P:
         supper suppers
         allergy allergies appetite appetites appetizer appetizers
         injury injuries injure injured injures perjury perjuries
-        distance distances alley alleys
+        distance distances alley alleys congress congresses
         """.split()
     )
 
