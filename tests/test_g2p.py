@@ -47,9 +47,9 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.9933 stripped /
-    # 0.9927 with-stress (phone acc 0.9986, stress-only misses 1) on
-    # the probe-grown 1499-word set after
+    # hard floor, not typical-word accuracy. Measured 0.9934 stripped /
+    # 0.9928 with-stress (phone acc 0.9986, stress-only misses 1) on
+    # the probe-grown 1519-word set after
     # the round-3 error-class sweeps: systematic spelling families
     # (-ough, -oul, silent mb/l, ch->K Greek contexts, o->AH families,
     # ed-after-t/d syllabification, -ies/-ean/-ature/-ence/-ful

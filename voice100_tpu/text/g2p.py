@@ -907,6 +907,28 @@ _LEXICON: Dict[str, str] = {
     "constitution": "K AA2 N S T AH0 T UW1 SH AH0 N",
     "liberty": "L IH1 B ER0 T IY0",
     "congress": "K AA1 NG G R AH0 S",
+    # verbs/abstract band (thirty-second probe, 9/18 blind before the
+    # -ciate/-tiate/sua fixes and the deep-irregular pins)
+    "persuade": "P ER0 S W EY1 D",
+    "recommend": "R EH2 K AH0 M EH1 N D",
+    "describe": "D IH0 S K R AY1 B",
+    "criticize": "K R IH1 T IH0 S AY2 Z",
+    "apologize": "AH0 P AA1 L AH0 JH AY2 Z",
+    "exaggerate": "IH0 G Z AE1 G ER0 EY2 T",
+    "hesitate": "HH EH1 Z IH0 T EY2 T",
+    "interrupt": "IH2 N T ER0 AH1 P T",
+    "negotiate": "N IH0 G OW1 SH IY0 EY2 T",
+    "sacrifice": "S AE1 K R AH0 F AY2 S",
+    "threaten": "TH R EH1 T AH0 N",
+    "volunteer": "V AA2 L AH0 N T IH1 R",
+    "anticipate": "AE0 N T IH1 S AH0 P EY2 T",
+    "appreciate": "AH0 P R IY1 SH IY0 EY2 T",
+    "associate": "AH0 S OW1 SH IY0 EY2 T",
+    "circumstance": "S ER1 K AH0 M S T AE2 N S",
+    "consequence": "K AA1 N S AH0 K W AH0 N S",
+    "opportunity": "AA2 P ER0 T UW1 N AH0 T IY0",
+    "responsibility": "R IH0 S P AA2 N S AH0 B IH1 L AH0 T IY0",
+    "responsible": "R IH0 S P AA1 N S AH0 B AH0 L",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1446,6 +1468,7 @@ class G2P:
         allergy allergies appetite appetites appetizer appetizers
         injury injuries injure injured injures perjury perjuries
         distance distances alley alleys congress congresses
+        consequence consequences consequently
         """.split()
     )
 
