@@ -574,6 +574,9 @@ _LEXICON: Dict[str, str] = {
     "appeared": "AH0 P IH1 R D",
     "attack": "AH0 T AE1 K", "attempt": "AH0 T EH1 M P T",
     "attention": "AH0 T EH1 N SH AH0 N",
+    # French loanwords the -ache compound rule must not touch
+    "panache": "P AH0 N AE1 SH", "apache": "AH0 P AE1 CH IY0",
+    "attache": "AE2 T AH0 SH EY1", "suave": "S W AA1 V",
     "arrive": "ER0 AY1 V", "arrived": "ER0 AY1 V D",
     "allow": "AH0 L AW1", "allowed": "AH0 L AW1 D",
     "agree": "AH0 G R IY1", "agreed": "AH0 G R IY1 D",

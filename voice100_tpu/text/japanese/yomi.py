@@ -384,10 +384,22 @@ class LexiconReader:
                         # case particle and test that instead
                         found = ""
                         for j in range(kanji_pos - 1, -1, -1):
+                            # から/まで are clause stops too: バスから
+                            # 降ります must not scan past ら to a
+                            # distant subject が (ら alone is not a
+                            # particle, so match the two-char form)
+                            if text[j] in "らで" and j > 0 and (
+                                text[j - 1: j + 1] in ("から", "まで")
+                            ):
+                                found = text[j - 1: j + 1]
+                                break
                             if text[j] in "がをにもはへで、。．！？　 ":
                                 found = text[j]
                                 break
-                        if found not in cond[1:]:
+                        # no governing particle found: reject the
+                        # conditioned variant (降ります sentence-initial
+                        # reads オリマス — the get-off sense)
+                        if not found or found not in cond[1:]:
                             continue
                     elif prev not in cond:
                         continue
