@@ -556,7 +556,10 @@ def _train_loader_bench(precision: str = "32"):
     import subprocess
     import sys
 
-    marker = os.path.join(_LOADER_BENCH_DIR, "cache", ".warm")
+    # salt-keyed marker: a cache-format change (e.g. the f16 feature
+    # cache) re-warms instead of extracting inside the timed process
+    salt = _loader_bench_datamodule().cache_salt.hex()
+    marker = os.path.join(_LOADER_BENCH_DIR, "cache", f".warm_{salt}")
     if not os.path.exists(marker):
         subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -602,13 +605,8 @@ def _train_loader_bench(precision: str = "32"):
 
     @jax.jit
     def step(params, extra, opt_state, batch, key):
-        # upcast bf16-uploaded features on entry (Trainer.train_step
-        # does the same for upload_dtype="auto")
-        batch = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32)
-            if a.dtype == jnp.bfloat16 else a,
-            batch,
-        )
+        # half-precision uploads (bf16 quantize / f16 feature cache)
+        # are upcast inside Task.loss, same as Trainer.train_step
 
         def loss_fn(p):
             loss, metrics, new_extra = task.loss(

@@ -246,8 +246,8 @@ def test_cache_corruption_recovers(corpus, tmp_path):
     )
     data.setup("predict")
     first = data.predict_ds[0]
-    # corrupt every cache file
-    for f in _glob.glob(cache_dir + "/*.npz"):
+    # corrupt every cache file (.npy for single-array mel entries)
+    for f in _glob.glob(cache_dir + "/*.np[yz]"):
         with open(f, "wb") as fh:
             fh.write(b"not a npz")
     again = data.predict_ds[0]
@@ -535,3 +535,163 @@ def test_loader_abandoned_iterator_stops_producer():
             BadDS(), batch_size=4, collate_fn=np.stack, prefetch=2
         ):
             pass
+
+
+def test_f16_feature_cache(corpus, tmp_path):
+    """Mel features cache as float16 .npy (mmap-readable, half the
+    read + upload bytes); values match the f32 transform to f16
+    precision and a cache-miss epoch equals every cache-hit epoch."""
+    import glob as _glob
+    from voice100_tpu.data import AudioTextDataModule
+
+    cache_dir = str(tmp_path / "cache_f16")
+    data = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=corpus,
+        cache_dir=cache_dir, batch_size=4, valid_ratio=0.0,
+    )
+    data.setup("predict")
+    miss = data.predict_ds[0]
+    assert miss[0].dtype == np.float16
+    npys = _glob.glob(cache_dir + "/*.npy")
+    assert len(npys) == 1 and not _glob.glob(cache_dir + "/*.npz")
+    assert np.load(npys[0]).dtype == np.float16
+    hit = data.predict_ds[0]
+    # miss epoch and hit epoch see the exact same quantized values
+    np.testing.assert_array_equal(np.asarray(miss[0]),
+                                  np.asarray(hit[0]))
+
+    # f16 quantization is within half-precision rounding of the f32
+    # features
+    f32 = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=corpus,
+        cache_dir=str(tmp_path / "cache_f32"), batch_size=4,
+        valid_ratio=0.0, cache_dtype=None,
+    )
+    f32.setup("predict")
+    ref = np.asarray(f32.predict_ds[0][0], np.float32)
+    got = np.asarray(hit[0], np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-2)
+
+    # f16 and f32 caches never collide (dtype-keyed salt)
+    assert data.cache_salt != f32.cache_salt
+
+
+def test_process_pool_loader_identical(corpus, tmp_path):
+    """num_workers>0 (spawned collate workers) must yield byte-identical
+    batches in the same order as the in-process path, across shuffled
+    epochs and the padded final batch."""
+    from voice100_tpu.data import AudioTextDataModule
+
+    def make(num_workers):
+        dm = AudioTextDataModule(
+            vocoder="mel", dataset="dummy_en", data_dir=corpus,
+            cache_dir=str(tmp_path / "cache_pool"), batch_size=4,
+            valid_ratio=0.25,
+        )
+        dm.num_workers = num_workers
+        dm.setup("fit")
+        return dm.train_dataloader()
+
+    threaded = make(0)
+    pooled = make(2)
+    try:
+        for epoch in range(2):
+            threaded.set_epoch(epoch)
+            pooled.set_epoch(epoch)
+            got_any = False
+            for a, b in zip(threaded, pooled):
+                got_any = True
+                flat_a = [
+                    np.asarray(x)
+                    for pair in a for x in pair
+                ]
+                flat_b = [
+                    np.asarray(x)
+                    for pair in b for x in pair
+                ]
+                assert len(flat_a) == len(flat_b)
+                for xa, xb in zip(flat_a, flat_b):
+                    assert xa.dtype == xb.dtype
+                    np.testing.assert_array_equal(xa, xb)
+            assert got_any
+            assert len(list(threaded)) == len(list(pooled))
+    finally:
+        pooled.close()
+
+
+class _IdsDataset:
+    """Transparent dataset: item i is the scalar id i."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.asarray([i], np.int32)
+
+
+def _stack_ids(items):
+    return np.stack(items)
+
+
+def test_multiprocess_loader_shards():
+    """Multi-host DP loading (DataLoader process_index/process_count,
+    SURVEY §2.4): per-process shards are disjoint, cover the whole
+    epoch (up to the tail the stride drops), and the concatenated
+    per-process batch k is exactly the single-process batch k of size
+    batch_size*process_count — so a pod run consumes the same global
+    batches as a single host."""
+    from voice100_tpu.data import DataLoader
+
+    n, bs, pc = 64, 4, 2
+    for epoch in (0, 1):
+        shards = []
+        for pi in range(pc):
+            loader = DataLoader(
+                _IdsDataset(n), batch_size=bs, collate_fn=_stack_ids,
+                shuffle=True, seed=7, prefetch=0,
+                process_index=pi, process_count=pc,
+            )
+            loader.set_epoch(epoch)
+            shards.append([b[:, 0] for b in loader])
+        # disjoint + full coverage
+        flat = [set(np.concatenate(s).tolist()) for s in shards]
+        assert flat[0] & flat[1] == set()
+        assert flat[0] | flat[1] == set(range(n))
+
+        # global batch k == single-process batch k (as a multiset)
+        single = DataLoader(
+            _IdsDataset(n), batch_size=bs * pc, collate_fn=_stack_ids,
+            shuffle=True, seed=7, prefetch=0,
+        )
+        single.set_epoch(epoch)
+        single_batches = [b[:, 0] for b in single]
+        assert len(single_batches) == len(shards[0]) == len(shards[1])
+        for k, sb in enumerate(single_batches):
+            global_k = np.concatenate([shards[0][k], shards[1][k]])
+            assert sorted(global_k.tolist()) == sorted(sb.tolist())
+
+
+def test_multiprocess_loader_tail():
+    """Non-divisible corpus: the per-process stride length differs by
+    one; with pad_to_full each process still emits the same number of
+    full batches and no sample appears in two shards."""
+    from voice100_tpu.data import DataLoader
+
+    n, bs, pc = 13, 4, 2
+    shards = []
+    for pi in range(pc):
+        loader = DataLoader(
+            _IdsDataset(n), batch_size=bs, collate_fn=_stack_ids,
+            shuffle=True, seed=3, prefetch=0,
+            process_index=pi, process_count=pc,
+        )
+        batches = [b[:, 0] for b in loader]
+        assert len(batches) == len(loader)
+        for b in batches:
+            assert b.shape[0] == bs  # padded to full
+        shards.append(set(np.concatenate(batches).tolist()))
+    assert shards[0] & shards[1] == set()
+    assert shards[0] | shards[1] == set(range(n))

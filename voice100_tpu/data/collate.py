@@ -88,9 +88,15 @@ def pad_stack(
     max_len = _bucket(int(lengths.max()), bucket)
     first = np.asarray(items[0])
     shape = (len(items), max_len) + first.shape[1:]
-    out = np.full(shape, pad_value, dtype=dtype or first.dtype)
+    # np.empty + per-row tail fill instead of np.full: writes each
+    # byte of the batch buffer once (data copy OR pad fill), halving
+    # collate memory traffic on big audio batches — this runs on the
+    # GIL-held loader thread, so it is on the training critical path
+    out = np.empty(shape, dtype=dtype or first.dtype)
     for i, x in enumerate(items):
-        out[i, : len(x)] = x
+        n = len(x)
+        out[i, :n] = x
+        out[i, n:] = pad_value
     return out, lengths
 
 

@@ -44,6 +44,7 @@ class AudioTextDataModule:
         num_workers: int = 0,
         valid_ratio: float = 0.1,
         seed: int = 1234,
+        cache_dtype: Optional[str] = "auto",
     ) -> None:
         self.vocoder = vocoder
         self.dataset = dataset
@@ -66,6 +67,18 @@ class AudioTextDataModule:
         ).encode("utf-8")
         if sample_rate != 16000:
             self.cache_salt += f"@{sample_rate}".encode("utf-8")
+        # mel features are model INPUTS only, so they cache (and
+        # upload) as float16 by default: half the cache-read bytes and
+        # half the host->device bytes per batch; the train step upcasts
+        # on device. WORLD features are supervision targets — they stay
+        # float32 so the training objective is cache-dtype-independent.
+        if cache_dtype == "auto":
+            cache_dtype = "float16" if vocoder == "mel" else None
+        self.cache_dtype = cache_dtype
+        if cache_dtype is not None:
+            # dtype-keyed salt: a run with a different cache dtype must
+            # not read back entries quantized differently
+            self.cache_salt += f"@{cache_dtype}".encode("utf-8")
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
@@ -100,6 +113,7 @@ class AudioTextDataModule:
             targettext_transform=self.targettext_transform,
             cachedir=self.cache_dir,
             salt=self.cache_salt,
+            cache_dtype=self.cache_dtype,
         )
 
     def setup(self, stage: Optional[str] = None) -> None:
@@ -151,6 +165,7 @@ class AudioTextDataModule:
             # multi-host DP: each host loads its stride of the corpus
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            num_workers=self.num_workers,
         )
 
     def train_dataloader(self):

@@ -2,20 +2,58 @@
 
 Replaces torch DataLoader for this framework: indexes are shuffled with
 a seeded NumPy generator, batches are collated to bucketed NumPy arrays,
-and a small thread pipeline overlaps host-side feature extraction with
-device steps (the torch ``num_workers`` analogue; a native C++ decode
-path plugs in underneath via dsp.audioio).
+and either a thread pipeline or a process pool overlaps host-side
+feature extraction with device steps (the torch ``num_workers``
+analogue, reference voice100/data_modules.py:628-666; a native C++
+decode path plugs in underneath via dsp.audioio).
+
+``num_workers=0`` (default) reads and collates on a background thread —
+enough when the cache is warm and the step is device-bound.
+``num_workers>0`` moves per-batch read+collate into spawned worker
+processes, bypassing the GIL for multi-core hosts; batch ORDER AND
+CONTENT are identical to the thread path (tests/test_data.py pins
+byte-identical epochs).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 
 __all__ = ["DataLoader"]
+
+
+# -- process-pool worker plumbing (module-level so "spawn" can pickle) --
+_WORKER_STATE: Optional[tuple] = None
+
+
+def _worker_init(dataset, collate_fn, pad_to_full, batch_size) -> None:
+    global _WORKER_STATE
+    # a cache-miss in a worker runs feature extraction; force it onto
+    # the host CPU so workers never contend for the parent's TPU
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _WORKER_STATE = (dataset, collate_fn, pad_to_full, batch_size)
+
+
+def _worker_collate(idx):
+    dataset, collate_fn, pad_to_full, batch_size = _WORKER_STATE
+    batch_prefetch = getattr(dataset, "prefetch", None)
+    if callable(batch_prefetch):
+        batch_prefetch(idx)
+    items = [dataset[int(i)] for i in idx]
+    n_real = len(items)
+    if pad_to_full and len(items) < batch_size:
+        reps = -(-batch_size // len(items))
+        items = (items * reps)[:batch_size]
+    return collate_fn(items), n_real
 
 
 class DataLoader:
@@ -31,6 +69,7 @@ class DataLoader:
         pad_to_full: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        num_workers: int = 0,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,7 +86,37 @@ class DataLoader:
         # order (same seed everywhere -> consistent epoch permutation)
         self.process_index = process_index
         self.process_count = process_count
+        self.num_workers = num_workers
+        self._executor = None
         self._epoch = 0
+
+    # ------------------------------------------------------------------
+    def _get_executor(self):
+        """Lazily start (and keep across epochs — spawn startup is
+        seconds per worker) the collate process pool."""
+        if self._executor is None:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._executor = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(self.dataset, self.collate_fn,
+                          self.pad_to_full, self.batch_size),
+            )
+        return self._executor
+
+    def close(self) -> None:
+        if self._executor is not None:
+            self._executor.shutdown(wait=False, cancel_futures=True)
+            self._executor = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -60,7 +129,7 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _batches(self, with_counts: bool = False) -> Iterator:
+    def _epoch_index_chunks(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -69,9 +138,17 @@ class DataLoader:
             order = order[self.process_index::self.process_count]
         n = len(order)
         stop = n - n % self.batch_size if self.drop_last else n
+        return [
+            order[start:start + self.batch_size]
+            for start in range(0, stop, self.batch_size)
+        ]
+
+    def _batches(self, with_counts: bool = False) -> Iterator:
+        if self.num_workers > 0:
+            yield from self._batches_pooled(with_counts)
+            return
         batch_prefetch = getattr(self.dataset, "prefetch", None)
-        for start in range(0, stop, self.batch_size):
-            idx = order[start:start + self.batch_size]
+        for idx in self._epoch_index_chunks():
             if callable(batch_prefetch):
                 # native thread-pool decode of the batch's cache misses
                 batch_prefetch(idx)
@@ -83,6 +160,35 @@ class DataLoader:
             batch = self.collate_fn(items)
             yield (batch, n_real) if with_counts else batch
 
+    def _batches_pooled(self, with_counts: bool) -> Iterator:
+        """Read+collate in worker processes with a bounded in-flight
+        window (ProcessPoolExecutor gives backpressure; Pool.imap would
+        greedily queue the whole epoch's batches in memory)."""
+        executor = self._get_executor()
+        chunks = self._epoch_index_chunks()
+        window = self.num_workers + max(self.prefetch, 1)
+        from collections import deque
+
+        pending: deque = deque()
+        submitted = 0
+        try:
+            while submitted < len(chunks) and len(pending) < window:
+                pending.append(
+                    executor.submit(_worker_collate, chunks[submitted])
+                )
+                submitted += 1
+            while pending:
+                batch, n_real = pending.popleft().result()
+                if submitted < len(chunks):
+                    pending.append(
+                        executor.submit(_worker_collate, chunks[submitted])
+                    )
+                    submitted += 1
+                yield (batch, n_real) if with_counts else batch
+        finally:
+            for fut in pending:
+                fut.cancel()
+
     def iter_with_counts(self) -> Iterator:
         """Yield ``(batch, n_real)`` where the first ``n_real`` rows are
         real samples and the rest are pad duplicates (evaluation uses
@@ -90,7 +196,9 @@ class DataLoader:
         yield from self._batches(with_counts=True)
 
     def __iter__(self) -> Iterator:
-        if self.prefetch <= 0:
+        if self.prefetch <= 0 or self.num_workers > 0:
+            # pooled mode overlaps via its in-flight future window; an
+            # extra thread hop would only add queue copies
             yield from self._batches()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -121,6 +121,7 @@ class EncodedCacheDataset:
         targettext_transform=None,
         cachedir: Optional[str] = None,
         salt: bytes = b"",
+        cache_dtype: Optional[str] = None,
     ) -> None:
         self._dataset = dataset
         self.audio_transform = audio_transform
@@ -128,6 +129,16 @@ class EncodedCacheDataset:
         self.targettext_transform = targettext_transform
         self._cachedir = cachedir
         self._salt = salt
+        # Quantize cached FLOAT features (float16 halves both the cache
+        # read bytes and the host->device upload bytes; the train step
+        # upcasts on device). Only safe for model INPUTS — WORLD
+        # supervision targets stay float32 so the training objective is
+        # cache-dtype-independent. Single-array entries are stored as
+        # raw .npy and read back memory-mapped: collate copies straight
+        # from the page cache with no npz container parse per item.
+        self._cache_dtype = (
+            np.dtype(cache_dtype) if cache_dtype is not None else None
+        )
         self._preloaded = {}
         self.save_mcep = False
         if isinstance(audio_transform, WORLDAudioProcessor):
@@ -177,7 +188,10 @@ class EncodedCacheDataset:
             cachefile = self._cachefile(clipid)
             if clipid in self._preloaded:
                 continue
-            if cachefile and os.path.exists(cachefile):
+            if cachefile and (
+                os.path.exists(cachefile)
+                or os.path.exists(cachefile[:-4] + ".npy")
+            ):
                 continue
             todo.append((clipid, audiopath))
         if not todo:
@@ -201,18 +215,35 @@ class EncodedCacheDataset:
         h.update(clipid.encode("utf-8"))
         return os.path.join(self._cachedir, h.hexdigest() + ".npz")
 
+    def _quantize(self, arr: np.ndarray) -> np.ndarray:
+        if self._cache_dtype is not None and arr.dtype == np.float32:
+            return arr.astype(self._cache_dtype)
+        return arr
+
     def _get_encoded_audio(self, clipid: str, audiopath: str):
         cachefile = self._cachefile(clipid)
         encoded = None
-        if cachefile and os.path.exists(cachefile):
-            try:
-                with np.load(cachefile) as z:
-                    encoded = tuple(z[k] for k in z.files)
-                    if len(encoded) == 1:
-                        encoded = encoded[0]
-            except Exception:
-                logger.warning("Failed to load audio cache", exc_info=True)
-                encoded = None
+        if cachefile:
+            npyfile = cachefile[:-4] + ".npy"
+            if os.path.exists(npyfile):
+                try:
+                    # memory-mapped read: collate's row copy pulls the
+                    # bytes straight from the page cache
+                    encoded = np.load(npyfile, mmap_mode="r")
+                except Exception:
+                    logger.warning(
+                        "Failed to load audio cache", exc_info=True
+                    )
+            elif os.path.exists(cachefile):
+                try:
+                    with np.load(cachefile) as z:
+                        encoded = tuple(z[k] for k in z.files)
+                        if len(encoded) == 1:
+                            encoded = encoded[0]
+                except Exception:
+                    logger.warning(
+                        "Failed to load audio cache", exc_info=True
+                    )
         if encoded is None:
             wav = self._preloaded.pop(clipid, None)
             encoded = self.audio_transform(audiopath, wav=wav)
@@ -221,19 +252,32 @@ class EncodedCacheDataset:
                 f0, logspc, codeap = encoded
                 to_save = (f0, logspc @ self.sp2mc_matrix, codeap)
                 encoded = to_save
+            # quantize BEFORE returning so a cache-miss epoch sees the
+            # exact values every later cache-hit epoch will see
+            if isinstance(to_save, tuple):
+                to_save = tuple(self._quantize(a) for a in to_save)
+                encoded = to_save
+            else:
+                to_save = self._quantize(np.ascontiguousarray(to_save))
+                encoded = to_save
             if cachefile:
                 try:
-                    arrays = (
-                        to_save if isinstance(to_save, tuple) else (to_save,)
-                    )
                     # atomic publish: a crash mid-write (or two DP
                     # processes sharing a cache dir) must never leave a
-                    # truncated .npz behind — a corrupt entry would be
-                    # recomputed on every epoch
-                    # (np.savez appends .npz when missing, so keep it)
-                    tmpfile = f"{cachefile}.{os.getpid()}.tmp.npz"
-                    np.savez(tmpfile, *arrays)
-                    os.replace(tmpfile, cachefile)
+                    # truncated entry behind — a corrupt entry would be
+                    # recomputed on every epoch. Single arrays go to raw
+                    # .npy (mmap-readable); tuples keep the .npz
+                    # container. (np.save/np.savez append the suffix
+                    # when missing, so keep it on the temp name.)
+                    if isinstance(to_save, tuple):
+                        tmpfile = f"{cachefile}.{os.getpid()}.tmp.npz"
+                        np.savez(tmpfile, *to_save)
+                        os.replace(tmpfile, cachefile)
+                    else:
+                        npyfile = cachefile[:-4] + ".npy"
+                        tmpfile = f"{npyfile}.{os.getpid()}.tmp.npy"
+                        np.save(tmpfile, to_save)
+                        os.replace(tmpfile, npyfile)
                 except Exception:
                     logger.warning("Failed to save audio cache", exc_info=True)
         if self.save_mcep:

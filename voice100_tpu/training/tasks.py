@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..models import (
@@ -59,6 +60,21 @@ def _no_upload_cast(batch, cast):
     (f0/logspc/codeap) and integer text inputs — nothing is safe to
     quantize on upload."""
     return batch
+
+
+def upcast_float_inputs(batch):
+    """Upcast half-precision batch leaves to float32 on device.
+
+    Batches may arrive quantized two ways: bf16-quantized on the
+    prefetch thread (TrainerConfig.upload_dtype) or float16 straight
+    from the feature cache (AudioTextDataModule cache_dtype) — both
+    halve the host->device bytes. Losses and augmentation then run in
+    f32 exactly as with f32 uploads."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if a.dtype in (jnp.bfloat16, jnp.float16) else a,
+        batch,
+    )
 
 
 def _scalar_post(model, values):
@@ -117,7 +133,7 @@ class Task:
     def init(self, rng, batch):
         """Initialize all variable collections from an example batch."""
         k1, k2, k3 = jax.random.split(rng, 3)
-        args = self.extract_args(batch)
+        args = self.extract_args(upcast_float_inputs(batch))
         return self.model.init(
             {"params": k1, "dropout": k2, "augment": k3},
             *args,
@@ -128,7 +144,7 @@ class Task:
     def loss(self, params, extra, batch, rng, train: bool):
         """Returns (loss, metrics, new_extra)."""
         variables = {"params": params, **extra}
-        args = self.extract_args(batch)
+        args = self.extract_args(upcast_float_inputs(batch))
         kwargs: Dict[str, Any] = dict(method=type(self.model).compute_loss)
         if train and rng is not None:
             k1, k2 = jax.random.split(rng)

@@ -109,14 +109,9 @@ class Trainer:
     def _make_step_fns(self, task: Task, optimizer):
         @partial(jax.jit, donate_argnums=(0, 2))
         def train_step(params, extra, opt_state, batch, rng):
-            # bf16-uploaded batches (TrainerConfig.upload_dtype) carry
-            # quantized values; upcast so augmentation and losses run
-            # in f32 exactly as with f32 uploads
-            batch = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.float32)
-                if a.dtype == jnp.bfloat16 else a,
-                batch,
-            )
+            # half-precision uploads (bf16 upload_dtype / f16 feature
+            # cache) are upcast inside Task.loss/init — the compiled
+            # step sees f32 math either way
 
             def loss_fn(p):
                 loss, metrics, new_extra = task.loss(
