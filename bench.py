@@ -618,18 +618,6 @@ def _train_loader_bench(precision: str = "32"):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_extra, opt_state
 
-    key = jax.random.PRNGKey(0)
-    # compile + one epoch of warmup steps
-    loader.set_epoch(0)
-    for batch in loader:
-        params, extra, opt_state = step(
-            params, extra, opt_state, jax.device_put(batch), key
-        )
-    _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
-
-    # end-to-end: loader -> prefetched device_put -> train step, 6
-    # epochs; the 2-deep DevicePrefetcher issues the upload of batch
-    # N+1 while step N executes, same as Trainer._prefetched
     from voice100_tpu.data.prefetch import DevicePrefetcher
 
     audio_acc = []
@@ -649,8 +637,28 @@ def _train_loader_bench(precision: str = "32"):
                 if getattr(a, "dtype", None) == np.float32 else a,
                 batch,
             )
-        return jax.device_put(batch)
+        # ONE PJRT transfer for the whole batch (per-leaf device_put
+        # pays a fixed dispatch round trip per leaf on this link)
+        from voice100_tpu.data.pack import device_put_packed
 
+        return device_put_packed(batch)
+
+    key = jax.random.PRNGKey(0)
+    # compile + one epoch of warmup steps through the SAME place()
+    # as the timed region: the timed epochs then contain no compile
+    # RPCs (a compile racing an in-flight bulk transfer can wedge
+    # remote-PJRT links) and see the exact dtypes the step compiled for
+    loader.set_epoch(0)
+    for batch in loader:
+        params, extra, opt_state = step(
+            params, extra, opt_state, place(batch), key
+        )
+    _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
+    audio_acc.clear()
+
+    # end-to-end: loader -> prefetched packed upload -> train step, 6
+    # epochs; the 2-deep DevicePrefetcher issues the upload of batch
+    # N+1 while step N executes, same as Trainer._prefetched
     t0 = time.perf_counter()
     for ep in range(1, 7):
         loader.set_epoch(ep)

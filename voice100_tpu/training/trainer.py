@@ -339,6 +339,13 @@ class Trainer:
                     if getattr(a, "dtype", None) == np.float32 else a,
                 )
             batch, _ = pad_batch_to_multiple(batch, data_axis)
+            if self.mesh is None or self.mesh.size == 1:
+                # single device: upload the whole batch as ONE PJRT
+                # transfer (per-leaf device_put pays a fixed dispatch
+                # cost per leaf — a full round trip on remote links)
+                from ..data.pack import device_put_packed
+
+                return device_put_packed(batch)
             return shard_batch(batch, self.mesh)
 
         prefetcher = DevicePrefetcher(loader, size=2, place=place)
