@@ -1,0 +1,228 @@
+"""HBM-resident feature cache (voice100_tpu/data/device_cache.py) and
+the loader's index-tracking iterator it feeds on."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from voice100_tpu.data import DataLoader
+from voice100_tpu.data.device_cache import DeviceFeatureCache
+
+from corpus_fixture import make_dummy_corpus  # noqa: F401  (fixture dep)
+
+
+class _IdsDataset:
+    """Item i is [i, i*2] so rows identify their dataset index."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.asarray([i, i * 2], np.int32)
+
+
+def _stack(items):
+    return np.stack(items)
+
+
+def test_iter_with_indices_matches_rows():
+    loader = DataLoader(
+        _IdsDataset(13), batch_size=4, collate_fn=_stack,
+        shuffle=True, seed=5, prefetch=0,
+    )
+    for epoch in (0, 1):
+        loader.set_epoch(epoch)
+        seen = []
+        for idx, batch in loader.iter_with_indices():
+            assert idx.shape[0] == batch.shape[0] == 4
+            np.testing.assert_array_equal(batch[:, 0], idx)
+            seen.extend(idx.tolist())
+        # every dataset index appears (pad duplicates allowed)
+        assert set(seen) == set(range(13))
+
+
+def test_device_cache_gather_equals_upload():
+    """Epoch 0 warms by upload+scatter; epoch 1+ is pure gather — and
+    the gathered batches are identical to freshly collated ones."""
+    n = 16
+    loader = DataLoader(
+        _IdsDataset(n), batch_size=4, collate_fn=_stack,
+        shuffle=True, seed=3, prefetch=0,
+    )
+    cache = DeviceFeatureCache(n)
+    loader.set_epoch(0)
+    warm = [np.asarray(b) for b in cache.epoch_batches(loader)]
+    assert cache.complete
+    assert cache.nbytes() == n * 2 * 4
+    for epoch in (1, 2):
+        loader.set_epoch(epoch)
+        host = [b for _, b in loader.iter_with_indices()]
+        loader.set_epoch(epoch)
+        dev = [np.asarray(b) for b in cache.epoch_batches(loader)]
+        assert len(host) == len(dev)
+        for h, d in zip(host, dev):
+            np.testing.assert_array_equal(h, d)
+    assert len(warm) == len(dev)
+
+
+def test_device_cache_self_heals_drop_last():
+    """drop_last epochs can miss tail clips; the cache uploads them
+    whenever they first appear instead of requiring full coverage."""
+    n = 10
+    loader = DataLoader(
+        _IdsDataset(n), batch_size=4, collate_fn=_stack,
+        shuffle=True, seed=1, prefetch=0, drop_last=True,
+    )
+    cache = DeviceFeatureCache(n)
+    loader.set_epoch(0)
+    list(cache.epoch_batches(loader))
+    # 2 batches of 4 -> at most 8 of 10 cached
+    assert not cache.complete
+    for epoch in range(1, 6):
+        loader.set_epoch(epoch)
+        for got, (idx, host) in zip(
+            cache.epoch_batches(loader), loader.iter_with_indices()
+        ):
+            np.testing.assert_array_equal(np.asarray(got), host)
+        if cache.complete:
+            break
+
+
+def test_device_cache_nested_pytree_batches():
+    class _PairDataset(_IdsDataset):
+        def __getitem__(self, i):
+            return (np.full((3, 2), i, np.float32),
+                    np.asarray([i], np.int32))
+
+    def collate(items):
+        return (np.stack([a for a, _ in items]),
+                np.stack([b for _, b in items]))
+
+    n = 8
+    loader = DataLoader(
+        _PairDataset(n), batch_size=4, collate_fn=collate,
+        shuffle=True, seed=2, prefetch=0,
+    )
+    cache = DeviceFeatureCache(n)
+    loader.set_epoch(0)
+    list(cache.epoch_batches(loader))
+    loader.set_epoch(1)
+    host = [b for _, b in loader.iter_with_indices()]
+    loader.set_epoch(1)
+    for (hf, hi), got in zip(host, cache.epoch_batches(loader)):
+        np.testing.assert_array_equal(hf, np.asarray(got[0]))
+        np.testing.assert_array_equal(hi, np.asarray(got[1]))
+
+
+def test_device_cache_bucketed_collate_grows_and_slices():
+    """With a REAL bucketed collate (variable clip lengths -> batch
+    shapes differ per epoch), the store must grow to the largest bucket
+    (pad-value fill) and slice gathers down — device batches stay
+    byte-identical to host collation at every bucket, including the
+    non-zero audio pad (log 1e-6)."""
+    from voice100_tpu.data.collate import collate_audio_text
+
+    class _VarLenDataset:
+        lengths = [3, 7, 12, 5, 20, 9, 14, 2, 17, 6, 11, 4]
+
+        def __len__(self):
+            return len(self.lengths)
+
+        def __getitem__(self, i):
+            n = self.lengths[i]
+            rng = np.random.RandomState(100 + i)
+            return (rng.randn(n, 4).astype(np.float32),
+                    rng.randint(1, 29, size=max(1, n // 2)).astype(
+                        np.int64))
+
+    def collate(items):
+        return collate_audio_text(items, time_bucket=4, text_bucket=2)
+
+    collate.pad_values = collate_audio_text.pad_values
+
+    n = len(_VarLenDataset.lengths)
+    loader = DataLoader(
+        _VarLenDataset(), batch_size=4, collate_fn=collate,
+        shuffle=True, seed=7, prefetch=0,
+    )
+    cache = DeviceFeatureCache(n, pad_values=collate.pad_values)
+    loader.set_epoch(0)
+    list(cache.epoch_batches(loader))
+    assert cache.complete
+    shapes_seen = set()
+    for epoch in (1, 2, 3):
+        loader.set_epoch(epoch)
+        host = [b for _, b in loader.iter_with_indices()]
+        loader.set_epoch(epoch)
+        dev = list(cache.epoch_batches(loader))
+        for (ha, ht), (da, dt) in zip(host, dev):
+            shapes_seen.add((ha[0].shape[1], ht[0].shape[1]))
+            for h, d in zip(ha + ht, da + dt):
+                np.testing.assert_array_equal(h, np.asarray(d))
+    # the scenario is only meaningful if buckets actually varied
+    assert len(shapes_seen) > 1, shapes_seen
+
+
+def test_device_cache_max_bytes_raises():
+    loader = DataLoader(
+        _IdsDataset(1000), batch_size=4, collate_fn=_stack,
+        shuffle=False, prefetch=0,
+    )
+    cache = DeviceFeatureCache(1000, max_bytes=100)
+    loader.set_epoch(0)
+    with pytest.raises(ValueError, match="max_bytes"):
+        next(iter(cache.epoch_batches(loader)))
+
+
+def test_device_cache_rejects_shape_drift():
+    cache = DeviceFeatureCache(8)
+    cache.place(np.arange(4), np.zeros((4, 6), np.float32))
+    with pytest.raises(ValueError, match="fixed collate bucket"):
+        cache.place(np.arange(4), np.zeros((4, 7), np.float32))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus_dc")
+    make_dummy_corpus(str(root))
+    return str(root)
+
+
+def test_trainer_device_cache_losses_match(corpus, tmp_path):
+    """fit with device_cache=True must produce the same losses as the
+    streaming upload path (the cached rows ARE the collated rows)."""
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    def fit(device_cache, tag):
+        data = AudioTextDataModule(
+            vocoder="mel", dataset="dummy_en", data_dir=corpus,
+            cache_dir=str(tmp_path / "cache"), batch_size=4,
+            valid_ratio=0.0,
+        )
+        model = AudioToAlignText(
+            audio_size=64, vocab_size=29,
+            encoder_settings=((16, False, 3, 2, 1, False),),
+            decoder_num_layers=1, decoder_hidden_size=16,
+        )
+        log_path = str(tmp_path / f"log_{tag}.jsonl")
+        trainer = Trainer(TrainerConfig(
+            max_epochs=2, device_cache=device_cache,
+            log_path=log_path, log_every_n_steps=1,
+        ))
+        trainer.fit(model, data)
+        import json
+        with open(log_path) as f:
+            return [
+                rec["train_loss"] for rec in map(json.loads, f)
+                if "train_loss" in rec
+            ]
+
+    base = fit(False, "stream")
+    cached = fit(True, "cached")
+    assert base and base == cached

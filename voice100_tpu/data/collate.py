@@ -113,6 +113,14 @@ def collate_audio_text(batch, time_bucket: int = None,
     return (audio, audio_len), (text, text_len)
 
 
+# per-leaf pad values, matching the batch structure: consumed by the
+# HBM-resident feature cache (data/device_cache.py), whose store must
+# pad rows with the SAME value the collate uses so device-gathered
+# batches are byte-identical to host-collated ones at any bucket.
+# Length leaves ([B] arrays) never pad; 0 is a placeholder.
+collate_audio_text.pad_values = ((BLANK_AUDIO, 0), (BLANK_IDX, 0))
+
+
 def collate_world_text(batch, time_bucket: int = None,
                        text_bucket: int = None):
     """WORLD-mode batches (reference generate_audio_text_align_batch,
@@ -128,6 +136,10 @@ def collate_world_text(batch, time_bucket: int = None,
     codeap, _ = pad_stack(codeaps, 0.0, time_bucket)
     text, text_len = pad_stack(texts, BLANK_IDX, text_bucket)
     return (f0, f0_len, spc, codeap), (text, text_len)
+
+
+collate_world_text.pad_values = (
+    (0.0, 0, 0.0, 0.0), (BLANK_IDX, 0))
 
 
 def collate_world_text_target(batch, time_bucket: int = None,
@@ -148,6 +160,10 @@ def collate_world_text_target(batch, time_bucket: int = None,
     return (f0, f0_len, spc, codeap), (text, text_len), (target, target_len)
 
 
+collate_world_text_target.pad_values = (
+    (0.0, 0, 0.0, 0.0), (BLANK_IDX, 0), (BLANK_IDX, 0))
+
+
 def collate_text_align(batch, text_bucket: int = None):
     """Duration-model batches (reference generate_text_align_batch,
     data_modules.py:673-682)."""
@@ -157,6 +173,9 @@ def collate_text_align(batch, text_bucket: int = None):
     text, text_len = pad_stack(texts, BLANK_IDX, text_bucket)
     align, align_len = pad_stack(aligns, 0, 2 * text_bucket)
     return (text, text_len), (align, align_len)
+
+
+collate_text_align.pad_values = ((BLANK_IDX, 0), (0, 0))
 
 
 def get_collate_fn(vocoder: str, use_target: bool):

@@ -1,0 +1,231 @@
+"""HBM-resident feature cache: epoch batches assembled on device.
+
+The reference re-reads features from host RAM every epoch and re-uploads
+them to the accelerator (torch DataLoader over a disk/RAM feature cache,
+voice100/data_modules.py:628-666) — cheap over PCIe, dominant over a
+remote or bandwidth-limited host->device link. The TPU-native
+alternative for corpora that fit in HBM is to keep the padded feature
+rows ON DEVICE: each clip uploads once, and every later epoch assembles
+its shuffled batches with a device-side gather, moving only the batch's
+row indices (a few hundred bytes) over the link.
+
+Sizing: one v5e chip (16 GB) holds ~350 hours of float16 80-dim log-mel
+at 10 ms hop; data-parallel pods shard the store with the batch. The
+cache is OPT-IN (``Trainer(device_cache=True)`` or direct use).
+
+Bucketed collate: batch shapes vary by bucket (collate.py pads each
+batch to its own rounded max length), so the store keeps every row at
+the LARGEST extent seen so far, fills beyond each row's scattered
+extent with the collate's own per-leaf pad value (``pad_values``, the
+attribute the collate fns in data/collate.py carry), grows on demand,
+and slices gathers down to the requesting batch's bucket. A row's true
+length never exceeds any bucket it appears under, so sliced gathers are
+byte-identical to host collation. Without ``pad_values`` the cache
+falls back to requiring one fixed bucket.
+
+Warm protocol: batches whose rows are not all cached yet upload the
+collated batch (packed, one transfer) and scatter its rows into the
+store; once every row of a batch is cached, the batch is gathered
+instead. This is self-healing — ``drop_last`` epochs that miss a tail
+clip simply upload it whenever it first appears.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .pack import device_put_packed
+
+__all__ = ["DeviceFeatureCache"]
+
+
+def _scatter(store, rows, idx):
+    """Write each row at its batch extent; the store beyond that extent
+    already holds the pad value (init/growth fill), so rows read back
+    correctly at any later bucket."""
+    def upd(s, r):
+        index = (idx,) + tuple(slice(0, d) for d in r.shape[1:])
+        return s.at[index].set(r)
+
+    return jax.tree_util.tree_map(upd, store, rows)
+
+
+class DeviceFeatureCache:
+    """Wraps ``loader.iter_with_indices()`` into device-resident batches.
+
+    ``place(indices, batch)`` returns the batch ON DEVICE either by
+    upload+scatter (rows not yet cached) or by pure device gather.
+    ``epoch_batches(loader)`` is the convenience iterator.
+    """
+
+    def __init__(self, n_items: int, max_bytes: Optional[int] = None,
+                 pad_values=None) -> None:
+        self.n_items = int(n_items)
+        self.max_bytes = max_bytes
+        self._store = None
+        self._cached = np.zeros(self.n_items, bool)
+        # donate the store: scatter updates in place instead of copying
+        # the whole corpus-sized array every warm batch
+        self._scatter = jax.jit(_scatter, donate_argnums=(0,))
+        self._gather_fns = {}
+        self._shapes = None
+        self._treedef = None
+        self._pad_leaves = (
+            None if pad_values is None
+            else jax.tree_util.tree_leaves(pad_values)
+        )
+
+    @property
+    def complete(self) -> bool:
+        return bool(self._cached.all())
+
+    def nbytes(self) -> int:
+        if self._store is None:
+            return 0
+        return sum(
+            leaf.nbytes for leaf in jax.tree_util.tree_leaves(self._store)
+        )
+
+    def _total_bytes(self, shapes) -> int:
+        return sum(
+            int(np.prod((self.n_items,) + shape))
+            * np.dtype(dtype).itemsize
+            for shape, dtype in shapes
+        )
+
+    def _check_budget(self, shapes) -> None:
+        total = self._total_bytes(shapes)
+        if self.max_bytes is not None and total > self.max_bytes:
+            raise ValueError(
+                f"device feature cache would need {total/1e9:.2f} GB "
+                f"> max_bytes={self.max_bytes/1e9:.2f} GB; use the "
+                "streaming loader for corpora that exceed device memory"
+            )
+
+    def _init_store(self, batch) -> None:
+        import jax.numpy as jnp
+
+        leaves, treedef = jax.tree_util.tree_flatten(batch)
+        self._treedef = treedef
+        self._shapes = [
+            (np.shape(leaf)[1:], np.asarray(leaf).dtype)
+            for leaf in leaves
+        ]
+        self._check_budget(self._shapes)
+        if self._pad_leaves is None:
+            pads = [0] * len(leaves)
+        else:
+            if len(self._pad_leaves) != len(leaves):
+                raise ValueError(
+                    f"pad_values has {len(self._pad_leaves)} leaves, "
+                    f"batch has {len(leaves)}"
+                )
+            pads = self._pad_leaves
+        self._store = jax.tree_util.tree_unflatten(treedef, [
+            jnp.full((self.n_items,) + shape, pad, dtype)
+            for (shape, dtype), pad in zip(self._shapes, pads)
+        ])
+
+    def _batch_shapes(self, batch):
+        leaves = jax.tree_util.tree_leaves(batch)
+        if len(leaves) != len(self._shapes):
+            raise ValueError(
+                f"batch has {len(leaves)} leaves, store has "
+                f"{len(self._shapes)}"
+            )
+        out = []
+        for leaf, (shape, dtype) in zip(leaves, self._shapes):
+            got_shape = np.shape(leaf)[1:]
+            got_dtype = np.asarray(leaf).dtype
+            if got_dtype != dtype or len(got_shape) != len(shape):
+                raise ValueError(
+                    "device feature cache row layout drifted (stored "
+                    f"rows {shape}/{dtype}, got {got_shape}/{got_dtype})"
+                )
+            out.append(got_shape)
+        return out
+
+    def _fit_extents(self, batch) -> None:
+        """Grow the store (pad-value fill) to cover this batch's bucket;
+        strict fixed-bucket check when no pad values are known."""
+        got = self._batch_shapes(batch)
+        if self._pad_leaves is None:
+            for g, (shape, dtype) in zip(got, self._shapes):
+                if g != shape:
+                    raise ValueError(
+                        "device feature cache needs a fixed collate "
+                        f"bucket (stored rows {shape}/{dtype}, got "
+                        f"{g}/{dtype}) — the collate_fn carries no "
+                        "pad_values; set VOICE100_TPU_TIME_BUCKET/"
+                        "VOICE100_TPU_TEXT_BUCKET to a single bucket"
+                    )
+            return
+        targets = [
+            tuple(max(a, b) for a, b in zip(shape, g))
+            for g, (shape, _) in zip(got, self._shapes)
+        ]
+        if all(t == shape for t, (shape, _) in zip(targets, self._shapes)):
+            return
+        import jax.numpy as jnp
+
+        new_shapes = [
+            (t, dtype) for t, (_, dtype) in zip(targets, self._shapes)
+        ]
+        self._check_budget(new_shapes)
+        leaves = jax.tree_util.tree_leaves(self._store)
+        grown = [
+            jnp.pad(
+                s,
+                [(0, 0)] + [(0, t - c) for t, c in zip(tgt, shape)],
+                constant_values=np.asarray(pad, dtype),
+            ) if tgt != shape else s
+            for s, tgt, (shape, dtype), pad in zip(
+                leaves, targets, self._shapes, self._pad_leaves)
+        ]
+        self._store = jax.tree_util.tree_unflatten(self._treedef, grown)
+        self._shapes = new_shapes
+        self._gather_fns.clear()
+
+    def _gather_fn(self, shapes):
+        key = tuple(shapes)
+        fn = self._gather_fns.get(key)
+        if fn is None:
+            treedef = self._treedef
+
+            def gather(store, idx):
+                leaves = jax.tree_util.tree_leaves(store)
+                out = [
+                    s[(idx,) + tuple(slice(0, d) for d in shape)]
+                    for s, shape in zip(leaves, key)
+                ]
+                return jax.tree_util.tree_unflatten(treedef, out)
+
+            fn = jax.jit(gather)
+            self._gather_fns[key] = fn
+        return fn
+
+    def place(self, indices, batch):
+        """Return ``batch`` on device; cache rows as a side effect."""
+        idx = np.asarray(indices, np.int32)
+        if self._store is None:
+            self._init_store(batch)
+        self._fit_extents(batch)
+        if self._cached[idx].all():
+            shapes = self._batch_shapes(batch)
+            return self._gather_fn(shapes)(
+                self._store, jax.device_put(idx)
+            )
+        placed = device_put_packed(batch)
+        self._store = self._scatter(
+            self._store, placed, jax.device_put(idx)
+        )
+        self._cached[idx] = True
+        return placed
+
+    def epoch_batches(self, loader):
+        """Iterate one epoch of device-resident batches."""
+        for indices, batch in loader.iter_with_indices():
+            yield self.place(indices, batch)

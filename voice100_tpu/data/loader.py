@@ -143,9 +143,18 @@ class DataLoader:
             for start in range(0, stop, self.batch_size)
         ]
 
-    def _batches(self, with_counts: bool = False) -> Iterator:
+    def _effective_indices(self, idx) -> np.ndarray:
+        """Per-row dataset indices of a collated batch, including the
+        pad-duplicate tail (mirrors the item padding in _batches)."""
+        if self.pad_to_full and len(idx) < self.batch_size:
+            reps = -(-self.batch_size // len(idx))
+            return np.concatenate([idx] * reps)[: self.batch_size]
+        return np.asarray(idx)
+
+    def _batches(self, with_counts: bool = False,
+                 with_indices: bool = False) -> Iterator:
         if self.num_workers > 0:
-            yield from self._batches_pooled(with_counts)
+            yield from self._batches_pooled(with_counts, with_indices)
             return
         batch_prefetch = getattr(self.dataset, "prefetch", None)
         for idx in self._epoch_index_chunks():
@@ -158,9 +167,13 @@ class DataLoader:
                 reps = -(-self.batch_size // len(items))
                 items = (items * reps)[: self.batch_size]
             batch = self.collate_fn(items)
-            yield (batch, n_real) if with_counts else batch
+            out = (batch, n_real) if with_counts else batch
+            yield (self._effective_indices(idx), out) if (
+                with_indices
+            ) else out
 
-    def _batches_pooled(self, with_counts: bool) -> Iterator:
+    def _batches_pooled(self, with_counts: bool,
+                        with_indices: bool = False) -> Iterator:
         """Read+collate in worker processes with a bounded in-flight
         window (ProcessPoolExecutor gives backpressure; Pool.imap would
         greedily queue the whole epoch's batches in memory)."""
@@ -177,14 +190,20 @@ class DataLoader:
                     executor.submit(_worker_collate, chunks[submitted])
                 )
                 submitted += 1
+            done = 0
             while pending:
                 batch, n_real = pending.popleft().result()
+                idx = chunks[done]
+                done += 1
                 if submitted < len(chunks):
                     pending.append(
                         executor.submit(_worker_collate, chunks[submitted])
                     )
                     submitted += 1
-                yield (batch, n_real) if with_counts else batch
+                out = (batch, n_real) if with_counts else batch
+                yield (self._effective_indices(idx), out) if (
+                    with_indices
+                ) else out
         finally:
             for fut in pending:
                 fut.cancel()
@@ -194,6 +213,13 @@ class DataLoader:
         real samples and the rest are pad duplicates (evaluation uses
         this to keep metrics invariant to ``pad_to_full``)."""
         yield from self._batches(with_counts=True)
+
+    def iter_with_indices(self) -> Iterator:
+        """Yield ``(indices, batch)`` where ``indices[i]`` is the
+        dataset index of batch row ``i`` (pad-duplicate rows repeat
+        their source index). Feeds the HBM-resident feature cache
+        (data/device_cache.py)."""
+        yield from self._batches(with_indices=True)
 
     def __iter__(self) -> Iterator:
         if self.prefetch <= 0 or self.num_workers > 0:

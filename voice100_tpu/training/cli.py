@@ -134,6 +134,19 @@ def build_from_config(config: Dict[str, Any], overrides: Dict[str, Any]):
             or trainer_cfg.get("precision", "32")
         ),
     )
+    # remaining trainer keys pass straight through to matching
+    # TrainerConfig fields (e.g. device_cache, upload_dtype,
+    # log_every_n_steps); non-matching keys — Lightning knobs like
+    # accelerator/devices in reference configs — keep being ignored
+    import dataclasses
+
+    handled = {"max_epochs", "gradient_clip_val", "callbacks",
+               "precision"}
+    fields = {f.name: f.type for f in dataclasses.fields(TrainerConfig)}
+    for key, val in trainer_cfg.items():
+        if key in handled or key not in fields:
+            continue
+        setattr(tc, key, val)
     return model, data, tc, audio_stat
 
 

@@ -72,6 +72,19 @@ class TrainerConfig:
     # Validation batches always upload f32 so val metrics are
     # precision-knob-independent.
     upload_dtype: str = "auto"
+    # HBM-resident train feature cache (data/device_cache.py): each
+    # clip's collated rows upload once and later epochs assemble their
+    # shuffled batches by on-device gather, so steady-state training
+    # moves only batch indices over the host->device link. Opt-in; for
+    # corpora that fit in device memory (one 16 GB chip holds ~350 h of
+    # f16 log-mel). Works with bucketed collate (the store grows to the
+    # largest bucket and gathers slice down, using the collate's
+    # pad_values); requires a single-device placement — silently
+    # ignored on multi-device meshes.
+    device_cache: bool = False
+    # hard cap for the device cache store (bytes); raises early instead
+    # of OOMing mid-epoch when the corpus doesn't fit.
+    device_cache_max_bytes: int = 8 * 1024**3
 
 
 @dataclass
@@ -348,11 +361,51 @@ class Trainer:
                 return device_put_packed(batch)
             return shard_batch(batch, self.mesh)
 
-        prefetcher = DevicePrefetcher(loader, size=2, place=place)
+        cache = self._device_cache(loader)
+        if cache is not None:
+            def cache_place(pair):
+                indices, batch = pair
+                if upload_bf16 and upload_cast is not None:
+                    import ml_dtypes
+
+                    batch = upload_cast(
+                        batch,
+                        lambda a: a.astype(ml_dtypes.bfloat16)
+                        if getattr(a, "dtype", None) == np.float32
+                        else a,
+                    )
+                return cache.place(indices, batch)
+
+            prefetcher = DevicePrefetcher(
+                loader.iter_with_indices(), size=2, place=cache_place
+            )
+        else:
+            prefetcher = DevicePrefetcher(loader, size=2, place=place)
         try:
             yield from prefetcher
         finally:
             prefetcher.close()
+
+    def _device_cache(self, loader):
+        """Build (once) the HBM-resident train feature cache when the
+        config opts in and the placement is a single device."""
+        if not self.config.device_cache:
+            return None
+        if self.mesh is not None and self.mesh.size > 1:
+            return None
+        cached = getattr(self, "_feature_cache", None)
+        if cached is None or cached.n_items != len(loader.dataset):
+            from ..data.device_cache import DeviceFeatureCache
+
+            cached = DeviceFeatureCache(
+                len(loader.dataset),
+                max_bytes=self.config.device_cache_max_bytes,
+                pad_values=getattr(
+                    loader.collate_fn, "pad_values", None),
+            )
+            self._feature_cache = cached
+            self._log({"event": "device_cache", "items": cached.n_items})
+        return cached
 
     def _fit_loop(self, cfg, task, model, datamodule, state, rng,
                   train_loader, val_loader, train_step, eval_step):
