@@ -110,10 +110,12 @@ def test_world_codeap_agreement_vs_pyworld(name, wav):
     ours = np.asarray(cap_ours[:n], np.float64)
     ref = cap_ref[:n]
     assert ours.shape[1] == ref.shape[1]
-    # the aperiodicity estimator is comb-correlation, not a D4C port
-    # (dsp/world/aperiodicity.py): gate on the broad voiced/unvoiced
-    # contrast — mean band aperiodicity within 0.35 nepers
-    assert float(np.mean(np.abs(ours - ref))) < 0.35, name
+    # the aperiodicity estimator is a harmonic least-squares noise
+    # share, proven within 0.5 dB of exact synthetic ground truth
+    # (tests/test_world_aperiodicity.py), not a D4C port
+    # (dsp/world/aperiodicity.py): since both it and D4C estimate the
+    # same physical quantity, gate mean band aperiodicity within 0.15
+    assert float(np.mean(np.abs(ours - ref))) < 0.15, name
 
 
 @pytest.mark.xfail(strict=False, reason="BASELINE <1e-3 MSE target; "

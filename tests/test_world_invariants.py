@@ -126,9 +126,9 @@ def test_world_reanalysis_invariants(pitch, backend):
     assert m["f0_rmse_rel"] < 0.01, m
     assert m["octave_rate"] < 0.01, m
     assert m["voicing_acc"] > 0.97, m
-    # full-range gate leaves ~0.6 dB headroom over the measured worst
+    # full-range gate leaves 0.1 dB headroom over the measured worst
     # case (5.90 dB at 320 Hz) so regressions can't hide under it
-    assert m["envelope_rmse_db"] < 6.5, m
+    assert m["envelope_rmse_db"] < 6.0, m
     # and the perceptually-meaningful gate: 45 dB-floored LSD under
     # 5 dB at every pitch (measured 1.1-3.4 dB)
     assert m["envelope_lsd45_db"] < 5.0, m
