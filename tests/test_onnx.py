@@ -159,6 +159,192 @@ def test_onnx_file_is_wire_valid(tmp_path):
     assert dim0.dim_param == "batch"
 
 
+# ---------------------------------------------------------------------------
+# Shared artifact case table: every exported model kind with its inputs,
+# expected outputs, and valid-region masks. Consumed twice — by the
+# hermetic NumPy-runtime test below (proves the case definitions) and
+# by the onnxruntime-gated test in test_parity_optional.py (proves the
+# wire format + op semantics against a real ONNX runtime, reference
+# export_onnx.py:49-78 / export_onnx_v1.py:11-182 artifact surface).
+# Each case returns (model, variables, feed, spec) where feed is an
+# ordered (name, value) list and spec is [(want, valid_lens|None)] per
+# output: None compares the whole array, lens compare rows [:n] along
+# axis 1 (padded regions are runtime-dependent).
+# ---------------------------------------------------------------------------
+
+def _case_asr_v2():
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((24, False, 5, 2, 2, False),
+                          (24, False, 5, 1, 2, False)),
+        decoder_num_layers=2, decoder_hidden_size=16,
+    )
+    rng = np.random.RandomState(20)
+    audio, audio_len = _rand_audio(rng)
+    variables = model.init(jax.random.PRNGKey(0), audio, audio_len)
+    logits, out_len = model.apply(variables, audio, audio_len)
+    out_len = np.asarray(out_len)
+    feed = [("audio", audio), ("audio_len", audio_len)]
+    return model, variables, feed, [
+        (np.asarray(logits), out_len), (out_len, None)]
+
+
+def _case_align_v2():
+    model = TextToAlignText(vocab_size=29, num_layers=2, hidden_size=16)
+    rng = np.random.RandomState(21)
+    text, text_len = _rand_text(rng)
+    variables = model.init(jax.random.PRNGKey(0), text, text_len)
+    want = np.asarray(model.apply(
+        variables, text, text_len, method=TextToAlignText.predict))
+    feed = [("text", text), ("text_len", text_len)]
+    return model, variables, feed, [(want, text_len)]
+
+
+def _case_tts_v2():
+    from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+
+    model, variables, text, text_len = _tts_model_and_vars(25)
+    f0, logspc, codeap = (
+        np.asarray(v) for v in model.apply(
+            variables, text, text_len, method=AlignTextToAudio.predict)
+    )
+    mc2sp = create_mc2sp_matrix(512, 24, 0.410).astype(np.float32)
+    logspc = logspc @ mc2sp
+    out_len = np.asarray(model.output_length(text_len))
+    feed = [("aligntext", text), ("aligntext_len", text_len)]
+    return model, variables, feed, [
+        (f0, out_len), (logspc, out_len), (codeap, out_len)]
+
+
+def _case_asr_v1():
+    from voice100_tpu.models import AudioToTextCTC
+
+    model = AudioToTextCTC(audio_size=8, vocab_size=11,
+                           embed_size=12, hidden_size=16)
+    rng = np.random.RandomState(22)
+    audio = rng.randn(2, 20, 8).astype(np.float32)
+    variables = _init(model, audio)
+    want = np.asarray(model.apply(variables, audio, True))
+    return model, variables, [("audio", audio)], [(want, None)]
+
+
+def _case_align_v1():
+    from voice100_tpu.models import AudioAlignCTC
+
+    model = AudioAlignCTC(audio_size=8, vocab_size=11,
+                          hidden_size=16, num_layers=2)
+    rng = np.random.RandomState(23)
+    audio = rng.randn(2, 19, 8).astype(np.float32)
+    audio_len = np.asarray([19, 11], np.int32)
+    variables = _init(model, audio, audio_len)
+    want, want_len = model.apply(variables, audio, audio_len)
+    want_len = np.asarray(want_len)
+    feed = [("audio", audio), ("audio_len", audio_len)]
+    return model, variables, feed, [
+        (np.asarray(want), want_len), (want_len, None)]
+
+
+def _case_ttsalign_v1():
+    from voice100_tpu.models import TextToAlignTextModel
+
+    model = TextToAlignTextModel(vocab_size=11, hidden_size=16)
+    rng = np.random.RandomState(24)
+    text = rng.randint(0, 11, size=(2, 9)).astype(np.int32)
+    variables = _init(model, text)
+    want = np.asarray(model.apply(variables, text, True))
+    return model, variables, [("text", text)], [(want, None)]
+
+
+def _case_ttsaudio_v1():
+    from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+    from voice100_tpu.models import AlignTextToAudioModel
+
+    model = AlignTextToAudioModel(vocab_size=11, hidden_size=16,
+                                  use_mcep=True)
+    rng = np.random.RandomState(25)
+    text = rng.randint(0, 11, size=(2, 9)).astype(np.int32)
+    variables = _init(model, text)
+    f0, logspc, codeap = (
+        np.asarray(v) for v in model.apply(
+            variables, text, method=AlignTextToAudioModel.predict)
+    )
+    logspc = logspc @ create_mc2sp_matrix(512, 24, 0.410).astype(
+        np.float32)
+    return model, variables, [("aligntext", text)], [
+        (f0, None), (logspc, None), (codeap, None)]
+
+
+def _case_mt_v1():
+    from voice100_tpu.dsp.mcep import create_mc2sp_matrix
+    from voice100_tpu.models import AlignTextToAudioMultiTaskModel
+
+    model = AlignTextToAudioMultiTaskModel(
+        vocab_size=11, target_vocab_size=13, hidden_size=16,
+        use_mcep=True,
+    )
+    rng = np.random.RandomState(26)
+    text = rng.randint(0, 11, size=(2, 9)).astype(np.int32)
+    variables = _init(model, text)
+    f0, logspc, codeap, phone = (
+        np.asarray(v) for v in model.apply(
+            variables, text,
+            method=AlignTextToAudioMultiTaskModel.predict)
+    )
+    logspc = logspc @ create_mc2sp_matrix(512, 24, 0.410).astype(
+        np.float32)
+    return model, variables, [("aligntext", text)], [
+        (f0, None), (logspc, None), (codeap, None), (phone, None)]
+
+
+ONNX_ARTIFACT_CASES = {
+    "asr_v2": _case_asr_v2,
+    "align_v2": _case_align_v2,
+    "tts_v2": _case_tts_v2,
+    "asr_v1": _case_asr_v1,
+    "align_v1": _case_align_v1,
+    "ttsalign_v1": _case_ttsalign_v1,
+    "ttsaudio_v1": _case_ttsaudio_v1,
+    "mt_v1": _case_mt_v1,
+}
+
+
+def run_artifact_case(name, tmp_path, run_file, rtol=1e-3, atol=1e-3):
+    """Export the named case and check ``run_file(path, feed)``'s
+    outputs against the JAX predict surface. Returns the max abs error
+    over compared cells so gated callers can report measured agreement."""
+    model, variables, feed, spec = ONNX_ARTIFACT_CASES[name]()
+    path = str(tmp_path / f"{name}.onnx")
+    export_onnx(model, variables, path)
+    got = run_file(path, feed)
+    assert len(got) == len(spec), (name, len(got), len(spec))
+    max_err = 0.0
+    for g, (want, lens) in zip(got, spec):
+        g = np.asarray(g)
+        assert g.shape == want.shape, (name, g.shape, want.shape)
+        if lens is None:
+            np.testing.assert_allclose(g, want, rtol=rtol, atol=atol)
+            max_err = max(max_err, float(
+                np.max(np.abs(g.astype(np.float64) - want))))
+        else:
+            for i, n in enumerate(lens):
+                np.testing.assert_allclose(
+                    g[i, :n], want[i, :n], rtol=rtol, atol=atol)
+                max_err = max(max_err, float(np.max(np.abs(
+                    g[i, :n].astype(np.float64) - want[i, :n]))))
+    return max_err
+
+
+@pytest.mark.parametrize("name", sorted(ONNX_ARTIFACT_CASES))
+def test_artifact_case_table_numpy_runtime(name, tmp_path):
+    """Hermetic proof of the case table itself: every case round-trips
+    through the in-repo NumPy runtime. The same cases run under real
+    onnxruntime when it exists (test_parity_optional.py)."""
+    run_artifact_case(
+        name, tmp_path,
+        lambda path, feed: load_model(path)(*[v for _, v in feed]),
+    )
+
+
 def test_onnxruntime_if_available(tmp_path):
     ort = pytest.importorskip("onnxruntime")
     model = TextToAlignText(vocab_size=29, num_layers=2, hidden_size=16)

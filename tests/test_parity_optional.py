@@ -16,6 +16,7 @@ targets are separate non-strict xfail tests so they are measured and
 reported without failing CI while the from-scratch DSP closes in.
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -233,68 +234,34 @@ def test_japanese_readings_vs_fugashi():
 
 
 # --- onnxruntime -----------------------------------------------------------
-# (test_onnx.py::test_onnxruntime_if_available covers the align model;
-# these add the ASR and TTS v2 artifacts so the whole exported family
-# is wire-validated when onnxruntime exists.)
+# Every exported artifact kind (3 v2 + 5 v1, the reference's
+# export_onnx.py:49-78 / export_onnx_v1.py:11-182 surface) executes
+# under real onnxruntime via the shared case table in test_onnx.py;
+# the hermetic NumPy-runtime variant of the same table always runs, so
+# a wire-format or op-semantics mismatch shows up here the moment an
+# environment has onnxruntime. Measured max-abs agreement per artifact
+# is appended to the file named by VOICE100_TPU_ORT_REPORT (the CI
+# parity-optional job uploads it as an artifact; latest figures go in
+# docs/migration.md).
 
-def test_onnxruntime_asr_v2(tmp_path):
+@pytest.mark.parametrize("name", [
+    "asr_v2", "align_v2", "tts_v2", "asr_v1", "align_v1",
+    "ttsalign_v1", "ttsaudio_v1", "mt_v1",
+])
+def test_onnxruntime_all_artifacts(name, tmp_path):
     ort = pytest.importorskip("onnxruntime")
-    import jax
+    from test_onnx import ONNX_ARTIFACT_CASES, run_artifact_case
 
-    from voice100_tpu.models import AudioToAlignText
-    from voice100_tpu.onnx.export import export_onnx
-
-    model = AudioToAlignText(
-        audio_size=64, vocab_size=29,
-        encoder_settings=((32, False, 3, 2, 1, False),),
-        decoder_num_layers=1, decoder_hidden_size=32,
+    assert set(ONNX_ARTIFACT_CASES) == {
+        "asr_v2", "align_v2", "tts_v2", "asr_v1", "align_v1",
+        "ttsalign_v1", "ttsaudio_v1", "mt_v1",
+    }, "keep the parametrize list in sync with the case table"
+    max_err = run_artifact_case(
+        name, tmp_path,
+        lambda path, feed: ort.InferenceSession(path).run(
+            None, dict(feed)),
     )
-    rng = np.random.RandomState(0)
-    audio = rng.randn(2, 50, 64).astype(np.float32)
-    audio_len = np.asarray([50, 37], np.int32)
-    variables = model.init(jax.random.PRNGKey(0), audio, audio_len)
-    want_logits, want_len = model.apply(variables, audio, audio_len)
-    path = str(tmp_path / "asr.onnx")
-    export_onnx(model, variables, path)
-    sess = ort.InferenceSession(path)
-    got_logits, got_len = sess.run(
-        None, {"audio": audio, "audio_len": audio_len}
-    )
-    np.testing.assert_array_equal(got_len, np.asarray(want_len))
-    for i, n in enumerate(np.asarray(want_len)):
-        np.testing.assert_allclose(
-            got_logits[i, :n], np.asarray(want_logits)[i, :n],
-            rtol=1e-3, atol=1e-3,
-        )
-
-
-def test_onnxruntime_tts_v2(tmp_path):
-    ort = pytest.importorskip("onnxruntime")
-    from test_onnx import _tts_model_and_vars
-
-    from voice100_tpu.dsp.mcep import create_mc2sp_matrix
-    from voice100_tpu.models import AlignTextToAudio
-    from voice100_tpu.onnx.export import export_onnx
-
-    model, variables, text, text_len = _tts_model_and_vars(25)
-    f0_w, logspc_w, codeap_w = (
-        np.asarray(v) for v in model.apply(
-            variables, text, text_len, method=AlignTextToAudio.predict)
-    )
-    # the graph folds mc2sp (25 mcep -> 257 spectrum bins)
-    mc2sp = create_mc2sp_matrix(512, 24, 0.410).astype(np.float32)
-    logspc_w = logspc_w @ mc2sp
-    path = str(tmp_path / "tts.onnx")
-    export_onnx(model, variables, path)
-    sess = ort.InferenceSession(path)
-    f0_g, logspc_g, codeap_g = sess.run(
-        None, {"aligntext": text, "aligntext_len": text_len}
-    )
-    out_len = np.asarray(model.output_length(text_len))
-    for i, n in enumerate(out_len):
-        np.testing.assert_allclose(f0_g[i, :n], f0_w[i, :n],
-                                   rtol=1e-3, atol=1e-3)
-        np.testing.assert_allclose(logspc_g[i, :n], logspc_w[i, :n],
-                                   rtol=1e-3, atol=1e-3)
-        np.testing.assert_allclose(codeap_g[i, :n], codeap_w[i, :n],
-                                   rtol=1e-3, atol=1e-3)
+    report = os.environ.get("VOICE100_TPU_ORT_REPORT")
+    if report:
+        with open(report, "a") as f:
+            f.write(f"{name} onnxruntime_max_abs_err {max_err:.3e}\n")
