@@ -1,0 +1,170 @@
+"""Single source of truth for the text-front-end figures quoted in docs.
+
+Round-3 verdict item 8: COMPONENTS.md, README.md, and
+docs/text_frontend.md each quoted a different vintage of the gold-set
+sizes and measured accuracies. This script computes every figure from
+the actual tree — the embedded G2P lexicon, the JA readings tables,
+and the pinned gold suites — and rewrites the three docs in place
+(``--write``) or verifies they agree (``--check``, run by
+tests/test_docs_stats.py so drift fails the suite).
+
+Usage:
+    python -m tools.gen_frontend_stats --check   # verify docs agree
+    python -m tools.gen_frontend_stats --write   # regenerate figures
+"""
+
+from __future__ import annotations
+
+import argparse
+import difflib
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def compute_stats() -> dict:
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from voice100_tpu.text.g2p import G2P, _LEXICON
+    from voice100_tpu.text.japanese import readings
+
+    import test_japanese_gold as ja_gold
+
+    # EN: rules-only accuracy over the embedded gold lexicon (same
+    # protocol as tests/test_g2p.py::test_lts_accuracy_vs_gold_lexicon)
+    g = G2P.__new__(G2P)
+    g._g2p_en = None
+    g._lexicon = {}
+    exact = with_stress = total = match = denom = 0
+    for word, gold in _LEXICON.items():
+        if not word.isalpha():
+            continue
+        raw = g._lts(word)
+        goldraw = gold.split()
+        pred = [p.rstrip("012") for p in raw]
+        goldp = [p.rstrip("012") for p in goldraw]
+        total += 1
+        exact += int(pred == goldp)
+        with_stress += int(raw == goldraw)
+        sm = difflib.SequenceMatcher(a=goldp, b=pred)
+        match += sum(b.size for b in sm.get_matching_blocks())
+        denom += max(len(goldp), len(pred))
+
+    # JA: hermetic reader over the pinned gold sentences (same
+    # protocol as tests/test_japanese_gold.py::test_lexicon_reader_gold_floor)
+    from voice100_tpu.text.japanese.kana import hira2kata
+    from voice100_tpu.text.japanese.yomi import LexiconReader
+
+    reader = LexiconReader()
+    ja_exact = 0
+    for text, gold in ja_gold.GOLD_SENTENCES:
+        got = hira2kata(
+            "".join(y or w for w, y in reader.tokens(text)))
+        ja_exact += int(got == gold)
+
+    kanji = sorted(set(readings.KUN) | set(readings.ON))
+    return {
+        "en_words": total,
+        "en_word_exact_pct": f"{100.0 * with_stress / total:.1f}",
+        "en_word_exact_frac": f"{with_stress / total:.3f}",
+        "en_phone_acc_frac": f"{match / denom:.3f}",
+        "ja_sentences": len(ja_gold.GOLD_SENTENCES),
+        "ja_exact": ja_exact,
+        "ja_kanji": len(kanji),
+        "ja_compounds": len(readings.COMPOUNDS),
+    }
+
+
+def _rules(stats: dict):
+    """Per-file (pattern, replacement) rewrites. Patterns anchor on
+    stable prose context; group 1 is the figure the script owns."""
+    s = stats
+    return {
+        "COMPONENTS.md": [
+            (r"(?:~?[\d,]+)(-entry gold lexicon)",
+             f"{s['en_words']}\\1"),
+            (r"(?:\d+\.\d)(% word-exact WITH stress rules-only)",
+             f"{s['en_word_exact_pct']}\\1"),
+            (r"(kun/on tables for )(?:~?\d+)( kanji)",
+             f"\\g<1>{s['ja_kanji']}\\g<2>"),
+            (r"(covers )(?:~?\d+)( compounds)",
+             f"\\g<1>{s['ja_compounds']}\\g<2>"),
+            (r"(?:\d+)(-sentence gold set)",
+             f"{s['ja_sentences']}\\1"),
+        ],
+        "README.md": [
+            (r"(?:~?[\d.,]+k?)(-entry gold lexicon)",
+             f"{s['en_words']}\\1"),
+            (r"(?:\d+\.\d+)(% word-exact incl\. stress)",
+             f"{s['en_word_exact_pct']}\\1"),
+            (r"(?:\d+\.\d+)(% phone)",
+             f"{100 * float(s['en_phone_acc_frac']):.1f}\\1"),
+            (r"(?:~?\d+)( kanji kun/on tables)",
+             f"{s['ja_kanji']}\\1"),
+            (r"(?:~?\d+)( compounds)", f"{s['ja_compounds']}\\1"),
+            (r"(?:\d+)( JA sentences)", f"{s['ja_sentences']}\\1"),
+            (r"(?:\d+)/(?:\d+)( sentence-exact)",
+             f"{s['ja_exact']}/{s['ja_sentences']}\\1"),
+            (r"(?:\d+)( EN words)", f"{s['en_words']}\\1"),
+        ],
+        os.path.join("docs", "text_frontend.md"): [
+            (r"(?:~?[\d.,]+k?)( CMUdict entries)",
+             f"{s['en_words']}\\1"),
+            (r"(measured )(?:0\.\d+)( word-exact WITH stress)",
+             f"\\g<1>{s['en_word_exact_frac']}\\g<2>"),
+            (r"(?:0\.\d+)( phone accuracy)",
+             f"{s['en_phone_acc_frac']}\\1"),
+            (r"(?:\d+)(-word gold set)", f"{s['en_words']}\\1"),
+            (r"(?:≈|~)?\d+( compounds)", f"{s['ja_compounds']}\\1"),
+            (r"(?:~?\d+)( kanji in the kun/on tables)",
+             f"{s['ja_kanji']}\\1"),
+            (r"(?:\d+)(-sentence gold set)",
+             f"{s['ja_sentences']}\\1"),
+            (r"(?:\d+)/(?:\d+)( sentence-exact)",
+             f"{s['ja_exact']}/{s['ja_sentences']}\\1"),
+        ],
+    }
+
+
+def run(write: bool) -> int:
+    stats = compute_stats()
+    print({k: v for k, v in stats.items()})
+    stale = []
+    for rel, rules in _rules(stats).items():
+        path = os.path.join(REPO, rel)
+        text = open(path, encoding="utf-8").read()
+        new = text
+        for pattern, repl in rules:
+            if not re.search(pattern, new):
+                raise SystemExit(
+                    f"{rel}: pattern not found: {pattern!r} — the "
+                    "anchoring prose changed; update gen_frontend_stats"
+                )
+            new = re.sub(pattern, repl, new)
+        if new != text:
+            if write:
+                open(path, "w", encoding="utf-8").write(new)
+                print(f"rewrote {rel}")
+            else:
+                stale.append(rel)
+    if stale:
+        print(f"STALE figures in: {', '.join(stale)} "
+              "(run: python -m tools.gen_frontend_stats --write)")
+        return 1
+    print("docs agree with the tree")
+    return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--check", action="store_true")
+    mode.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+    raise SystemExit(run(write=args.write))
+
+
+if __name__ == "__main__":
+    main()
