@@ -208,6 +208,35 @@ def test_number_conventions_vs_g2p_en():
         assert got == want, (text, want, got)
 
 
+def test_heldout_en_vs_g2p_en(tmp_path):
+    """Score the held-out blind set (tests/heldout_sets.py) against
+    g2p_en as the oracle instead of the hand CMUdict gold — removes
+    hand-annotation noise from the blind EN measurement where the real
+    reference front-end (voice100/text.py:59-71) is installed. The
+    floor is catastrophic-only; the measured agreement is appended to
+    VOICE100_TPU_ORT_REPORT for the CI artifact."""
+    g2p_en = pytest.importorskip("g2p_en")
+    import heldout_sets as hs
+
+    from voice100_tpu.text.g2p import G2P
+
+    ref = g2p_en.G2p()
+    ours = G2P()
+    ours._g2p_en = None
+    total = exact = 0
+    for _reg, word, _gold in hs.en_items():
+        want = [p.rstrip("012") for p in ref(word) if p.strip()]
+        got = [p.rstrip("012") for p in ours(word) if p.strip()]
+        total += 1
+        exact += int(got == want)
+    assert exact / total >= 0.5, f"held-out vs g2p_en {exact}/{total}"
+    report = os.environ.get("VOICE100_TPU_ORT_REPORT")
+    if report:
+        with open(report, "a") as f:
+            f.write(f"heldout_en g2p_en_word_agreement "
+                    f"{exact}/{total}\n")
+
+
 # --- fugashi / MeCab -------------------------------------------------------
 
 def test_japanese_readings_vs_fugashi():

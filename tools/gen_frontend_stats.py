@@ -64,8 +64,41 @@ def compute_stats() -> dict:
             "".join(y or w for w, y in reader.tokens(text)))
         ja_exact += int(got == gold)
 
+    # held-out blind sets (tests/heldout_sets.py): full-pipeline
+    # accuracy, same protocol as tests/test_heldout.py
+    import heldout_sets as hs
+
+    full = G2P()
+    full._g2p_en = None
+    ho_total = ho_strip = ho_stress = ho_inlex = 0
+    for _reg, word, gold in hs.en_items():
+        got = [p for p in full(word) if p.strip()]
+        goldl = gold.split()
+        ho_total += 1
+        ho_inlex += int(word in _LEXICON)
+        ho_strip += int([p.rstrip("012") for p in got]
+                        == [p.rstrip("012") for p in goldl])
+        ho_stress += int(got == goldl)
+    ja_ho_total = ja_ho_exact = ja_ho_hit = ja_ho_denom = 0
+    from voice100_tpu.text.japanese.kana import hira2kata as h2k
+
+    for _reg, text, gold in hs.ja_items():
+        got = h2k("".join(y or w for w, y in reader.tokens(text)))
+        ja_ho_total += 1
+        ja_ho_exact += int(got == gold)
+        sm = difflib.SequenceMatcher(a=gold, b=got)
+        ja_ho_hit += sum(b.size for b in sm.get_matching_blocks())
+        ja_ho_denom += max(len(gold), len(got))
+
     kanji = sorted(set(readings.KUN) | set(readings.ON))
     return {
+        "heldout_en_total": ho_total,
+        "heldout_en_inlex": ho_inlex,
+        "heldout_en_stripped": f"{ho_strip / ho_total:.3f}",
+        "heldout_en_stress": f"{ho_stress / ho_total:.3f}",
+        "heldout_ja_total": ja_ho_total,
+        "heldout_ja_exact": f"{ja_ho_exact / ja_ho_total:.3f}",
+        "heldout_ja_char": f"{ja_ho_hit / ja_ho_denom:.3f}",
         "en_words": total,
         "en_word_exact_pct": f"{100.0 * with_stress / total:.1f}",
         "en_word_exact_frac": f"{with_stress / total:.3f}",
@@ -124,6 +157,20 @@ def _rules(stats: dict):
              f"{s['ja_sentences']}\\1"),
             (r"(?:\d+)/(?:\d+)( sentence-exact)",
              f"{s['ja_exact']}/{s['ja_sentences']}\\1"),
+            # held-out blind section
+            (r"(?:\d+)( EN words and )(?:\d+)(\s+JA sentences)",
+             f"{s['heldout_en_total']}\\g<1>"
+             f"{s['heldout_ja_total']}\\g<2>"),
+            (r"(?:0\.\d+)( word-exact\s+stripped)",
+             f"{s['heldout_en_stripped']}\\1"),
+            (r"(?:0\.\d+)( word-exact with stress)",
+             f"{s['heldout_en_stress']}\\1"),
+            (r"\((?:\d+)/(?:\d+)( held-out words)",
+             f"({s['heldout_en_inlex']}/{s['heldout_en_total']}\\1"),
+            (r"(?:0\.\d+)( held-out sentence-exact)",
+             f"{s['heldout_ja_exact']}\\1"),
+            (r"(?:0\.\d+)( held-out char accuracy)",
+             f"{s['heldout_ja_char']}\\1"),
         ],
     }
 
