@@ -116,6 +116,80 @@ def test_parse_wav_keep_int16_matches_float():
     )
 
 
+def test_concurrent_requests_micro_batch():
+    """N concurrent clients must ride ONE batched device dispatch (the
+    micro-batcher flushes them together) and each response must equal
+    the sequential per-request result."""
+    import concurrent.futures as cf
+
+    n = 4
+    model = AudioToAlignText(
+        audio_size=64, vocab_size=29,
+        encoder_settings=((16, False, 3, 2, 1, False),),
+        decoder_num_layers=1, decoder_hidden_size=16,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 51, 64)), jnp.asarray([51])
+    )
+    pipeline = ASRPipeline(model, variables, batch_size=n,
+                           buckets_sec=(0.5, 1.0))
+    rng = np.random.RandomState(7)
+    wavs = [(rng.randn(8000) * 0.2).astype(np.float32)
+            for _ in range(n)]
+    sequential = [pipeline.transcribe([w])[0] for w in wavs]
+
+    # generous window so all n clients land in one flush even when the
+    # first device dispatch is still compiling
+    server = SpeechServer(pipeline, None, port=0,
+                          batch_window_ms=2000.0)
+    port = server.start()
+    try:
+        # warm the jit so the timed flush window isn't competing with
+        # compilation
+        _request(port, "POST", "/transcribe",
+                 body=write_wav_bytes(wavs[0], 16000))
+        server.asr_batcher.batch_sizes.clear()
+        with cf.ThreadPoolExecutor(n) as pool:
+            results = list(pool.map(
+                lambda w: _request(port, "POST", "/transcribe",
+                                   body=write_wav_bytes(w, 16000)),
+                wavs,
+            ))
+        texts = [json.loads(data)["text"]
+                 for status, _, data in results]
+        assert all(status == 200 for status, _, _ in results)
+        assert texts == sequential
+        # one batched dispatch carried all n concurrent requests
+        assert server.asr_batcher.batch_sizes == [n], (
+            server.asr_batcher.batch_sizes)
+    finally:
+        server.stop()
+
+
+def test_micro_batcher_propagates_errors_and_closes():
+    from voice100_tpu.server import MicroBatcher
+
+    calls = []
+
+    def fn(items):
+        calls.append(len(items))
+        if items[0] == "boom":
+            raise ValueError("kaput")
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(fn, max_batch=4, flush_ms=1.0)
+    try:
+        assert b.submit(3) == 6
+        import pytest
+
+        with pytest.raises(ValueError, match="kaput"):
+            b.submit("boom")
+    finally:
+        b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(1)
+
+
 def test_server_without_models_rejects():
     server = SpeechServer(None, None, port=0)
     port = server.start()

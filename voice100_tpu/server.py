@@ -20,21 +20,109 @@ Start:
       [--tts_align_config/--tts_align_ckpt \
        --tts_audio_config/--tts_audio_ckpt] [--port 8080]
 
-Requests are served sequentially by design (the jitted pipelines batch
-internally; scale-out is one process per chip, DP via
-ASRPipeline(mesh=...) inside a process).
+Concurrent requests MICRO-BATCH: the HTTP layer is threaded, request
+bodies decode in parallel, and a per-endpoint batcher queues decoded
+inputs and flushes them into ONE batched pipeline call by size
+(pipeline batch size) or timeout (``--batch_window_ms``, default 10).
+Per-request results are identical to sequential serving — the batched
+pipelines are row-independent (pinned by tests/test_server.py).
+Scale-out stays one process per chip, DP via ASRPipeline(mesh=...)
+inside a process.
 """
 
 from __future__ import annotations
 
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
-from typing import Optional
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["SpeechServer", "cli_main"]
+__all__ = ["MicroBatcher", "SpeechServer", "cli_main"]
+
+
+class _Slot:
+    __slots__ = ("event", "result", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Flush concurrent single-item requests into one batched call.
+
+    ``fn(list_of_inputs) -> list_of_outputs`` runs on a dedicated
+    worker thread. A batch dispatches when ``max_batch`` items are
+    queued or ``flush_ms`` after the first queued item, whichever
+    comes first — a lone request pays at most the flush window, and
+    concurrent requests ride one device dispatch instead of
+    serializing. ``batch_sizes`` records each dispatched batch's size
+    (observability + tests)."""
+
+    def __init__(self, fn, max_batch: int = 8,
+                 flush_ms: float = 10.0) -> None:
+        self._fn = fn
+        self._max = max(1, int(max_batch))
+        self._flush_s = max(0.0, flush_ms) / 1000.0
+        self._items: List = []
+        self._cond = threading.Condition()
+        self._stop = False
+        self.batch_sizes: List[int] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, item):
+        slot = _Slot()
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("MicroBatcher is closed")
+            self._items.append((item, slot))
+            self._cond.notify_all()
+        slot.event.wait()
+        if slot.error is not None:
+            raise slot.error
+        return slot.result
+
+    def close(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join(timeout=5)
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._items and not self._stop:
+                    self._cond.wait()
+                if self._stop and not self._items:
+                    return
+                deadline = time.monotonic() + self._flush_s
+                while len(self._items) < self._max and not self._stop:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(remaining)
+                batch = self._items[: self._max]
+                del self._items[: self._max]
+            self.batch_sizes.append(len(batch))
+            try:
+                outs = self._fn([item for item, _ in batch])
+                if len(outs) != len(batch):
+                    raise RuntimeError(
+                        f"batched fn returned {len(outs)} results "
+                        f"for {len(batch)} inputs"
+                    )
+                for (_, slot), out in zip(batch, outs):
+                    slot.result = out
+                    slot.event.set()
+            except Exception as e:  # deliver to every waiter
+                for _, slot in batch:
+                    slot.error = e
+                    slot.event.set()
 
 
 class SpeechServer:
@@ -46,13 +134,34 @@ class SpeechServer:
         tts_pipeline=None,
         host: str = "127.0.0.1",
         port: int = 8080,
+        batch_window_ms: float = 10.0,
     ) -> None:
         self.asr = asr_pipeline
         self.tts = tts_pipeline
         self.host = host
         self.port = port
-        self._httpd: Optional[HTTPServer] = None
+        self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        # cross-request micro-batching: only the framework pipelines
+        # take input LISTS (the Onnx* classes are single-item); cap the
+        # batch at the pipeline's own padding bucket so a flush never
+        # splits into multiple device batches internally.
+        self.asr_batcher = None
+        if asr_pipeline is not None and hasattr(asr_pipeline,
+                                                "batch_size"):
+            self.asr_batcher = MicroBatcher(
+                asr_pipeline.transcribe,
+                max_batch=asr_pipeline.batch_size,
+                flush_ms=batch_window_ms,
+            )
+        self.tts_batcher = None
+        if tts_pipeline is not None and hasattr(tts_pipeline,
+                                                "frame_buckets"):
+            self.tts_batcher = MicroBatcher(
+                tts_pipeline.synthesize,
+                max_batch=getattr(tts_pipeline, "batch_size", 8),
+                flush_ms=batch_window_ms,
+            )
 
     # -- request handling -------------------------------------------------
     def _decode_audio_body(self, body: bytes, headers) -> np.ndarray:
@@ -82,8 +191,8 @@ class SpeechServer:
         if self.asr is None:
             raise LookupError("no ASR model loaded")
         wav = self._decode_audio_body(body, headers)
-        if hasattr(self.asr, "batch_size"):  # ASRPipeline
-            text = self.asr.transcribe([wav])[0]
+        if self.asr_batcher is not None:  # ASRPipeline, micro-batched
+            text = self.asr_batcher.submit(wav)
         else:  # OnnxASR (float-only frontend)
             if wav.dtype == np.int16:
                 wav = wav.astype(np.float32) * (1.0 / 32768.0)
@@ -95,10 +204,8 @@ class SpeechServer:
             raise LookupError("no TTS model loaded")
         payload = json.loads(body.decode("utf-8"))
         text = payload["text"]
-        if hasattr(self.tts, "synthesize") and hasattr(
-            self.tts, "frame_buckets"
-        ):  # TTSPipeline (batched)
-            wav = self.tts.synthesize([text])[0]
+        if self.tts_batcher is not None:  # TTSPipeline, micro-batched
+            wav = self.tts_batcher.submit(text)
         else:  # OnnxTTS
             wav = self.tts.synthesize(text)
         from .dsp.wav import write_wav_bytes
@@ -159,8 +266,9 @@ class SpeechServer:
 
     def start(self) -> int:
         """Start serving on a background thread; returns the bound port."""
-        self._httpd = HTTPServer((self.host, self.port),
-                                 self._make_handler())
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._make_handler())
+        self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
@@ -173,6 +281,9 @@ class SpeechServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        for batcher in (self.asr_batcher, self.tts_batcher):
+            if batcher is not None:
+                batcher.close()
 
     def serve_forever(self) -> None:
         """Blocking variant of start() (same bind/handler path)."""
@@ -224,6 +335,11 @@ def cli_main(argv=None) -> None:
     parser.add_argument("--lm_bonus", type=float, default=0.0)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--batch_window_ms", type=float, default=10.0,
+        help="micro-batch flush window: concurrent requests arriving "
+             "within this window share one batched device dispatch",
+    )
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
 
@@ -262,7 +378,8 @@ def cli_main(argv=None) -> None:
     if asr is None and tts is None:
         raise SystemExit("load at least one model (--asr_config/--asr_ckpt"
                          " or the four --tts_* flags)")
-    SpeechServer(asr, tts, host=args.host, port=args.port).serve_forever()
+    SpeechServer(asr, tts, host=args.host, port=args.port,
+                 batch_window_ms=args.batch_window_ms).serve_forever()
 
 
 if __name__ == "__main__":
