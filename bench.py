@@ -149,16 +149,12 @@ def _tts_ckpts(workdir: str):
     )
 
 
-def _tts_bench():
-    """TTS serving RTF with overfit-trained weights: text -> durations
-    -> aligned text -> WORLD features -> waveform, all on-device.
-    Durations, F0, and voicing gates come from trained checkpoints."""
-    from voice100_tpu.ops.duration import expand_alignment_batch
-    from voice100_tpu.dsp.world.synthesis import synthesize_fn
+def _tts_setup():
+    """Shared TTS-serving bench setup: overfit checkpoints pinned on
+    device, a tokenized text batch, and the decode constants."""
     from voice100_tpu.dsp.world.codec import decode_aperiodicity
     from voice100_tpu.dsp.mcep import create_mc2sp_matrix
     from voice100_tpu.text import get_tokenizer
-    from voice100_tpu.models import TextToAlignText, AlignTextToAudio
 
     workdir = os.environ.get(
         "VOICE100_TPU_BENCH_TTS_DIR", "/tmp/voice100_tpu_bench_tts"
@@ -196,6 +192,20 @@ def _tts_bench():
             np.full((1, 1), -30.0), 16000, 512
         )[0].astype(np.float32)
     )
+    return (align, align_vars, audio, audio_vars, tokenizer, sentences,
+            text, text_len, mc2sp, ap_row, batch, out_frames)
+
+
+def _tts_bench():
+    """TTS serving RTF with overfit-trained weights: text -> durations
+    -> aligned text -> WORLD features -> waveform, all on-device.
+    Durations, F0, and voicing gates come from trained checkpoints."""
+    from voice100_tpu.ops.duration import expand_alignment_batch
+    from voice100_tpu.dsp.world.synthesis import synthesize_fn
+    from voice100_tpu.models import TextToAlignText, AlignTextToAudio
+
+    (align, align_vars, audio, audio_vars, _tok, _sent, text, text_len,
+     mc2sp, ap_row, batch, out_frames) = _tts_setup()
 
     @jax.jit
     def synth(align_vars, audio_vars, text, text_len, key):
@@ -245,6 +255,120 @@ def _tts_bench():
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 50.0, 3),
+    }
+
+
+def _tts_profile():
+    """Per-stage decomposition of the TTS serving path (the ASR metric
+    got one in round 3; VERDICT round-3 item 3 asked for the same
+    here): tokenize -> align forward -> duration expansion -> acoustic
+    forward -> WORLD synthesis -> waveform fetch, each timed as its own
+    jitted program on the SAME shapes as --metric tts. Prints one JSON
+    line whose note carries the breakdown (seconds per call and RTF
+    per stage)."""
+    from voice100_tpu.ops.duration import expand_alignment_batch
+    from voice100_tpu.dsp.world.synthesis import synthesize_fn
+    from voice100_tpu.models import TextToAlignText, AlignTextToAudio
+
+    (align, align_vars, audio, audio_vars, tokenizer, sentences, text,
+     text_len, mc2sp, ap_row, batch, out_frames) = _tts_setup()
+    key = jax.random.PRNGKey(2)
+
+    dur_fn = jax.jit(lambda v, t, n: align.apply(
+        v, t, n, method=TextToAlignText.predict))
+    expand_fn = jax.jit(lambda t, d, n: expand_alignment_batch(
+        t, d, n, out_frames))
+    ac_fn = jax.jit(lambda v, a, n: audio.apply(
+        v, a, n, method=AlignTextToAudio.predict))
+
+    @jax.jit
+    def synth_fn(f0, mcep, codeap, key):
+        f0 = jnp.clip(f0, 0.0, 400.0)
+        spc = jnp.exp(jnp.clip(mcep @ mc2sp, -30, 5))
+        ap = jnp.broadcast_to(ap_row[None, None, :], spc.shape)
+        keys = jax.random.split(key, batch)
+        return jax.vmap(
+            lambda a, b, c, k: synthesize_fn(
+                a, b, c, fs=16000, frame_period=10.0, noise_key=k
+            )
+        )(f0, spc, ap, keys)
+
+    @jax.jit
+    def to_i16(wav):
+        return jnp.clip(wav * 32767.0, -32768, 32767).astype(jnp.int16)
+
+    # materialize each stage's input once on device
+    durations = jax.block_until_ready(dur_fn(align_vars, text, text_len))
+    aligntext, aligntext_len = expand_fn(text, durations, text_len)
+    f0, mcep, codeap = ac_fn(audio_vars, aligntext, aligntext_len)
+    wav = jax.block_until_ready(synth_fn(f0, mcep, codeap, key))
+    _ = np.asarray(to_i16(wav[:1, :4]))
+    n_samples = wav.shape[-1]
+    audio_seconds = batch * (n_samples / 16000.0)
+
+    def timed(fn, fetch, iters=30):
+        """min-of-3 per-call seconds with the single-dispatch overhead
+        subtracted (the tunneled backend's block_until_ready returns
+        early, so a tiny host fetch forces completion)."""
+        def window(n):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn()
+            fetch(out)
+            return time.perf_counter() - t0
+
+        window(1)  # compile/warm
+        e_n = min(window(iters) for _ in range(3))
+        e_1 = min(window(1), window(1))
+        return max(e_n - e_1, 1e-9) / (iters - 1)
+
+    def tiny(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+
+    stages = {}
+    t0 = time.perf_counter()
+    reps = 50
+    for _ in range(reps):
+        for i in range(batch):
+            tokenizer.encode(sentences[i % len(sentences)])
+    stages["tokenize_host"] = (time.perf_counter() - t0) / reps
+    stages["align_forward"] = timed(
+        lambda: dur_fn(align_vars, text, text_len), tiny)
+    stages["expand"] = timed(
+        lambda: expand_fn(text, durations, text_len), tiny)
+    stages["acoustic_forward"] = timed(
+        lambda: ac_fn(audio_vars, aligntext, aligntext_len), tiny)
+    stages["world_synthesis"] = timed(
+        lambda: synth_fn(f0, mcep, codeap, key), tiny)
+    stages["fetch_f32"] = timed(
+        lambda: wav, lambda out: np.asarray(out), iters=10)
+    stages["fetch_i16"] = timed(
+        lambda: to_i16(wav), lambda out: np.asarray(out), iters=10)
+
+    compute = sum(stages[k] for k in (
+        "tokenize_host", "align_forward", "expand",
+        "acoustic_forward", "world_synthesis"))
+    total = compute + stages["fetch_i16"]
+    breakdown = {
+        k: {"s_per_call": round(v, 5),
+            "rtf": round(audio_seconds / max(v, 1e-9), 1)}
+        for k, v in stages.items()
+    }
+    return {
+        "metric": "tts_en_base_serving_profile",
+        "value": round(audio_seconds / total, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(audio_seconds / total / 50.0, 3),
+        "note": {
+            "audio_seconds_per_batch": round(audio_seconds, 2),
+            "stages": breakdown,
+            "compute_only_rtf": round(audio_seconds / compute, 1),
+            "with_i16_fetch_rtf": round(audio_seconds / total, 1),
+            "with_f32_fetch_rtf": round(
+                audio_seconds / (compute + stages["fetch_f32"]), 1),
+        },
     }
 
 
@@ -755,8 +879,8 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--metric", default="asr",
-        choices=["asr", "tts", "train", "train_tts", "train_loader",
-                 "align", "beam", "all"],
+        choices=["asr", "tts", "tts_profile", "train", "train_tts",
+                 "train_loader", "align", "beam", "all"],
     )
     parser.add_argument("--precision", default="32",
                         choices=["32", "16", "bf16"])
@@ -782,6 +906,8 @@ def main() -> None:
         result = _flagship_asr()
     elif args.metric == "tts":
         result = _tts_bench()
+    elif args.metric == "tts_profile":
+        result = _tts_profile()
     elif args.metric == "train_tts":
         result = _train_tts_bench(args.precision)
     elif args.metric == "align":
