@@ -257,7 +257,7 @@ def test_tts_to_asr_round_trip(tmp_path):
         decoder_num_layers=1, decoder_hidden_size=64,
     )
     asr_vars, asr_loss = overfit(
-        asr_model, next(iter(asr_data.train_dataloader())), 500)
+        asr_model, next(iter(asr_data.train_dataloader())), 800)
     assert asr_loss < 0.35, asr_loss
 
     # --- synthesize and transcribe -----------------------------------
