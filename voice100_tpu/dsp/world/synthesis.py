@@ -122,28 +122,67 @@ def _synth_impl(
 
     # --- per-sample F0 (linear interp between frames; default rate in
     # unvoiced spans so noise segments tile the gap)
-    sample_pos = jnp.arange(out_len) / hop  # fractional frame index
-    fr0 = jnp.clip(jnp.floor(sample_pos).astype(jnp.int32), 0, n_frames - 1)
-    fr1 = jnp.minimum(fr0 + 1, n_frames - 1)
-    w = sample_pos - fr0
-    f0_a, f0_b = f0[fr0], f0[fr1]
-    voiced_a, voiced_b = f0_a > 0, f0_b > 0
-    f0_interp = jnp.where(
-        voiced_a & voiced_b,
-        f0_a * (1 - w) + f0_b * w,
-        jnp.where(voiced_a, f0_a, jnp.where(voiced_b, f0_b, 0.0)),
-    )
+    if hop == int(hop):
+        # integer hop: the frame-index pattern repeats every hop
+        # samples, so frame values broadcast by a static repeat and the
+        # [out_len]-sized table gather never materializes
+        H = int(hop)
+        reps = (out_len + H - 1) // H
+        f0_a = jnp.repeat(
+            f0[jnp.minimum(jnp.arange(reps), n_frames - 1)][:, None],
+            H, axis=1)
+        f0_b = jnp.repeat(
+            f0[jnp.minimum(jnp.arange(reps) + 1, n_frames - 1)][:, None],
+            H, axis=1)
+        w = (jnp.arange(H) / hop)[None, :]
+        voiced_a, voiced_b = f0_a > 0, f0_b > 0
+        f0_interp = jnp.where(
+            voiced_a & voiced_b,
+            f0_a * (1 - w) + f0_b * w,
+            jnp.where(voiced_a, f0_a, jnp.where(voiced_b, f0_b, 0.0)),
+        ).reshape(-1)[:out_len]
+    else:
+        sample_pos = jnp.arange(out_len) / hop  # fractional frame index
+        fr0 = jnp.clip(
+            jnp.floor(sample_pos).astype(jnp.int32), 0, n_frames - 1)
+        fr1 = jnp.minimum(fr0 + 1, n_frames - 1)
+        w = sample_pos - fr0
+        f0_a, f0_b = f0[fr0], f0[fr1]
+        voiced_a, voiced_b = f0_a > 0, f0_b > 0
+        f0_interp = jnp.where(
+            voiced_a & voiced_b,
+            f0_a * (1 - w) + f0_b * w,
+            jnp.where(voiced_a, f0_a, jnp.where(voiced_b, f0_b, 0.0)),
+        )
     rate = jnp.where(f0_interp > 0, f0_interp, _DEFAULT_F0)
     # clamp to the pulse-capacity assumption (see synthesize_fn)
     rate = jnp.clip(rate, 40.0, 420.0)
 
-    # --- pulse positions from wrapped cumulative phase
+    # --- pulse positions from wrapped cumulative phase.
+    # jnp.nonzero(size=P) lowers to a 160k-element scatter (11.6 ms of
+    # the 30 ms call on v5e); instead exploit that pulses are at least
+    # floor(fs/420) samples apart, so fixed chunks of at most that many
+    # samples hold <= 1 pulse each: reduce per chunk (dense VPU ops),
+    # then compact only the ~out_len/C chunk slots with a tiny scatter.
     phase = jnp.cumsum(rate / fs)
     wraps = jnp.floor(phase)
     is_pulse = jnp.concatenate(
         [jnp.ones((1,), bool), (wraps[1:] - wraps[:-1]) >= 1.0]
     )
-    pulse_pos = jnp.nonzero(is_pulse, size=max_pulses, fill_value=-1)[0]
+    C = min(32, int(fs / 420.0))
+    n_chunks = (out_len + C - 1) // C
+    chunks = jnp.pad(is_pulse, (0, n_chunks * C - out_len)).reshape(
+        n_chunks, C)
+    has = jnp.any(chunks, axis=1)
+    first = jnp.argmax(chunks, axis=1)
+    cpos = (jnp.arange(n_chunks, dtype=jnp.int32) * C
+            + first.astype(jnp.int32))
+    rank = jnp.cumsum(has.astype(jnp.int32))
+    slot = jnp.where(has, rank - 1, max_pulses + 8)  # parked -> dropped
+    pulse_pos = (
+        jnp.full((max_pulses,), -1, jnp.int32)
+        .at[slot].set(cpos, mode="drop")
+    )
     valid = pulse_pos >= 0
     safe_pos = jnp.maximum(pulse_pos, 0)
 
