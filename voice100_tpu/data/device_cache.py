@@ -229,3 +229,40 @@ class DeviceFeatureCache:
         """Iterate one epoch of device-resident batches."""
         for indices, batch in loader.iter_with_indices():
             yield self.place(indices, batch)
+
+    # -- multi-step scan support (training/trainer.py steps_per_dispatch)
+
+    @property
+    def store(self):
+        """The device-resident store pytree (None before first place)."""
+        return self._store
+
+    def gather_rows(self, store, idx):
+        """Pure batch assembly at the store's FULL extents — traceable
+        inside jit/lax.scan (unlike :meth:`place`, which slices to the
+        requesting bucket on host). Rows beyond their true extent hold
+        the collate pad value, and lengths are stored rows themselves,
+        so masked training losses match host collation."""
+        leaves = jax.tree_util.tree_leaves(store)
+        return jax.tree_util.tree_unflatten(
+            self._treedef, [s[idx] for s in leaves]
+        )
+
+    def epoch_index_matrix(self, loader):
+        """The epoch's batches as a ``[n_batches, B]`` int32 row-index
+        matrix (after ``loader.set_epoch``), or ``None`` when the epoch
+        cannot be served by pure device gathers: store absent or not
+        yet fully cached (the warm epoch must stream through
+        :meth:`place`), or ragged batch rows (no ``pad_to_full`` and a
+        tail batch). When this returns a matrix, the entire epoch needs
+        no host decode, collate, or feature upload — only these indices
+        cross the link."""
+        if self._store is None or not self.complete:
+            return None
+        chunks = loader._epoch_index_chunks()
+        if not chunks:
+            return None
+        rows = [loader._effective_indices(idx) for idx in chunks]
+        if any(len(r) != len(rows[0]) for r in rows[1:]):
+            return None
+        return np.stack(rows).astype(np.int32)

@@ -85,6 +85,18 @@ class TrainerConfig:
     # hard cap for the device cache store (bytes); raises early instead
     # of OOMing mid-epoch when the corpus doesn't fit.
     device_cache_max_bytes: int = 8 * 1024**3
+    # with device_cache: once every row is HBM-resident, run up to this
+    # many train steps per jitted dispatch (lax.scan over the epoch's
+    # batch row-index matrix, batches assembled by on-device gather
+    # inside the scan). Steady-state epochs then pay ONE dispatch and
+    # one tiny index upload per chunk instead of a gather+step dispatch
+    # round trip per step — the difference between ~4.2k and ~17k
+    # audio-s/s over a remote host->device link (bench.py
+    # --metric train_loader). Warm epochs, incomplete caches, ragged
+    # tail batches, and profile_dir runs fall back to the per-step
+    # path. RNG consumption is identical to the per-step path, so
+    # training trajectories match exactly at a fixed collate bucket.
+    steps_per_dispatch: int = 1
 
 
 @dataclass
@@ -120,8 +132,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_step_fns(self, task: Task, optimizer):
-        @partial(jax.jit, donate_argnums=(0, 2))
-        def train_step(params, extra, opt_state, batch, rng):
+        def step_body(params, extra, opt_state, batch, rng):
             # half-precision uploads (bf16 upload_dtype / f16 feature
             # cache) are upcast inside Task.loss/init — the compiled
             # step sees f32 math either way
@@ -139,6 +150,9 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, new_extra, opt_state, metrics
 
+        train_step = partial(jax.jit, donate_argnums=(0, 2))(step_body)
+        self._step_body = step_body  # shared by the scan dispatcher
+
         @jax.jit
         def eval_step(params, extra, batch):
             loss, metrics, _ = task.loss(
@@ -147,6 +161,34 @@ class Trainer:
             return metrics
 
         return train_step, eval_step
+
+    def _make_scan_fn(self, cache):
+        """Multi-step dispatcher: scan the per-step body over a
+        ``[k, B]`` row-index matrix, assembling each step's batch by
+        on-device gather from the HBM feature store. One host dispatch
+        (and one tiny index upload) per chunk; the per-step RNG split
+        sequence is replicated exactly, so the trajectory matches the
+        per-step path."""
+        step_body = self._step_body
+        gather = cache.gather_rows
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def multi_step(params, extra, opt_state, rng, store, idx_mat):
+            def body(carry, idx):
+                params, extra, opt_state, rng = carry
+                rng, step_rng = jax.random.split(rng)
+                batch = gather(store, idx)
+                params, extra, opt_state, metrics = step_body(
+                    params, extra, opt_state, batch, step_rng
+                )
+                return (params, extra, opt_state, rng), metrics
+
+            (params, extra, opt_state, rng), metrics = jax.lax.scan(
+                body, (params, extra, opt_state, rng), idx_mat
+            )
+            return params, extra, opt_state, rng, metrics
+
+        return multi_step
 
     # ------------------------------------------------------------------
     def fit(
@@ -409,10 +451,67 @@ class Trainer:
 
     def _fit_loop(self, cfg, task, model, datamodule, state, rng,
                   train_loader, val_loader, train_step, eval_step):
+        scan_fn = None
         for epoch in range(state.epoch, cfg.max_epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
             running = None
+            # multi-step scan dispatch: once the HBM feature cache holds
+            # every row, the epoch is a row-index matrix — no host
+            # decode/collate/upload, one dispatch per chunk of steps
+            plan = cache = None
+            if cfg.steps_per_dispatch > 1 and not cfg.profile_dir:
+                cache = self._device_cache(train_loader)
+                if cache is not None:
+                    plan = cache.epoch_index_matrix(train_loader)
+            if plan is not None:
+                if scan_fn is None:
+                    scan_fn = self._make_scan_fn(cache)
+                    self._log({
+                        "event": "scan_dispatch",
+                        "steps_per_dispatch": int(cfg.steps_per_dispatch),
+                        "batches_per_epoch": len(plan),
+                    })
+                for start in range(0, len(plan),
+                                   int(cfg.steps_per_dispatch)):
+                    chunk = plan[start:start + int(cfg.steps_per_dispatch)]
+                    rng, metrics, state = self._scan_chunk(
+                        scan_fn, cache, chunk, state, rng)
+                    prev = state.step - len(chunk)
+                    if prev == 0:
+                        from ..ops import ctc as _ctc, lstm as _lstm
+
+                        self._log({
+                            "event": "kernel_path",
+                            "lstm": _lstm.last_kernel_mode() or "n/a",
+                            "ctc": _ctc.last_kernel_mode() or "n/a",
+                        })
+                    if (prev // cfg.log_every_n_steps
+                            != state.step // cfg.log_every_n_steps):
+                        logged = {
+                            k: float(np.mean(np.asarray(v)))
+                            for k, v in metrics.items()
+                        }
+                        self._log({
+                            "epoch": epoch, "step": state.step,
+                            **{f"train_{k}": v for k, v in logged.items()},
+                        })
+                    running = jax.tree_util.tree_map(
+                        lambda m: m[-1], metrics)
+                    if self._stop_requested:
+                        self._log({"event": "stopped", "epoch": epoch,
+                                   "step": state.step})
+                        state.epoch = epoch  # resume re-runs this epoch
+                        if cfg.checkpoint_dir and cfg.save_last:
+                            save_checkpoint(
+                                os.path.join(cfg.checkpoint_dir, "last"),
+                                state,
+                            )
+                        return state
+                self._epoch_tail(cfg, task, model, datamodule, state,
+                                 epoch, t0, running, val_loader,
+                                 eval_step)
+                continue
             for batch in self._prefetched(train_loader):
                 rng, step_rng = jax.random.split(rng)
                 if cfg.profile_dir and state.step == 2:
@@ -459,58 +558,77 @@ class Trainer:
                     self._log({"epoch": epoch, "step": state.step,
                                **{f"train_{k}": v for k, v in metrics.items()}})
                 running = metrics
-            train_time = time.time() - t0
-
-            monitor_value = None
-            val_metrics = {}
-            epoch_record = {
-                "epoch": epoch,
-                "step": state.step,
-                "train_time_s": round(train_time, 2),
-            }
-            lr_schedule = getattr(task, "lr_schedule", None)
-            if lr_schedule is not None:
-                epoch_record["lr"] = float(lr_schedule(state.step))
-            if running is not None:
-                epoch_record["train_loss"] = float(running["loss"])
-            if val_loader is not None and len(val_loader) > 0:
-                val_metrics = self.evaluate(eval_step, state, val_loader)
-                rates = self._val_cer(model, datamodule, state,
-                                      val_loader)
-                if rates is not None:
-                    val_metrics.update(rates)
-                epoch_record.update(
-                    {f"val_{k}": v for k, v in val_metrics.items()}
-                )
-            self._log(epoch_record)
-            if cfg.monitor == "val_loss":
-                monitor_value = val_metrics.get("loss")
-            else:
-                monitor_value = (running or {}).get("loss")
-                if monitor_value is not None:
-                    monitor_value = float(monitor_value)
-
-            state.epoch = epoch + 1
-            if cfg.checkpoint_dir:
-                is_best = (
-                    monitor_value is not None
-                    and monitor_value < state.best_monitor
-                )
-                if is_best:
-                    state.best_monitor = monitor_value
-                    save_checkpoint(
-                        os.path.join(cfg.checkpoint_dir, "best"), state
-                    )
-                if cfg.save_last:
-                    save_checkpoint(
-                        os.path.join(cfg.checkpoint_dir, "last"), state
-                    )
-                if (epoch + 1) % cfg.every_n_epochs == 0:
-                    save_checkpoint(
-                        os.path.join(cfg.checkpoint_dir, f"epoch_{epoch + 1}"),
-                        state,
-                    )
+            self._epoch_tail(cfg, task, model, datamodule, state, epoch,
+                             t0, running, val_loader, eval_step)
         return state
+
+    def _scan_chunk(self, scan_fn, cache, chunk, state, rng):
+        """One multi-step dispatch: len(chunk) train steps in a single
+        jitted scan (see _make_scan_fn)."""
+        (state.params, state.extra, state.opt_state, rng, metrics) = (
+            scan_fn(
+                state.params, state.extra, state.opt_state, rng,
+                cache.store, chunk,
+            )
+        )
+        state.step += len(chunk)
+        return rng, metrics, state
+
+    def _epoch_tail(self, cfg, task, model, datamodule, state, epoch,
+                    t0, running, val_loader, eval_step):
+        """Per-epoch bookkeeping shared by the per-step and scan paths:
+        the epoch record, validation, and checkpointing."""
+        train_time = time.time() - t0
+
+        monitor_value = None
+        val_metrics = {}
+        epoch_record = {
+            "epoch": epoch,
+            "step": state.step,
+            "train_time_s": round(train_time, 2),
+        }
+        lr_schedule = getattr(task, "lr_schedule", None)
+        if lr_schedule is not None:
+            epoch_record["lr"] = float(lr_schedule(state.step))
+        if running is not None:
+            epoch_record["train_loss"] = float(running["loss"])
+        if val_loader is not None and len(val_loader) > 0:
+            val_metrics = self.evaluate(eval_step, state, val_loader)
+            rates = self._val_cer(model, datamodule, state,
+                                  val_loader)
+            if rates is not None:
+                val_metrics.update(rates)
+            epoch_record.update(
+                {f"val_{k}": v for k, v in val_metrics.items()}
+            )
+        self._log(epoch_record)
+        if cfg.monitor == "val_loss":
+            monitor_value = val_metrics.get("loss")
+        else:
+            monitor_value = (running or {}).get("loss")
+            if monitor_value is not None:
+                monitor_value = float(monitor_value)
+
+        state.epoch = epoch + 1
+        if cfg.checkpoint_dir:
+            is_best = (
+                monitor_value is not None
+                and monitor_value < state.best_monitor
+            )
+            if is_best:
+                state.best_monitor = monitor_value
+                save_checkpoint(
+                    os.path.join(cfg.checkpoint_dir, "best"), state
+                )
+            if cfg.save_last:
+                save_checkpoint(
+                    os.path.join(cfg.checkpoint_dir, "last"), state
+                )
+            if (epoch + 1) % cfg.every_n_epochs == 0:
+                save_checkpoint(
+                    os.path.join(cfg.checkpoint_dir, f"epoch_{epoch + 1}"),
+                    state,
+                )
 
     # ------------------------------------------------------------------
     def evaluate(self, eval_step, state: TrainState, loader) -> Dict[str, float]:
