@@ -340,6 +340,31 @@ def test_numpy_synthesis_matches_jax_periodic():
     assert float(np.median(diff)) < 1e-5
 
 
+def test_numpy_synthesis_matches_jax_periodic_22k():
+    """Same parity at the 22.05 kHz JA spec: fractional hop (220.5
+    samples, the gather interpolation branch), fft_size=1024 Fourier
+    matrices, and the int32 phase-twist range at the larger grid."""
+    from voice100_tpu.dsp.world.synthesis import synthesize
+    from voice100_tpu.dsp.world.synthesis_np import synthesize_np
+
+    n_frames, n_fft, fs = 60, 1024, 22050
+    t = np.arange(n_frames) * 0.01
+    f0 = 180.0 * (1.0 + 0.05 * np.sin(2 * np.pi * 2.0 * t))
+    freqs = np.arange(n_fft // 2 + 1) * fs / n_fft
+    env = np.exp(-0.5 * ((freqs - 900.0) / 400.0) ** 2) + 1e-7
+    spc = np.tile(env[None, :], (n_frames, 1))
+    ap = np.full((n_frames, n_fft // 2 + 1), 1e-6)
+
+    a = np.asarray(synthesize(f0, spc, ap, fs=fs, frame_period=10.0))
+    b = synthesize_np(f0, spc, ap, fs=fs, frame_period=10.0)
+    n = min(len(a), len(b))
+    assert n > 12000
+    scale = np.abs(a[:n]).max()
+    diff = np.abs(a[:n] - b[:n]) / scale
+    assert float(np.mean(diff > 2e-3)) < 0.01, float(np.mean(diff > 2e-3))
+    assert float(np.median(diff)) < 1e-5
+
+
 def test_pallas_bilstm_grads_match_scan():
     """The Pallas training path (state-saving forward + reverse-grid
     backward kernel) must produce the same gradients as differentiating
