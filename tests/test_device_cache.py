@@ -215,14 +215,26 @@ def test_trainer_device_cache_losses_match(corpus, tmp_path):
             max_epochs=2, device_cache=device_cache,
             log_path=log_path, log_every_n_steps=1,
         ))
+        # the cache requires a single-device placement; on the 8-device
+        # test platform fit_mesh_for_batch would pick a 4x1 mesh and
+        # silently disable it (leaving this test comparing the stream
+        # path to itself)
+        from voice100_tpu.parallel.mesh import make_mesh
+
+        trainer.mesh = make_mesh(jax.devices()[:1], data=1, model=1)
         trainer.fit(model, data)
         import json
         with open(log_path) as f:
-            return [
-                rec["train_loss"] for rec in map(json.loads, f)
-                if "train_loss" in rec
-            ]
+            records = [rec for rec in map(json.loads, f)]
+        losses = [
+            rec["train_loss"] for rec in records if "train_loss" in rec
+        ]
+        engaged = any(
+            rec.get("event") == "device_cache" for rec in records
+        )
+        return losses, engaged
 
-    base = fit(False, "stream")
-    cached = fit(True, "cached")
+    base, base_engaged = fit(False, "stream")
+    cached, cache_engaged = fit(True, "cached")
+    assert not base_engaged and cache_engaged
     assert base and base == cached
