@@ -83,15 +83,53 @@ def _flagship_asr():
 
     rtf8 = measure(8, clips8)
     rtf64 = measure(64, clips64)
+
+    # the end-to-end numbers above are LINK-bound on this box (int16
+    # PCM is 32 KB per audio-second; the tunneled host->device link
+    # swings ~10-25 MB/s between sessions): measure the link and the
+    # compute-only bound in the same run so the recorded figure carries
+    # its own explanation. On a PCIe-attached TPU host the end-to-end
+    # number approaches the compute bound.
+    pcm = np.stack([wav] * 64)
+    t_up = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(pcm))
+        t_up.append(time.perf_counter() - t0)
+    link_mbps = pcm.nbytes / min(t_up) / 1e6
+
+    pipe = ASRPipeline(model, variables, batch_size=64)
+    pipe.transcribe(clips64[:64])  # compile
+    wav_dev = jnp.asarray(pcm)
+    len_dev = jnp.full((64,), n_samples, jnp.int32)
+
+    def decode_once(iters):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = pipe._decode(pipe.variables, wav_dev, len_dev)
+        np.asarray(out[0][:1, :1])
+        return time.perf_counter() - t0
+
+    decode_once(1)
+    e_n = min(decode_once(10) for _ in range(3))
+    e_1 = min(decode_once(1), decode_once(1))
+    compute_rtf = 64 * seconds_per_clip / (max(e_n - e_1, 1e-9) / 9)
+
     return {
         "metric": "asr_en_base_serving_rtf_per_chip",
         "value": round(rtf8, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf8 / 100.0, 3),
         "throughput_rtf_batch64": round(rtf64, 2),
+        "link_MBps": round(link_mbps, 1),
+        "compute_only_rtf_batch64": round(compute_rtf, 2),
         "note": "waveform-in (int16 PCM) to transcript-out via "
                 "ASRPipeline (mel frontend + host token decode "
-                "included)",
+                "included); end-to-end RTF is bound by link_MBps / "
+                "0.032 MB-per-audio-s on this tunneled link, "
+                "compute_only_rtf_batch64 is the same model+decode "
+                "with the batch pre-staged on device",
     }
 
 
