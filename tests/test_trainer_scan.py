@@ -98,6 +98,51 @@ def test_scan_tail_chunk(corpus, tmp_path):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_scan_dispatch_dp_mesh(corpus, tmp_path):
+    """Sharded store: on a 4x1 DP mesh the cache shards its item axis
+    over 'data' and gathers emit shard_batch-layout batches (GSPMD
+    collectives); scan dispatch over the sharded store must match the
+    per-step streaming path on the same mesh."""
+    def fit_mesh(tag, **cfg_kwargs):
+        from voice100_tpu.data import AudioTextDataModule
+        from voice100_tpu.models import AudioToAlignText
+        from voice100_tpu.training import Trainer, TrainerConfig
+
+        data = AudioTextDataModule(
+            vocoder="mel", dataset="dummy_en", data_dir=corpus,
+            cache_dir=str(tmp_path / "cache"), batch_size=4,
+            valid_ratio=0.0,
+        )
+        model = AudioToAlignText(
+            audio_size=64, vocab_size=29,
+            encoder_settings=((16, False, 3, 2, 1, False),),
+            decoder_num_layers=1, decoder_hidden_size=16,
+        )
+        log_path = str(tmp_path / f"log_mesh_{tag}.jsonl")
+        trainer = Trainer(TrainerConfig(
+            max_epochs=3, log_path=log_path, log_every_n_steps=1,
+            **cfg_kwargs,
+        ))
+        trainer.mesh = make_mesh(jax.devices()[:4], data=4, model=1)
+        state = trainer.fit(model, data)
+        with open(log_path) as f:
+            records = [json.loads(line) for line in f]
+        return state, records
+
+    base_state, _ = fit_mesh("stream")
+    scan_state, recs = fit_mesh(
+        "scan", device_cache=True, steps_per_dispatch=8)
+
+    cache_events = [r for r in recs if r.get("event") == "device_cache"]
+    assert cache_events and cache_events[0]["sharded"] is True
+    assert any(r.get("event") == "scan_dispatch" for r in recs)
+    assert scan_state.step == base_state.step
+    for a, b in zip(jax.tree_util.tree_leaves(base_state.params),
+                    jax.tree_util.tree_leaves(scan_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
 def test_scan_resume_mid_training(corpus, tmp_path):
     """request_stop between chunks checkpoints 'last' and resume
     restarts the epoch, same contract as the per-step path."""

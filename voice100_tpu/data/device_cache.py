@@ -62,9 +62,21 @@ class DeviceFeatureCache:
     """
 
     def __init__(self, n_items: int, max_bytes: Optional[int] = None,
-                 pad_values=None) -> None:
+                 pad_values=None, mesh=None) -> None:
         self.n_items = int(n_items)
         self.max_bytes = max_bytes
+        # mesh: a ('data','model') mesh shards the store's ITEM axis
+        # over 'data' (each chip holds corpus/D rows — pods scale cache
+        # capacity with fleet size) and replicates it over 'model';
+        # gathers emit batches sharded over 'data', matching
+        # shard_batch's layout, with GSPMD inserting the collectives.
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            data = int(self.mesh.shape["data"])
+            # pad the item axis to the 'data' axis size for even shards
+            self.n_rows = -(-self.n_items // data) * data
+        else:
+            self.n_rows = self.n_items
         self._store = None
         self._cached = np.zeros(self.n_items, bool)
         # donate the store: scatter updates in place instead of copying
@@ -77,6 +89,20 @@ class DeviceFeatureCache:
             None if pad_values is None
             else jax.tree_util.tree_leaves(pad_values)
         )
+
+    def _store_sharding(self):
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import NamedSharding, P
+
+        return NamedSharding(self.mesh, P("data"))
+
+    def _batch_sharding(self):
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import batch_sharding
+
+        return batch_sharding(self.mesh)
 
     @property
     def complete(self) -> bool:
@@ -91,7 +117,7 @@ class DeviceFeatureCache:
 
     def _total_bytes(self, shapes) -> int:
         return sum(
-            int(np.prod((self.n_items,) + shape))
+            int(np.prod((self.n_rows,) + shape))
             * np.dtype(dtype).itemsize
             for shape, dtype in shapes
         )
@@ -124,10 +150,22 @@ class DeviceFeatureCache:
                     f"batch has {len(leaves)}"
                 )
             pads = self._pad_leaves
-        self._store = jax.tree_util.tree_unflatten(treedef, [
-            jnp.full((self.n_items,) + shape, pad, dtype)
-            for (shape, dtype), pad in zip(self._shapes, pads)
-        ])
+        sharding = self._store_sharding()
+        if sharding is None:
+            leaves = [
+                jnp.full((self.n_rows,) + shape, pad, dtype)
+                for (shape, dtype), pad in zip(self._shapes, pads)
+            ]
+        else:
+            # host-build each leaf and place sharded: every chip holds
+            # only its n_rows/D slice of the item axis
+            leaves = [
+                jax.device_put(
+                    np.full((self.n_rows,) + shape, pad, dtype), sharding
+                )
+                for (shape, dtype), pad in zip(self._shapes, pads)
+            ]
+        self._store = jax.tree_util.tree_unflatten(treedef, leaves)
 
     def _batch_shapes(self, batch):
         leaves = jax.tree_util.tree_leaves(batch)
@@ -176,15 +214,21 @@ class DeviceFeatureCache:
         ]
         self._check_budget(new_shapes)
         leaves = jax.tree_util.tree_leaves(self._store)
-        grown = [
-            jnp.pad(
-                s,
-                [(0, 0)] + [(0, t - c) for t, c in zip(tgt, shape)],
-                constant_values=np.asarray(pad, dtype),
-            ) if tgt != shape else s
-            for s, tgt, (shape, dtype), pad in zip(
-                leaves, targets, self._shapes, self._pad_leaves)
-        ]
+        sharding = self._store_sharding()
+        grown = []
+        for s, tgt, (shape, dtype), pad in zip(
+                leaves, targets, self._shapes, self._pad_leaves):
+            if tgt != shape:
+                s = jnp.pad(
+                    s,
+                    [(0, 0)] + [(0, t - c) for t, c in zip(tgt, shape)],
+                    constant_values=np.asarray(pad, dtype),
+                )
+                if sharding is not None:
+                    # pad's output sharding is inferred; re-pin the
+                    # item-axis layout explicitly
+                    s = jax.device_put(s, sharding)
+            grown.append(s)
         self._store = jax.tree_util.tree_unflatten(self._treedef, grown)
         self._shapes = new_shapes
         self._gather_fns.clear()
@@ -203,7 +247,12 @@ class DeviceFeatureCache:
                 ]
                 return jax.tree_util.tree_unflatten(treedef, out)
 
-            fn = jax.jit(gather)
+            batch_sh = self._batch_sharding()
+            fn = jax.jit(
+                gather,
+                **({} if batch_sh is None
+                   else {"out_shardings": batch_sh}),
+            )
             self._gather_fns[key] = fn
         return fn
 
@@ -218,7 +267,12 @@ class DeviceFeatureCache:
             return self._gather_fn(shapes)(
                 self._store, jax.device_put(idx)
             )
-        placed = device_put_packed(batch)
+        if self.mesh is None:
+            placed = device_put_packed(batch)
+        else:
+            from ..parallel.mesh import shard_batch
+
+            placed = shard_batch(batch, self.mesh)
         self._store = self._scatter(
             self._store, placed, jax.device_put(idx)
         )
@@ -242,11 +296,19 @@ class DeviceFeatureCache:
         inside jit/lax.scan (unlike :meth:`place`, which slices to the
         requesting bucket on host). Rows beyond their true extent hold
         the collate pad value, and lengths are stored rows themselves,
-        so masked training losses match host collation."""
+        so masked training losses match host collation. On a sharded
+        store the gathered batch is constrained to shard_batch's
+        layout (batch rows over 'data'); GSPMD inserts the collectives
+        that move rows between chips."""
         leaves = jax.tree_util.tree_leaves(store)
-        return jax.tree_util.tree_unflatten(
-            self._treedef, [s[idx] for s in leaves]
-        )
+        out = [s[idx] for s in leaves]
+        batch_sh = self._batch_sharding()
+        if batch_sh is not None:
+            out = [
+                jax.lax.with_sharding_constraint(o, batch_sh)
+                for o in out
+            ]
+        return jax.tree_util.tree_unflatten(self._treedef, out)
 
     def epoch_index_matrix(self, loader):
         """The epoch's batches as a ``[n_batches, B]`` int32 row-index

@@ -79,8 +79,9 @@ class TrainerConfig:
     # corpora that fit in device memory (one 16 GB chip holds ~350 h of
     # f16 log-mel). Works with bucketed collate (the store grows to the
     # largest bucket and gathers slice down, using the collate's
-    # pad_values); requires a single-device placement — silently
-    # ignored on multi-device meshes.
+    # pad_values). On a multi-device mesh the store's item axis shards
+    # over 'data' — cache capacity scales with the fleet — and gathers
+    # emit shard_batch-layout batches with GSPMD collectives.
     device_cache: bool = False
     # hard cap for the device cache store (bytes); raises early instead
     # of OOMing mid-epoch when the corpus doesn't fit.
@@ -430,23 +431,39 @@ class Trainer:
 
     def _device_cache(self, loader):
         """Build (once) the HBM-resident train feature cache when the
-        config opts in and the placement is a single device."""
+        config opts in. On a multi-device mesh the store's item axis is
+        sharded over 'data' (capacity scales with the fleet) and
+        gathers emit batches in shard_batch's layout."""
         if not self.config.device_cache:
-            return None
-        if self.mesh is not None and self.mesh.size > 1:
             return None
         cached = getattr(self, "_feature_cache", None)
         if cached is None or cached.n_items != len(loader.dataset):
             from ..data.device_cache import DeviceFeatureCache
 
+            mesh = (
+                self.mesh
+                if self.mesh is not None and self.mesh.size > 1 else None
+            )
+            if mesh is not None:
+                bs = getattr(loader, "batch_size", 0)
+                if (not bs or bs % self._pad_multiple() != 0
+                        or not getattr(loader, "pad_to_full", False)):
+                    # sharded gathers need every batch at a batch size
+                    # that divides the mesh's pad multiple; fall back
+                    # to the streaming path otherwise
+                    return None
             cached = DeviceFeatureCache(
                 len(loader.dataset),
                 max_bytes=self.config.device_cache_max_bytes,
                 pad_values=getattr(
                     loader.collate_fn, "pad_values", None),
+                mesh=mesh,
             )
             self._feature_cache = cached
-            self._log({"event": "device_cache", "items": cached.n_items})
+            self._log({
+                "event": "device_cache", "items": cached.n_items,
+                "sharded": mesh is not None,
+            })
         return cached
 
     def _fit_loop(self, cfg, task, model, datamodule, state, rng,
