@@ -143,6 +143,25 @@ def test_scan_dispatch_dp_mesh(corpus, tmp_path):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_scan_dispatch_bf16_precision(corpus, tmp_path):
+    """The scan path composes with the bf16 precision knob: cached
+    rows store the bf16-quantized uploads and the scanned steps match
+    the per-step cached path (identical RNG and identical stored
+    bytes, so trajectories agree to compile-variation tolerance)."""
+    base_state, base_recs = _fit(
+        corpus, tmp_path, "bf16_step", precision="bf16")
+    scan_state, scan_recs = _fit(
+        corpus, tmp_path, "bf16_scan", precision="bf16",
+        steps_per_dispatch=8)
+    assert any(r.get("event") == "scan_dispatch" for r in scan_recs)
+    assert scan_state.step == base_state.step
+    for a, b in zip(jax.tree_util.tree_leaves(base_state.params),
+                    jax.tree_util.tree_leaves(scan_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-3, atol=5e-4)
+
+
 def test_scan_resume_mid_training(corpus, tmp_path):
     """request_stop between chunks checkpoints 'last' and resume
     restarts the epoch, same contract as the per-step path."""
