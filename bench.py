@@ -410,6 +410,40 @@ def _tts_profile():
     }
 
 
+def _world_analysis_bench():
+    """WORLD analysis (DIO + CheapTrick + harmonic band aperiodicity)
+    throughput on ONE host core — the dataset-prep path the reference
+    runs through pyworld's C++ per clip (voice100/vocoder.py:60-75).
+    Warm numbers (the basis arena is faulted in); prep jobs scale this
+    across DataLoader worker processes."""
+    from voice100_tpu.dsp.world import WORLDVocoder
+
+    fs = 16000
+    rng = np.random.RandomState(0)
+    t = np.arange(fs * 10) / fs
+    x = (
+        0.4 * np.sin(2 * np.pi * (150 + 30 * np.sin(2 * np.pi * 2 * t)) * t)
+        + 0.05 * rng.randn(fs * 10)
+    ).astype(np.float32)
+    v = WORLDVocoder()
+    v.encode(x)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v.encode(x)
+        best = min(best, time.perf_counter() - t0)
+    rate = 10.0 / best
+    return {
+        "metric": "world_analysis_audio_seconds_per_second_per_core",
+        "value": round(rate, 2),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(rate / 10.0, 3),
+        "note": "host single-core WORLD encode of a 10 s clip (f0 + "
+                "envelope + band aperiodicity), warm arena; "
+                "multiplied by prep worker count in practice",
+    }
+
+
 def _set_precision(precision: str) -> None:
     if precision in ("16", "bf16"):
         from voice100_tpu.ops.lstm import set_default_compute_dtype
@@ -968,7 +1002,8 @@ def main() -> None:
     parser.add_argument(
         "--metric", default="asr",
         choices=["asr", "tts", "tts_profile", "train", "train_tts",
-                 "train_loader", "align", "beam", "all"],
+                 "train_loader", "align", "beam", "world_analysis",
+                 "all"],
     )
     parser.add_argument("--precision", default="32",
                         choices=["32", "16", "bf16"])
@@ -987,7 +1022,7 @@ def main() -> None:
         for fn in (_flagship_asr, _tts_bench,
                    lambda: _train_bench(args.precision),
                    lambda: _train_tts_bench(args.precision),
-                   _align_bench, _beam_bench):
+                   _align_bench, _beam_bench, _world_analysis_bench):
             print(json.dumps(fn()), flush=True)
         return
     if args.metric == "asr":
@@ -1002,6 +1037,8 @@ def main() -> None:
         result = _align_bench()
     elif args.metric == "beam":
         result = _beam_bench()
+    elif args.metric == "world_analysis":
+        result = _world_analysis_bench()
     else:
         result = _train_bench(args.precision)
     print(json.dumps(result))

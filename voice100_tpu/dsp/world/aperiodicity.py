@@ -48,6 +48,27 @@ _FLOOR_DB = -60.0
 _SAFE_MIN = 1e-12
 _F0_FLOOR_D4C = 47.0
 
+_TLS = None  # lazy threading.local holding the basis arena
+
+
+def _basis_arena(count: int, dtype=np.float32) -> np.ndarray:
+    """A reused scratch of at least ``count`` elements of ``dtype``.
+
+    Thread-local (loader workers analyze concurrently) and grow-only:
+    the first clip of a prep run pays the allocation page faults, every
+    later clip fills already-mapped memory at memcpy speed."""
+    global _TLS
+    if _TLS is None:
+        import threading
+
+        _TLS = threading.local()
+    nbytes = count * np.dtype(dtype).itemsize
+    buf = getattr(_TLS, "buf", None)
+    if buf is None or buf.nbytes < nbytes:
+        buf = np.empty(nbytes, np.uint8)
+        _TLS.buf = buf
+    return buf[:nbytes].view(dtype)
+
 
 def band_aperiodicity(
     x: np.ndarray,
@@ -235,13 +256,19 @@ def _harmonic_jax(x, f0, positions, fs, n_periods):
 def _harmonic_impl(x, f0, positions, fs, xp, n_periods):
     n_bands = get_num_aperiodicities(fs)
     T = positions.shape[0]
-    f64 = xp is np  # host path solves in float64
-    dtype = np.float64 if f64 else np.float32
-    tiny = 1e-30 if f64 else 1e-18
+    host = xp is np
+    # f32 on both paths: the solve is bandwidth-bound on the host (the
+    # basis is hundreds of MB for a 10 s clip) and every accumulated
+    # quantity is a length-W windowed sum of O(1) values, so f32 noise
+    # is ~1e-6 relative -> ~1e-5 dB on the band ratios, far inside the
+    # ground-truth gates. f64 host solves measured 2x slower, same
+    # test margins.
+    dtype = np.float32
+    tiny = 1e-18
 
     eff = xp.where(f0 > 0, xp.maximum(f0, _F0_FLOOR_D4C), 200.0)
     eff = eff.astype(dtype)
-    if f64:
+    if host:
         # trim the static window/harmonic extents to this utterance's
         # actual f0 range (the jax path keeps the f0-floor extents so
         # the compiled program is utterance-independent)
@@ -261,19 +288,60 @@ def _harmonic_impl(x, f0, positions, fs, xp, n_periods):
     ).astype(dtype)
 
     K = int((fs / 2.0) / floor)                      # max harmonics
+    P = 2 * K + 1
     k = np.arange(1, K + 1)
     fk = eff[:, None] * k[None, :]                   # [T, K]
     valid = (fk < fs / 2.0 - 50.0).astype(dtype)
-    ph = (2.0 * np.pi) * fk[:, None, :] * tloc[None, :, None]
-    basis = xp.concatenate(
-        [
-            xp.ones((T, W, 1), dtype),
-            xp.cos(ph) * valid[:, None, :],
-            xp.sin(ph) * valid[:, None, :],
-        ],
-        axis=2,
-    )                                                # [T, W, P]
-    basis_w = basis * w[:, :, None]
+    # Harmonic basis cos/sin(2 pi k f0 t) by the angle-addition
+    # recurrence from the fundamental alone, filled into ONE
+    # preallocated contiguous [T, P, W] array. Both choices matter on
+    # the host: the recurrence replaces ~36M transcendental calls per
+    # 4 s clip with 4 multiply-adds per element (drift ~K*eps), and
+    # the [T, P, W] layout keeps every slice write a contiguous run —
+    # the previous stack/concatenate along a trailing harmonics axis
+    # interleaved 53-stride writes and cost 4.8 s of a 5.0 s call.
+    ang1 = ((2.0 * np.pi) * eff[:, None] * tloc[None, :]).astype(dtype)
+    c1, s1 = xp.cos(ang1), xp.sin(ang1)              # [T, W]
+    if xp is np:
+        # [P, T, W] so every harmonic's write is one contiguous run,
+        # filled into a reused thread-local arena: a fresh np.empty
+        # pays ~0.5 s of first-touch page faults per 4 s clip, while
+        # the arena faults once per prep process. The super-Nyquist
+        # mask and the window fold INTO the fill writes (out=), so the
+        # basis is traversed exactly once on build — two extra full
+        # passes at these sizes are ~50% of the whole solve.
+        basis = _basis_arena(P * T * W, dtype).reshape(P, T, W)
+        tmp = np.empty((T, W), dtype)
+        basis[0] = w  # DC column, window folded
+        ck, sk = c1, s1
+        np.multiply(ck, w, out=tmp)
+        np.multiply(tmp, valid[:, 0][:, None], out=basis[1])
+        np.multiply(sk, w, out=tmp)
+        np.multiply(tmp, valid[:, 0][:, None], out=basis[1 + K])
+        for i in range(1, K):
+            ck, sk = ck * c1 - sk * s1, sk * c1 + ck * s1
+            vi = valid[:, i][:, None]
+            np.multiply(ck, w, out=tmp)
+            np.multiply(tmp, vi, out=basis[1 + i])
+            np.multiply(sk, w, out=tmp)
+            np.multiply(tmp, vi, out=basis[1 + K + i])
+    else:
+        cos_ks, sin_ks = [c1], [s1]
+        for _ in range(K - 1):
+            ck, sk = cos_ks[-1], sin_ks[-1]
+            cos_ks.append(ck * c1 - sk * s1)
+            sin_ks.append(sk * c1 + ck * s1)
+        valid_pk = xp.concatenate(
+            [xp.ones((T, 1), dtype), valid, valid], axis=1
+        )                                            # [T, P]
+        basis = xp.concatenate(
+            [
+                xp.ones((1, T, W), dtype),
+                xp.stack(cos_ks, axis=0),
+                xp.stack(sin_ks, axis=0),
+            ],
+            axis=0,
+        ) * valid_pk.T[:, :, None] * w[None, :, :]   # [P, T, W]
     y = seg * w
     # Diagonal normal equations: the harmonic columns are mutually
     # near-orthogonal under the window (a 4-period Hanning's mainlobe
@@ -282,10 +350,10 @@ def _harmonic_impl(x, f0, positions, fs, xp, n_periods):
     # full solve within ~0.2 dB on the ground-truth gates while
     # cutting the cost from O(T*W*P^2) to O(T*W*P); masked-out
     # harmonic columns have zero norm and zero rhs -> coefficient 0.
-    rhs = xp.einsum("twp,tw->tp", basis_w, y)
-    colnorm = xp.einsum("twp,twp->tp", basis_w, basis_w)
+    rhs = xp.einsum("ptw,tw->tp", basis, y)
+    colnorm = xp.einsum("ptw,ptw->tp", basis, basis)
     coef = rhs / (colnorm + tiny)
-    resid = y - xp.einsum("twp,tp->tw", basis_w, coef)
+    resid = y - xp.einsum("tp,ptw->tw", coef, basis)
 
     nfft = 1
     while nfft < W:
