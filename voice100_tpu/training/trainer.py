@@ -97,6 +97,10 @@ class TrainerConfig:
     # tail batches, and profile_dir runs fall back to the per-step
     # path. RNG consumption is identical to the per-step path, so
     # training trajectories match exactly at a fixed collate bucket.
+    # With bucketed collate, scanned batches compute at the store's
+    # FULL extents (lengths still mask the loss): prefer a single
+    # bucket (VOICE100_TPU_TIME_BUCKET/TEXT_BUCKET) when enabling this
+    # on corpora with a wide length spread.
     steps_per_dispatch: int = 1
 
 
