@@ -212,9 +212,11 @@ def test_cache_salt_keys_on_sample_rate():
     """A 22.05 kHz run must not read features cached at 16 kHz: the salt
     folds in non-default sample rates (the reference keys on vocoder
     alone, data_modules.py:545, and can silently serve stale features).
-    The 16 kHz salt stays byte-identical to the vocoder name so existing
-    caches remain valid."""
+    WORLD salts also fold in the analysis-algorithm version
+    (dsp.world.FEATURE_VERSION), so an estimator change recomputes
+    cached features instead of mixing old and new supervision targets."""
     from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.dsp.world import FEATURE_VERSION
 
     salts = {
         sr: AudioTextDataModule(
@@ -222,7 +224,7 @@ def test_cache_salt_keys_on_sample_rate():
         ).cache_salt
         for sr in (16000, 22050)
     }
-    assert salts[16000] == b"world"
+    assert salts[16000] == f"world@{FEATURE_VERSION}".encode()
     assert salts[22050] != salts[16000]
     # world and world_mcep still share one cache at either rate
     assert (

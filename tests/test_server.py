@@ -160,7 +160,7 @@ def test_concurrent_requests_micro_batch():
         assert all(status == 200 for status, _, _ in results)
         assert texts == sequential
         # one batched dispatch carried all n concurrent requests
-        assert server.asr_batcher.batch_sizes == [n], (
+        assert list(server.asr_batcher.batch_sizes) == [n], (
             server.asr_batcher.batch_sizes)
     finally:
         server.stop()
@@ -188,6 +188,56 @@ def test_micro_batcher_propagates_errors_and_closes():
         b.close()
     with pytest.raises(RuntimeError):
         b.submit(1)
+
+
+def test_micro_batcher_retries_items_on_batch_failure():
+    """A failing co-batched request must not 500 its neighbors: the
+    batcher retries the failed batch item-by-item, so good inputs get
+    their results and only the bad input gets the error."""
+    import concurrent.futures as cf
+
+    from voice100_tpu.server import MicroBatcher
+
+    calls = []
+
+    def fn(items):
+        calls.append(list(items))
+        if "boom" in items:
+            raise ValueError("kaput")
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(fn, max_batch=4, flush_ms=200.0)
+    try:
+        with cf.ThreadPoolExecutor(3) as pool:
+            futs = [pool.submit(b.submit, x) for x in (3, "boom", 5)]
+            results = []
+            for f in futs:
+                try:
+                    results.append(f.result())
+                except ValueError as e:
+                    results.append(e)
+        assert results[0] == 6
+        assert isinstance(results[1], ValueError)
+        assert results[2] == 10
+        # the co-batched flush failed, then each item ran solo
+        assert any(len(c) > 1 for c in calls)
+    finally:
+        b.close()
+
+
+def test_micro_batcher_batch_sizes_bounded():
+    """batch_sizes is a bounded ring, not an unbounded log — a
+    long-running server's memory must not grow per request."""
+    from voice100_tpu.server import MicroBatcher
+
+    b = MicroBatcher(lambda items: items, max_batch=1, flush_ms=0.0)
+    try:
+        assert b.batch_sizes.maxlen is not None
+        for _ in range(b.batch_sizes.maxlen + 10):
+            b.submit(1)
+        assert len(b.batch_sizes) == b.batch_sizes.maxlen
+    finally:
+        b.close()
 
 
 def test_server_without_models_rejects():

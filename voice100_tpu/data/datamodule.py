@@ -67,6 +67,14 @@ class AudioTextDataModule:
         ).encode("utf-8")
         if sample_rate != 16000:
             self.cache_salt += f"@{sample_rate}".encode("utf-8")
+        if vocoder in ("world", "world_mcep"):
+            # estimator-version token: an analysis-algorithm change
+            # (dsp.world.FEATURE_VERSION bump) must recompute cached
+            # WORLD features, not silently mix old and new supervision
+            # targets in one cache dir
+            from ..dsp.world import FEATURE_VERSION
+
+            self.cache_salt += f"@{FEATURE_VERSION}".encode("utf-8")
         # mel features are model INPUTS only, so they cache (and
         # upload) as float16 by default: half the cache-read bytes and
         # half the host->device bytes per batch; the train step upcasts

@@ -25,8 +25,17 @@ from .codec import (
 from .synthesis import synthesize, synthesize_fn
 from ..mcep import create_sp2mc_matrix, create_mc2sp_matrix
 
+# Version token for the analysis ALGORITHMS, keyed into the disk
+# feature-cache salt (data/datamodule.py): bump whenever an estimator
+# change makes previously-cached features incompatible with fresh ones
+# (e.g. the round-4 comb-correlation -> harmonic least-squares band
+# aperiodicity switch), so stale entries are recomputed instead of
+# silently mixed with new ones.
+FEATURE_VERSION = "ap-harmonic1"
+
 __all__ = [
     "WORLDVocoder",
+    "FEATURE_VERSION",
     "dio",
     "cheaptrick",
     "d4c",

@@ -60,18 +60,23 @@ class MicroBatcher:
     queued or ``flush_ms`` after the first queued item, whichever
     comes first — a lone request pays at most the flush window, and
     concurrent requests ride one device dispatch instead of
-    serializing. ``batch_sizes`` records each dispatched batch's size
-    (observability + tests)."""
+    serializing. ``batch_sizes`` records recent dispatched batch sizes
+    (bounded ring — observability + tests). When a batched call fails,
+    its items RETRY individually so one bad input 500s only its own
+    request, not every co-batched neighbor."""
 
     def __init__(self, fn, max_batch: int = 8,
                  flush_ms: float = 10.0) -> None:
+        from collections import deque
+
         self._fn = fn
         self._max = max(1, int(max_batch))
         self._flush_s = max(0.0, flush_ms) / 1000.0
         self._items: List = []
         self._cond = threading.Condition()
         self._stop = False
-        self.batch_sizes: List[int] = []
+        # bounded: a long-running server must not grow this forever
+        self.batch_sizes = deque(maxlen=1024)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -119,9 +124,24 @@ class MicroBatcher:
                 for (_, slot), out in zip(batch, outs):
                     slot.result = out
                     slot.event.set()
-            except Exception as e:  # deliver to every waiter
-                for _, slot in batch:
-                    slot.error = e
+            except Exception as e:
+                if len(batch) == 1:
+                    batch[0][1].error = e
+                    batch[0][1].event.set()
+                    continue
+                # one bad input must not fail its co-batched neighbors:
+                # retry item-by-item, delivering each its own outcome
+                for item, slot in batch:
+                    try:
+                        outs = self._fn([item])
+                        if len(outs) != 1:
+                            raise RuntimeError(
+                                f"batched fn returned {len(outs)} "
+                                "results for 1 input"
+                            )
+                        slot.result = outs[0]
+                    except Exception as item_e:
+                        slot.error = item_e
                     slot.event.set()
 
 

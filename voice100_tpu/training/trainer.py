@@ -440,6 +440,24 @@ class Trainer:
         gathers emit batches in shard_batch's layout."""
         if not self.config.device_cache:
             return None
+        if jax.process_count() > 1:
+            # multi-host DP: each process sees a different loader stride,
+            # so per-host _cached/complete states (and hence scan
+            # engagement) would diverge into different SPMD programs —
+            # a collective deadlock — and per-host-different replicated
+            # idx scatters into a global sharded store are undefined.
+            # Stream until the cache learns cross-host index sync.
+            if not getattr(self, "_warned_multihost_cache", False):
+                self._warned_multihost_cache = True
+                self._log({
+                    "event": "warning",
+                    "message": (
+                        "device_cache disabled: multi-process runs "
+                        "stream batches (per-host cache states would "
+                        "diverge)"
+                    ),
+                })
+            return None
         cached = getattr(self, "_feature_cache", None)
         if cached is None or cached.n_items != len(loader.dataset):
             from ..data.device_cache import DeviceFeatureCache
