@@ -694,13 +694,18 @@ def _beam_bench():
     }
 
 
-_LOADER_BENCH_DIR = "/tmp/voice100_tpu_loader_bench"
+_LOADER_BENCH_DIR = "/tmp/voice100_tpu_loader_bench_trimodal"
 
 
 def _loader_bench_datamodule(batch_size=64):
-    """asr_en_base-shaped datamodule over a synthetic 10 s-clip corpus
-    (the real pipeline: WAV decode, on-host mel, npz cache, bucketed
-    collate, thread prefetch — data/transforms.py, data/loader.py)."""
+    """asr_en_base-shaped datamodule over a synthetic TRIMODAL-length
+    corpus (the real pipeline: WAV decode, on-host mel, npz cache,
+    bucketed collate, length-bucketed batch sampler, thread prefetch —
+    data/transforms.py, data/loader.py). Three duration modes land in
+    three distinct collate buckets (time bucket 448: extents 448 / 896
+    / 1344), so this measures variable-length training as a real
+    corpus pays it — per-bucket batches and per-bucket scan dispatch,
+    NOT a single forced bucket."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
@@ -711,19 +716,18 @@ def _loader_bench_datamodule(batch_size=64):
     marker = os.path.join(_LOADER_BENCH_DIR, ".corpus_ready")
     if not os.path.exists(marker):
         make_dummy_corpus(
-            data_dir, n_clips=192, min_dur=8.0, max_dur=12.0, seed=7
+            data_dir, n_clips=192, seed=7,
+            dur_modes=[(3.9, 4.4), (8.1, 8.8), (12.2, 13.2)],
         )
         with open(marker, "w") as f:
             f.write("ok\n")
-    # one collate bucket (pad every batch to the same [T, L]): a single
-    # compiled step program — the static-shape strategy a real TPU run
-    # uses for a known corpus length distribution
-    os.environ["VOICE100_TPU_TIME_BUCKET"] = "1216"
+    os.environ["VOICE100_TPU_TIME_BUCKET"] = "448"
     os.environ["VOICE100_TPU_TEXT_BUCKET"] = "48"
     return AudioTextDataModule(
         vocoder="mel", dataset="dummy_en", language="en",
         batch_size=batch_size, data_dir=data_dir,
         cache_dir=os.path.join(_LOADER_BENCH_DIR, "cache"),
+        bucket_by_length=True,
     )
 
 
@@ -908,26 +912,36 @@ def _train_loader_bench(precision: str = "32"):
     cached_rate = sum(audio_acc) / (time.perf_counter() - t0)
 
     # multi-step scan dispatch (Trainer steps_per_dispatch): with every
-    # row HBM-resident, an epoch is a [n_batches, B] row-index matrix —
-    # one jitted lax.scan dispatch runs the whole epoch, batches
-    # gathered on device inside the scan; no host decode/collate/upload
-    # and no per-step dispatch round trips remain.
+    # row HBM-resident, an epoch is a set of per-bucket [k, B]
+    # row-index matrices — one jitted lax.scan dispatch per bucket run,
+    # batches gathered on device AT THAT BUCKET'S extents inside the
+    # scan; no host decode/collate/upload, no per-step dispatch round
+    # trips, and no full-store padding compute on short buckets.
     from functools import partial as _partial
 
-    @_partial(jax.jit, donate_argnums=(0, 2))
-    def multi_step(params, extra, opt_state, store, idx_mat, key):
-        def body(carry, idx):
-            params, extra, opt_state = carry
-            batch = cache.gather_rows(store, idx)
-            params, extra, opt_state = step(
-                params, extra, opt_state, batch, key
-            )
-            return (params, extra, opt_state), None
+    scan_fns = {}
 
-        (params, extra, opt_state), _ = jax.lax.scan(
-            body, (params, extra, opt_state), idx_mat
-        )
-        return params, extra, opt_state
+    def scan_fn_for(extents):
+        fn = scan_fns.get(extents)
+        if fn is None:
+            @_partial(jax.jit, donate_argnums=(0, 2))
+            def multi_step(params, extra, opt_state, store, idx_mat,
+                           key):
+                def body(carry, idx):
+                    params, extra, opt_state = carry
+                    batch = cache.gather_rows(store, idx, extents)
+                    params, extra, opt_state = step(
+                        params, extra, opt_state, batch, key
+                    )
+                    return (params, extra, opt_state), None
+
+                (params, extra, opt_state), _ = jax.lax.scan(
+                    body, (params, extra, opt_state), idx_mat
+                )
+                return params, extra, opt_state
+
+            fn = scan_fns[extents] = multi_step
+        return fn
 
     # audio seconds per row, host-side, to credit scanned epochs
     loader.set_epoch(0)
@@ -936,29 +950,40 @@ def _train_loader_bench(precision: str = "32"):
         len_by_row[np.asarray(indices)] = np.asarray(a_len, np.float64)
 
     loader.set_epoch(1)
-    warm_mat = cache.epoch_index_matrix(loader)
-    assert warm_mat is not None, "cache must be complete by now"
-    params, extra, opt_state = multi_step(
-        params, extra, opt_state, cache.store, warm_mat, key
-    )  # compile
+    plan = cache.epoch_plan(loader)
+    assert plan is not None, "cache must be complete by now"
+    n_buckets = len({k for k, _ in plan})
+    for extents, mat in plan:  # compile each bucket's program
+        params, extra, opt_state = scan_fn_for(extents)(
+            params, extra, opt_state, cache.store, mat, key
+        )
     _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
 
     scan_audio = 0.0
     t0 = time.perf_counter()
     for ep in range(1, 13):
         loader.set_epoch(ep)
-        mat = cache.epoch_index_matrix(loader)
-        params, extra, opt_state = multi_step(
-            params, extra, opt_state, cache.store, mat, key
-        )
-        scan_audio += float(len_by_row[mat].sum()) / 100.0
+        for extents, mat in cache.epoch_plan(loader):
+            params, extra, opt_state = scan_fn_for(extents)(
+                params, extra, opt_state, cache.store, mat, key
+            )
+            scan_audio += float(len_by_row[mat].sum()) / 100.0
     _ = np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
     scan_rate = scan_audio / (time.perf_counter() - t0)
 
-    # pinned-batch rate at the SAME bucket shape for the ratio
-    pinned_audio = float(np.sum(first_batch[0][1])) / 100.0
+    # pinned-batch rate for the ratio: a dense batch of the LONGEST
+    # bucket's clips (the bucketed sampler makes full batches
+    # length-homogeneous, so the top-bucket batch is the fairest
+    # fixed-shape baseline — it pays no cross-mode padding)
+    loader.set_epoch(0)
+    top_batch = None
+    for batch in loader:
+        if (top_batch is None
+                or batch[0][0].shape[1] > top_batch[0][0].shape[1]):
+            top_batch = batch
+    pinned_audio = float(np.sum(top_batch[0][1])) / 100.0
     pinned = _measure_train_step(
-        model, first_batch, pinned_audio, "pinned_probe"
+        model, top_batch, pinned_audio, "pinned_probe"
     )["value"]
 
     return {
@@ -967,17 +992,20 @@ def _train_loader_bench(precision: str = "32"):
         "unit": "audio_s_per_s",
         "vs_baseline": round(scan_rate / max(pinned, 1e-6), 3),
         "note": (
-            f"real-DataLoader epochs, HBM-resident feature cache + "
+            f"real-DataLoader epochs over a TRIMODAL-length corpus "
+            f"({n_buckets} active collate buckets, length-bucketed "
+            f"sampler), HBM-resident feature cache + per-bucket "
             f"epoch-scan dispatch ({cache.nbytes()/1e6:.0f} MB store, "
             f"Trainer device_cache=True steps_per_dispatch=N) vs "
-            f"pinned batch {pinned:.0f} audio-s/s at the same "
-            f"[B=64,T=1216] bucket; per-step gather path: "
-            f"{cached_rate:.0f} audio-s/s (dispatch round trips per "
-            f"step); streaming upload path: {stream_rate:.0f} "
-            f"audio-s/s (link-bound: ~12-25 MB/s tunneled host->device "
-            f"link, f16 features, one packed transfer/batch); host "
-            f"pipeline alone sustains {host_rate:.0f} audio-s/s (f16 "
-            "mmap cache, thread prefetch)"
+            f"pinned dense top-bucket batch {pinned:.0f} audio-s/s "
+            f"[B=64,T={int(top_batch[0][0].shape[1])}]; per-step "
+            f"gather path: {cached_rate:.0f} audio-s/s (dispatch "
+            f"round trips per step); streaming upload path: "
+            f"{stream_rate:.0f} audio-s/s (link-bound: ~12-25 MB/s "
+            f"tunneled host->device link, f16 features, one packed "
+            f"transfer/batch); host pipeline alone sustains "
+            f"{host_rate:.0f} audio-s/s (f16 mmap cache, thread "
+            "prefetch)"
         ),
     }
 

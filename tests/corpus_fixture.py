@@ -69,12 +69,16 @@ def make_dummy_corpus(
     seed: int = 0,
     min_dur: float = 0.4,
     max_dur: float = 1.2,
+    dur_modes=None,
 ) -> str:
     """Create a dummy corpus under ``data_dir``; returns the corpus root.
 
     ``min_dur``/``max_dur`` set the clip-length range in seconds (the
     defaults keep tests fast; bench.py's loader metric uses ~10 s clips
-    to match the asr_en_base shapes)."""
+    to match the asr_en_base shapes). ``dur_modes`` — a list of
+    (min, max) windows — makes a MULTIMODAL length distribution (clip i
+    draws from window i % len(modes)): the shape that exercises
+    length-bucketed batching and per-bucket scan dispatch."""
     root = os.path.join(data_dir, f"dummy-speech-{language}")
     wavs = os.path.join(root, "wavs")
     os.makedirs(wavs, exist_ok=True)
@@ -86,7 +90,11 @@ def make_dummy_corpus(
     lines = []
     for i in range(n_clips):
         clipid = f"clip{i:04d}"
-        dur = rng.uniform(min_dur, max_dur)
+        if dur_modes:
+            lo, hi = dur_modes[i % len(dur_modes)]
+        else:
+            lo, hi = min_dur, max_dur
+        dur = rng.uniform(lo, hi)
         t = np.arange(int(dur * sample_rate)) / sample_rate
         wav = np.zeros_like(t, dtype=np.float64)
         for _ in range(3):

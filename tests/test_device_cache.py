@@ -238,3 +238,140 @@ def test_trainer_device_cache_losses_match(corpus, tmp_path):
     cached, cache_engaged = fit(True, "cached")
     assert not base_engaged and cache_engaged
     assert base and base == cached
+
+
+class _VarLenDataset:
+    """Item i is (audio [T_i, 3] filled with i, text [L_i] filled with
+    i+1) — variable-length rows whose contents identify their item."""
+
+    def __init__(self, lengths):
+        self.lengths = list(lengths)
+
+    def __len__(self):
+        return len(self.lengths)
+
+    def __getitem__(self, i):
+        t, l = self.lengths[i]
+        return (
+            np.full((t, 3), i, np.float32),
+            np.full((l,), i + 1, np.int64),
+        )
+
+
+def test_epoch_plan_groups_per_bucket_and_preserves_order(monkeypatch):
+    """epoch_plan must (a) predict each batch's collate bucket from
+    tracked true lengths, (b) keep the loader's batch order exactly
+    (run-length grouping), and (c) gather byte-identically to host
+    collation AT THE GROUP'S EXTENTS — the per-bucket fix for the
+    round-4 full-extent scan cliff."""
+    from voice100_tpu.data.collate import collate_audio_text
+
+    monkeypatch.setenv("VOICE100_TPU_TIME_BUCKET", "8")
+    monkeypatch.setenv("VOICE100_TPU_TEXT_BUCKET", "4")
+    rng = np.random.RandomState(0)
+    lengths = [(int(rng.randint(3, 21)), int(rng.randint(2, 7)))
+               for _ in range(24)]
+    ds = _VarLenDataset(lengths)
+    loader = DataLoader(
+        ds, batch_size=4, collate_fn=collate_audio_text,
+        shuffle=True, seed=2, prefetch=0,
+        length_hint=lambda i: lengths[i][0],
+    )
+    cache = DeviceFeatureCache(
+        len(ds),
+        pad_values=collate_audio_text.pad_values,
+        var_specs=collate_audio_text.var_specs,
+    )
+    loader.set_epoch(0)
+    for _ in cache.epoch_batches(loader):
+        pass
+    assert cache.complete
+
+    loader.set_epoch(1)
+    plan = cache.epoch_plan(loader)
+    assert plan is not None
+    # ≥2 distinct time extents engaged (mixed-length corpus)
+    time_extents = {key[0][0] for key, _ in plan}
+    assert len(time_extents) >= 2, time_extents
+
+    # flattened plan order == the loader's epoch batch order
+    loader.set_epoch(1)
+    host_chunks = [
+        loader._effective_indices(idx)
+        for idx in loader._epoch_index_chunks()
+    ]
+    flat_rows = [row for _, mat in plan for row in mat]
+    assert len(flat_rows) == len(host_chunks)
+    for got, want in zip(flat_rows, host_chunks):
+        np.testing.assert_array_equal(got, want)
+
+    # gathers at group extents == host collation of the same items
+    for extents, mat in plan:
+        for row in mat:
+            got = cache.gather_rows(cache.store, row, extents)
+            want = collate_audio_text([ds[int(i)] for i in row])
+            got_leaves = jax.tree_util.tree_leaves(got)
+            want_leaves = jax.tree_util.tree_leaves(want)
+            for g, w in zip(got_leaves, want_leaves):
+                assert np.asarray(g).shape == w.shape
+                np.testing.assert_array_equal(np.asarray(g), w)
+
+
+def test_loader_bucket_by_length(monkeypatch):
+    """length_hint batches: same item multiset and batch count as
+    unbucketed, full batches length-homogeneous (one collate bucket
+    each), contiguous bucket groups, and a clean fall-back to
+    unbucketed order while any length is unknown (cold cache)."""
+    from voice100_tpu.data.collate import bucket_extent
+
+    monkeypatch.setenv("VOICE100_TPU_TIME_BUCKET", "8")
+    rng = np.random.RandomState(1)
+    lengths = [(int(rng.randint(3, 25)), 3) for _ in range(23)]
+    known = {}
+
+    def hint(i):
+        return known.get(i)
+
+    ds = _VarLenDataset(lengths)
+    from voice100_tpu.data.collate import collate_audio_text
+
+    loader = DataLoader(
+        ds, batch_size=4, collate_fn=collate_audio_text,
+        shuffle=True, seed=7, prefetch=0, length_hint=hint,
+    )
+    # cold cache: every length unknown -> plain shuffled chunks
+    loader.set_epoch(0)
+    plain = DataLoader(
+        ds, batch_size=4, collate_fn=collate_audio_text,
+        shuffle=True, seed=7, prefetch=0,
+    )
+    plain.set_epoch(0)
+    for a, b in zip(loader._epoch_index_chunks(),
+                    plain._epoch_index_chunks()):
+        np.testing.assert_array_equal(a, b)
+
+    # warm: bucketed
+    known.update({i: t for i, (t, _) in enumerate(lengths)})
+    loader.set_epoch(1)
+    chunks = loader._epoch_index_chunks()
+    assert len(chunks) == -(-len(ds) // 4)
+    seen = np.concatenate(chunks)
+    assert sorted(seen.tolist()) == list(range(len(ds)))
+    buckets = [
+        {bucket_extent("time", lengths[int(i)][0]) for i in c}
+        for c in chunks
+    ]
+    # full batches are single-bucket; only cross-bucket leftover tail
+    # batches (at most n_buckets' worth of remainders) may mix
+    full = [b for c, b in zip(chunks, buckets) if len(c) == 4]
+    n_mixed = sum(len(b) > 1 for b in full)
+    homogeneous = [b for b in full if len(b) == 1]
+    assert len({tuple(sorted(b))[0] for b in homogeneous}) >= 3
+    # leftover items < one batch per bucket
+    assert n_mixed <= 2
+    # epochs reshuffle: different epoch -> different order
+    loader.set_epoch(2)
+    chunks2 = loader._epoch_index_chunks()
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(chunks, chunks2)
+    )

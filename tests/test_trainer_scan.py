@@ -197,3 +197,68 @@ def test_scan_resume_mid_training(corpus, tmp_path):
     resumed = trainer2.fit(
         model, data, restore_from=f"{ckpt}/last")
     assert resumed.epoch == 2
+
+
+def test_scan_dispatch_per_bucket_mixed_lengths(tmp_path):
+    """Mixed-length corpus + length-bucketed sampler: the scan plan
+    splits the epoch into per-bucket groups whose gathers slice to
+    each bucket's own collate extents (NOT the store max — the
+    round-4 bucketed-collate cliff), and the trajectory still equals
+    the per-step device-cache path exactly because run-length
+    grouping preserves the epoch's batch order."""
+    from voice100_tpu.data import AudioTextDataModule
+    from voice100_tpu.models import AudioToAlignText
+    from voice100_tpu.training import Trainer, TrainerConfig
+
+    root = str(tmp_path / "corpus_mixed")
+    make_dummy_corpus(root, n_clips=16, min_dur=0.5, max_dur=2.4,
+                      seed=11)
+    # warm the DISK feature cache first so both runs see identical
+    # epochs: length_hint only knows lengths once features are cached,
+    # and a cold first run would batch epoch 0 unbucketed
+    warm = AudioTextDataModule(
+        vocoder="mel", dataset="dummy_en", data_dir=root,
+        cache_dir=str(tmp_path / "cache"), batch_size=4,
+        valid_ratio=0.0,
+    )
+    warm.setup("fit")
+    for _ in warm.train_dataloader():
+        pass
+
+    def fit(tag, **cfg_kwargs):
+        data = AudioTextDataModule(
+            vocoder="mel", dataset="dummy_en", data_dir=root,
+            cache_dir=str(tmp_path / "cache"), batch_size=4,
+            valid_ratio=0.0, bucket_by_length=True,
+        )
+        model = AudioToAlignText(
+            audio_size=64, vocab_size=29,
+            encoder_settings=((16, False, 3, 2, 1, False),),
+            decoder_num_layers=1, decoder_hidden_size=16,
+        )
+        log_path = str(tmp_path / f"log_mixed_{tag}.jsonl")
+        trainer = Trainer(TrainerConfig(
+            max_epochs=3, device_cache=True, log_path=log_path,
+            log_every_n_steps=1, **cfg_kwargs,
+        ))
+        trainer.mesh = make_mesh(jax.devices()[:1], data=1, model=1)
+        state = trainer.fit(model, data)
+        with open(log_path) as f:
+            records = [json.loads(line) for line in f]
+        return state, records
+
+    base_state, _ = fit("per_step")
+    scan_state, scan_recs = fit("scan", steps_per_dispatch=8)
+
+    events = [r for r in scan_recs if r.get("event") == "scan_dispatch"]
+    assert events and events[0]["buckets"] >= 2, events
+
+    assert scan_state.step == base_state.step
+    for a, b in zip(jax.tree_util.tree_leaves(base_state.params),
+                    jax.tree_util.tree_leaves(scan_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    base_losses = [r["train_loss"] for _, r in enumerate(scan_recs)
+                   if "train_loss" in r and "train_time_s" in r]
+    assert base_losses  # epochs recorded on the scan path too

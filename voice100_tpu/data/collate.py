@@ -28,6 +28,7 @@ from ..ops.augment import BLANK_AUDIO
 
 __all__ = [
     "pad_stack",
+    "bucket_extent",
     "collate_audio_text",
     "collate_world_text",
     "collate_world_text_target",
@@ -100,6 +101,20 @@ def pad_stack(
     return out, lengths
 
 
+def bucket_extent(kind: str, n: int) -> int:
+    """The padded length a batch whose longest row is ``n`` collates to,
+    per bucket kind — the device feature cache uses this to predict each
+    regrouped batch's bucket from tracked true lengths (so scan-dispatch
+    gathers slice to the SAME extents host collation would produce)."""
+    if kind == "time":
+        return _bucket(n, _time_bucket())
+    if kind == "text":
+        return _bucket(n, _text_bucket())
+    if kind == "align":
+        return _bucket(n, 2 * _text_bucket())
+    raise ValueError(f"unknown bucket kind {kind!r}")
+
+
 def collate_audio_text(batch, time_bucket: int = None,
                        text_bucket: int = None):
     """Mel-mode batches (reference generate_audio_text_batch,
@@ -119,6 +134,12 @@ def collate_audio_text(batch, time_bucket: int = None,
 # batches are byte-identical to host-collated ones at any bucket.
 # Length leaves ([B] arrays) never pad; 0 is a placeholder.
 collate_audio_text.pad_values = ((BLANK_AUDIO, 0), (BLANK_IDX, 0))
+# variable-length leaf map (flattened leaf order): feature-leaf index ->
+# (index of the [B] length leaf holding its rows' TRUE lengths, bucket
+# kind for bucket_extent). Length leaves and fixed-shape leaves are
+# absent. Consumed by data/device_cache.py to group an epoch's batches
+# by collate bucket for per-bucket scan dispatch.
+collate_audio_text.var_specs = {0: (1, "time"), 2: (3, "text")}
 
 
 def collate_world_text(batch, time_bucket: int = None,
@@ -140,6 +161,8 @@ def collate_world_text(batch, time_bucket: int = None,
 
 collate_world_text.pad_values = (
     (0.0, 0, 0.0, 0.0), (BLANK_IDX, 0))
+collate_world_text.var_specs = {
+    0: (1, "time"), 2: (1, "time"), 3: (1, "time"), 4: (5, "text")}
 
 
 def collate_world_text_target(batch, time_bucket: int = None,
@@ -162,6 +185,9 @@ def collate_world_text_target(batch, time_bucket: int = None,
 
 collate_world_text_target.pad_values = (
     (0.0, 0, 0.0, 0.0), (BLANK_IDX, 0), (BLANK_IDX, 0))
+collate_world_text_target.var_specs = {
+    0: (1, "time"), 2: (1, "time"), 3: (1, "time"), 4: (5, "text"),
+    6: (7, "text")}
 
 
 def collate_text_align(batch, text_bucket: int = None):
@@ -176,6 +202,7 @@ def collate_text_align(batch, text_bucket: int = None):
 
 
 collate_text_align.pad_values = ((BLANK_IDX, 0), (0, 0))
+collate_text_align.var_specs = {0: (1, "text"), 2: (3, "align")}
 
 
 def get_collate_fn(vocoder: str, use_target: bool):

@@ -45,6 +45,7 @@ class AudioTextDataModule:
         valid_ratio: float = 0.1,
         seed: int = 1234,
         cache_dtype: Optional[str] = "auto",
+        bucket_by_length: bool = False,
     ) -> None:
         self.vocoder = vocoder
         self.dataset = dataset
@@ -90,6 +91,16 @@ class AudioTextDataModule:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
+        # length-bucketed TRAIN batches (loader.py length_hint): with a
+        # uniform sampler + pad-to-batch-max collate, one long clip
+        # drags every batch it lands in to the top time bucket, so on
+        # wide-length corpora most compute is padding. Opt-in because
+        # it correlates batch composition with clip length (standard
+        # bucket-sampler tradeoff; the reference's uniform sampler has
+        # the padding cost instead). Item lengths come from feature
+        # cache file headers, so cold-cache epochs batch unbucketed and
+        # bucketing engages once the cache is warm.
+        self.bucket_by_length = bucket_by_length
         self.collate_fn = get_collate_fn(vocoder, use_target)
         self.audio_transform = get_audio_transform(vocoder, sample_rate)
         self.text_transform = get_tokenizer(language, use_phone)
@@ -174,6 +185,11 @@ class AudioTextDataModule:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
             num_workers=self.num_workers,
+            length_hint=(
+                ds.audio_frames
+                if self.bucket_by_length and shuffle
+                and hasattr(ds, "audio_frames") else None
+            ),
         )
 
     def train_dataloader(self):

@@ -62,9 +62,26 @@ class DeviceFeatureCache:
     """
 
     def __init__(self, n_items: int, max_bytes: Optional[int] = None,
-                 pad_values=None, mesh=None) -> None:
+                 pad_values=None, mesh=None, var_specs=None) -> None:
         self.n_items = int(n_items)
         self.max_bytes = max_bytes
+        # var_specs (collate.py): feature-leaf index -> (length-leaf
+        # index, bucket kind). With it, place() tracks each row's TRUE
+        # lengths from the batch's length leaves, and epoch_plan()
+        # groups the epoch's batches by the collate bucket those
+        # lengths imply — scan-dispatch gathers then slice each group
+        # to ITS bucket instead of computing at the store's full
+        # extents (the round-4 bucketed-collate throughput cliff).
+        self._var_specs = dict(var_specs) if var_specs else None
+        self._lengths = None
+        if self._var_specs:
+            self._spec_cols = {
+                li: col
+                for col, li in enumerate(sorted(self._var_specs))
+            }
+            self._lengths = np.zeros(
+                (self.n_items, len(self._spec_cols)), np.int64
+            )
         # mesh: a ('data','model') mesh shards the store's ITEM axis
         # over 'data' (each chip holds corpus/D rows — pods scale cache
         # capacity with fleet size) and replicates it over 'model';
@@ -256,12 +273,25 @@ class DeviceFeatureCache:
             self._gather_fns[key] = fn
         return fn
 
+    def _track_lengths(self, idx, batch) -> None:
+        """Record each row's true lengths (from the batch's EXACT
+        length leaves — collate never buckets those) so epoch_plan can
+        predict a regrouped batch's collate bucket."""
+        if self._var_specs is None:
+            return
+        leaves = jax.tree_util.tree_leaves(batch)
+        for li, (len_leaf, _kind) in self._var_specs.items():
+            self._lengths[idx, self._spec_cols[li]] = np.asarray(
+                leaves[len_leaf]
+            )[: len(idx)]
+
     def place(self, indices, batch):
         """Return ``batch`` on device; cache rows as a side effect."""
         idx = np.asarray(indices, np.int32)
         if self._store is None:
             self._init_store(batch)
         self._fit_extents(batch)
+        self._track_lengths(idx, batch)
         if self._cached[idx].all():
             shapes = self._batch_shapes(batch)
             return self._gather_fn(shapes)(
@@ -291,17 +321,26 @@ class DeviceFeatureCache:
         """The device-resident store pytree (None before first place)."""
         return self._store
 
-    def gather_rows(self, store, idx):
-        """Pure batch assembly at the store's FULL extents — traceable
-        inside jit/lax.scan (unlike :meth:`place`, which slices to the
-        requesting bucket on host). Rows beyond their true extent hold
-        the collate pad value, and lengths are stored rows themselves,
-        so masked training losses match host collation. On a sharded
+    def gather_rows(self, store, idx, extents=None):
+        """Pure batch assembly — traceable inside jit/lax.scan (unlike
+        :meth:`place`, which slices to the requesting bucket on host).
+        ``extents`` (a static per-leaf row-shape tuple from
+        :meth:`epoch_plan`) slices each leaf to its batch group's
+        collate bucket; without it the gather runs at the store's FULL
+        extents. Rows beyond their true extent hold the collate pad
+        value, and lengths are stored rows themselves, so masked
+        training losses match host collation either way. On a sharded
         store the gathered batch is constrained to shard_batch's
         layout (batch rows over 'data'); GSPMD inserts the collectives
         that move rows between chips."""
         leaves = jax.tree_util.tree_leaves(store)
-        out = [s[idx] for s in leaves]
+        if extents is None:
+            out = [s[idx] for s in leaves]
+        else:
+            out = [
+                s[(idx,) + tuple(slice(0, d) for d in shape)]
+                for s, shape in zip(leaves, extents)
+            ]
         batch_sh = self._batch_sharding()
         if batch_sh is not None:
             out = [
@@ -309,6 +348,54 @@ class DeviceFeatureCache:
                 for o in out
             ]
         return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def epoch_plan(self, loader):
+        """The epoch's batches grouped by collate bucket: a list of
+        ``(extents, idx_mat)`` where ``extents`` is the per-leaf row
+        shape every batch in the group collates to (host collation
+        would produce exactly these shapes) and ``idx_mat`` is that
+        group's ``[k, B]`` row-index matrix. Groups are MAXIMAL
+        CONSECUTIVE RUNS of equal-bucket batches — the epoch's batch
+        order is preserved exactly, so the scanned trajectory equals a
+        per-step run of the same epoch on any corpus. Long runs (and
+        hence long scans) come from the SAMPLER: the loader's
+        ``length_hint`` bucketing emits each epoch as contiguous
+        bucket groups. Falls back to one full-extent group when the
+        collate carries no ``var_specs``; returns ``None`` under
+        :meth:`epoch_index_matrix`'s conditions.
+        """
+        mat = self.epoch_index_matrix(loader)
+        if mat is None:
+            return None
+        if self._var_specs is None:
+            return [(tuple(s for s, _ in self._shapes), mat)]
+        from .collate import bucket_extent
+
+        runs = []
+        cur_key, cur_rows = None, []
+        for row in mat:
+            extents = []
+            for li, (shape, _dtype) in enumerate(self._shapes):
+                spec = self._var_specs.get(li)
+                if spec is None:
+                    extents.append(shape)
+                    continue
+                n = int(self._lengths[row, self._spec_cols[li]].max())
+                # a store extent can undercut the bucket when the env
+                # granularity grew between warm and plan time; clamp
+                extents.append(
+                    (min(bucket_extent(spec[1], n), shape[0]),)
+                    + shape[1:]
+                )
+            key = tuple(extents)
+            if key != cur_key:
+                if cur_rows:
+                    runs.append((cur_key, np.stack(cur_rows)))
+                cur_key, cur_rows = key, []
+            cur_rows.append(row)
+        if cur_rows:
+            runs.append((cur_key, np.stack(cur_rows)))
+        return runs
 
     def epoch_index_matrix(self, loader):
         """The epoch's batches as a ``[n_batches, B]`` int32 row-index

@@ -70,6 +70,7 @@ class DataLoader:
         process_index: int = 0,
         process_count: int = 1,
         num_workers: int = 0,
+        length_hint: Optional[Callable[[int], Optional[int]]] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -87,6 +88,19 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.num_workers = num_workers
+        # length-bucketed batch formation: ``length_hint(idx)`` returns
+        # an item's feature frame count cheaply (or None when unknown).
+        # When set, each epoch's shuffled items are grouped by their
+        # collate TIME bucket and batches form within groups, so a
+        # batch's padded extent tracks its own items instead of the
+        # corpus max — with a uniform shuffle, one long clip drags
+        # every batch it lands in up to the top bucket (the reference
+        # pays this too: pad-to-batch-max collate over a uniform
+        # sampler, voice100/data_modules.py:446-455). Epoch content is
+        # the same multiset of items; bucket-group order and
+        # within-group items reshuffle each epoch, so training does
+        # not sweep lengths monotonically.
+        self.length_hint = length_hint
         self._executor = None
         self._epoch = 0
 
@@ -131,17 +145,71 @@ class DataLoader:
 
     def _epoch_index_chunks(self):
         order = np.arange(len(self.dataset))
+        rng = None
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         if self.process_count > 1:
             order = order[self.process_index::self.process_count]
+        if self.length_hint is not None:
+            chunks = self._bucketed_chunks(order, rng)
+            if chunks is not None:
+                return chunks
         n = len(order)
         stop = n - n % self.batch_size if self.drop_last else n
         return [
             order[start:start + self.batch_size]
             for start in range(0, stop, self.batch_size)
         ]
+
+    def _bucketed_chunks(self, order, rng):
+        """Group the epoch's items by collate time bucket and batch
+        within groups; per-bucket remainders merge into cross-bucket
+        tail batches, so the epoch's batch count is exactly the
+        unbucketed ``ceil(n/batch_size)`` (or ``floor`` with
+        ``drop_last``). Each epoch emits its buckets as CONTIGUOUS
+        groups — group order and within-group items reshuffle per
+        epoch, but batches of one bucket stay adjacent, which is what
+        lets the trainer's scan dispatch run long per-bucket scans
+        while preserving this exact batch order (device_cache.py
+        epoch_plan's run-length grouping). Returns None when any
+        item's length is unknown (cold feature cache) — that epoch
+        batches unbucketed and the next, with the cache warm, buckets.
+        """
+        from .collate import bucket_extent
+
+        groups = {}
+        keys = []
+        for i in order:
+            n = self.length_hint(int(i))
+            if n is None:
+                return None
+            b = bucket_extent("time", int(n))
+            if b not in groups:
+                groups[b] = []
+                keys.append(b)
+            groups[b].append(i)
+        if rng is not None:
+            keys = [keys[j] for j in rng.permutation(len(keys))]
+        bs = self.batch_size
+        chunks = []
+        leftover = []
+        for b in keys:
+            idxs = np.asarray(groups[b])
+            full = len(idxs) - len(idxs) % bs
+            chunks.extend(
+                idxs[s:s + bs] for s in range(0, full, bs)
+            )
+            leftover.extend(idxs[full:])
+        leftover = np.asarray(leftover, dtype=order.dtype)
+        stop = (
+            len(leftover) - len(leftover) % bs
+            if self.drop_last else len(leftover)
+        )
+        chunks.extend(
+            leftover[s:s + bs] for s in range(0, stop, bs)
+        )
+        return chunks
 
     def _effective_indices(self, idx) -> np.ndarray:
         """Per-row dataset indices of a collated batch, including the

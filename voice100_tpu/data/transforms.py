@@ -215,6 +215,42 @@ class EncodedCacheDataset:
         h.update(clipid.encode("utf-8"))
         return os.path.join(self._cachedir, h.hexdigest() + ".npz")
 
+    def audio_frames(self, index: int) -> Optional[int]:
+        """Frame count of the item's cached audio feature WITHOUT
+        reading the feature data: just the .npy header (mel) or the
+        npz's first-entry header (WORLD f0). ``None`` when the item is
+        not cached yet — callers fall back to unbucketed batching for
+        that epoch. Feeds the loader's length-bucketed batch formation
+        (loader.py ``length_hint``), which needs every item's length
+        up front and must not pay a feature decode to learn it."""
+        data = self._dataset[index]
+        cachefile = self._cachefile(data[0])
+        if cachefile is None:
+            return None
+
+        def head_shape(f):
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, _, _ = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, _, _ = np.lib.format.read_array_header_2_0(f)
+            return shape
+
+        try:
+            npyfile = cachefile[:-4] + ".npy"
+            if os.path.exists(npyfile):
+                with open(npyfile, "rb") as f:
+                    return int(head_shape(f)[0])
+            if os.path.exists(cachefile):
+                import zipfile
+
+                with zipfile.ZipFile(cachefile) as z:
+                    with z.open(z.namelist()[0]) as f:
+                        return int(head_shape(f)[0])
+        except Exception:
+            return None
+        return None
+
     def _quantize(self, arr: np.ndarray) -> np.ndarray:
         if self._cache_dtype is not None and arr.dtype == np.float32:
             return arr.astype(self._cache_dtype)

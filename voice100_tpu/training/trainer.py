@@ -95,12 +95,15 @@ class TrainerConfig:
     # audio-s/s over a remote host->device link (bench.py
     # --metric train_loader). Warm epochs, incomplete caches, ragged
     # tail batches, and profile_dir runs fall back to the per-step
-    # path. RNG consumption is identical to the per-step path, so
-    # training trajectories match exactly at a fixed collate bucket.
-    # With bucketed collate, scanned batches compute at the store's
-    # FULL extents (lengths still mask the loss): prefer a single
-    # bucket (VOICE100_TPU_TIME_BUCKET/TEXT_BUCKET) when enabling this
-    # on corpora with a wide length spread.
+    # path. With bucketed collate, the epoch's batches group by their
+    # collate bucket (data/device_cache.py epoch_plan — batch buckets
+    # predicted from tracked true row lengths) and each group's scans
+    # gather AT ITS OWN extents, so variable-length corpora don't pay
+    # full-store padding per step. Groups run in first-occurrence
+    # order with epoch order inside each group and one RNG split per
+    # step, so a per-step run over the same plan order reproduces the
+    # trajectory exactly (single-bucket corpora: identical to the
+    # plain per-step path).
     steps_per_dispatch: int = 1
 
 
@@ -167,13 +170,14 @@ class Trainer:
 
         return train_step, eval_step
 
-    def _make_scan_fn(self, cache):
+    def _make_scan_fn(self, cache, extents=None):
         """Multi-step dispatcher: scan the per-step body over a
         ``[k, B]`` row-index matrix, assembling each step's batch by
-        on-device gather from the HBM feature store. One host dispatch
+        on-device gather from the HBM feature store, sliced to the
+        batch group's collate bucket (``extents``). One host dispatch
         (and one tiny index upload) per chunk; the per-step RNG split
-        sequence is replicated exactly, so the trajectory matches the
-        per-step path."""
+        sequence is replicated exactly, so the trajectory matches a
+        per-step run over the same plan order."""
         step_body = self._step_body
         gather = cache.gather_rows
 
@@ -182,7 +186,7 @@ class Trainer:
             def body(carry, idx):
                 params, extra, opt_state, rng = carry
                 rng, step_rng = jax.random.split(rng)
-                batch = gather(store, idx)
+                batch = gather(store, idx, extents)
                 params, extra, opt_state, metrics = step_body(
                     params, extra, opt_state, batch, step_rng
                 )
@@ -194,6 +198,18 @@ class Trainer:
             return params, extra, opt_state, rng, metrics
 
         return multi_step
+
+    def _scan_fn_for(self, cache, extents):
+        """One jitted multi-step dispatcher per bucket extents (jit
+        caches on the traced gather slice sizes via closure identity,
+        so each bucket group must reuse ITS dispatcher)."""
+        fns = getattr(self, "_scan_fns", None)
+        if fns is None:
+            fns = self._scan_fns = {}
+        fn = fns.get(extents)
+        if fn is None:
+            fn = fns[extents] = self._make_scan_fn(cache, extents)
+        return fn
 
     # ------------------------------------------------------------------
     def fit(
@@ -480,6 +496,8 @@ class Trainer:
                 pad_values=getattr(
                     loader.collate_fn, "pad_values", None),
                 mesh=mesh,
+                var_specs=getattr(
+                    loader.collate_fn, "var_specs", None),
             )
             self._feature_cache = cached
             self._log({
@@ -490,63 +508,78 @@ class Trainer:
 
     def _fit_loop(self, cfg, task, model, datamodule, state, rng,
                   train_loader, val_loader, train_step, eval_step):
-        scan_fn = None
+        scan_logged = False
         for epoch in range(state.epoch, cfg.max_epochs):
             train_loader.set_epoch(epoch)
             t0 = time.time()
             running = None
             # multi-step scan dispatch: once the HBM feature cache holds
-            # every row, the epoch is a row-index matrix — no host
-            # decode/collate/upload, one dispatch per chunk of steps
+            # every row, the epoch is a set of per-bucket row-index
+            # matrices — no host decode/collate/upload, one dispatch
+            # per chunk of steps, each bucket group computing at ITS
+            # collate extents instead of the store's full extents
             plan = cache = None
             if cfg.steps_per_dispatch > 1 and not cfg.profile_dir:
                 cache = self._device_cache(train_loader)
                 if cache is not None:
-                    plan = cache.epoch_index_matrix(train_loader)
+                    plan = cache.epoch_plan(train_loader)
             if plan is not None:
-                if scan_fn is None:
-                    scan_fn = self._make_scan_fn(cache)
+                if not scan_logged:
+                    scan_logged = True
                     self._log({
                         "event": "scan_dispatch",
                         "steps_per_dispatch": int(cfg.steps_per_dispatch),
-                        "batches_per_epoch": len(plan),
+                        "batches_per_epoch": sum(
+                            len(mat) for _, mat in plan),
+                        "buckets": len({k for k, _ in plan}),
+                        "runs": len(plan),
                     })
-                for start in range(0, len(plan),
-                                   int(cfg.steps_per_dispatch)):
-                    chunk = plan[start:start + int(cfg.steps_per_dispatch)]
-                    rng, metrics, state = self._scan_chunk(
-                        scan_fn, cache, chunk, state, rng)
-                    prev = state.step - len(chunk)
-                    if prev == 0:
-                        from ..ops import ctc as _ctc, lstm as _lstm
+                stopped = False
+                for extents, mat in plan:
+                    scan_fn = self._scan_fn_for(cache, extents)
+                    for start in range(0, len(mat),
+                                       int(cfg.steps_per_dispatch)):
+                        chunk = mat[
+                            start:start + int(cfg.steps_per_dispatch)]
+                        rng, metrics, state = self._scan_chunk(
+                            scan_fn, cache, chunk, state, rng)
+                        prev = state.step - len(chunk)
+                        if prev == 0:
+                            from ..ops import ctc as _ctc, lstm as _lstm
 
-                        self._log({
-                            "event": "kernel_path",
-                            "lstm": _lstm.last_kernel_mode() or "n/a",
-                            "ctc": _ctc.last_kernel_mode() or "n/a",
-                        })
-                    if (prev // cfg.log_every_n_steps
-                            != state.step // cfg.log_every_n_steps):
-                        logged = {
-                            k: float(np.mean(np.asarray(v)))
-                            for k, v in metrics.items()
-                        }
-                        self._log({
-                            "epoch": epoch, "step": state.step,
-                            **{f"train_{k}": v for k, v in logged.items()},
-                        })
-                    running = jax.tree_util.tree_map(
-                        lambda m: m[-1], metrics)
-                    if self._stop_requested:
-                        self._log({"event": "stopped", "epoch": epoch,
-                                   "step": state.step})
-                        state.epoch = epoch  # resume re-runs this epoch
-                        if cfg.checkpoint_dir and cfg.save_last:
-                            save_checkpoint(
-                                os.path.join(cfg.checkpoint_dir, "last"),
-                                state,
-                            )
-                        return state
+                            self._log({
+                                "event": "kernel_path",
+                                "lstm": _lstm.last_kernel_mode() or "n/a",
+                                "ctc": _ctc.last_kernel_mode() or "n/a",
+                            })
+                        if (prev // cfg.log_every_n_steps
+                                != state.step // cfg.log_every_n_steps):
+                            logged = {
+                                k: float(np.mean(np.asarray(v)))
+                                for k, v in metrics.items()
+                            }
+                            self._log({
+                                "epoch": epoch, "step": state.step,
+                                **{f"train_{k}": v
+                                   for k, v in logged.items()},
+                            })
+                        running = jax.tree_util.tree_map(
+                            lambda m: m[-1], metrics)
+                        if self._stop_requested:
+                            stopped = True
+                            break
+                    if stopped:
+                        break
+                if stopped:
+                    self._log({"event": "stopped", "epoch": epoch,
+                               "step": state.step})
+                    state.epoch = epoch  # resume re-runs this epoch
+                    if cfg.checkpoint_dir and cfg.save_last:
+                        save_checkpoint(
+                            os.path.join(cfg.checkpoint_dir, "last"),
+                            state,
+                        )
+                    return state
                 self._epoch_tail(cfg, task, model, datamodule, state,
                                  epoch, t0, running, val_loader,
                                  eval_step)
