@@ -715,8 +715,14 @@ def _loader_bench_datamodule(batch_size=64):
     data_dir = os.path.join(_LOADER_BENCH_DIR, "data")
     marker = os.path.join(_LOADER_BENCH_DIR, ".corpus_ready")
     if not os.path.exists(marker):
+        # 256 clips per duration mode = 4 FULL batches per collate
+        # bucket each epoch (bucketed sampler, batch 64): stable
+        # per-bucket scan-run shapes across epochs, so each bucket's
+        # dispatch program compiles once. (Fewer clips per mode than
+        # the batch size would make every batch a merged cross-bucket
+        # leftover — varying shapes, a recompile per epoch.)
         make_dummy_corpus(
-            data_dir, n_clips=192, seed=7,
+            data_dir, n_clips=768, seed=7,
             dur_modes=[(3.9, 4.4), (8.1, 8.8), (12.2, 13.2)],
         )
         with open(marker, "w") as f:
@@ -727,7 +733,7 @@ def _loader_bench_datamodule(batch_size=64):
         vocoder="mel", dataset="dummy_en", language="en",
         batch_size=batch_size, data_dir=data_dir,
         cache_dir=os.path.join(_LOADER_BENCH_DIR, "cache"),
-        bucket_by_length=True,
+        bucket_by_length=True, valid_ratio=0.0,
     )
 
 
@@ -880,7 +886,11 @@ def _train_loader_bench(precision: str = "32"):
     # corpora that fit in HBM (~350 h of f16 log-mel per 16 GB chip).
     from voice100_tpu.data.device_cache import DeviceFeatureCache
 
-    cache = DeviceFeatureCache(len(loader.dataset))
+    cache = DeviceFeatureCache(
+        len(loader.dataset),
+        pad_values=getattr(loader.collate_fn, "pad_values", None),
+        var_specs=getattr(loader.collate_fn, "var_specs", None),
+    )
     loader.set_epoch(0)
     for batch in cache.epoch_batches(loader):
         params, extra, opt_state = step(

@@ -83,8 +83,10 @@ class DataLoader:
         # keeps the leading axis static (one compiled program, clean DP
         # sharding) at the cost of a few duplicated samples per epoch.
         self.pad_to_full = pad_to_full
-        # multi-host DP: each process reads its stride of the shuffled
-        # order (same seed everywhere -> consistent epoch permutation)
+        # multi-host DP: every process computes the same shuffled
+        # epoch (same seed) as GLOBAL batches of
+        # batch_size*process_count and reads its contiguous row slice
+        # of each — see _epoch_index_chunks
         self.process_index = process_index
         self.process_count = process_count
         self.num_workers = num_workers
@@ -136,12 +138,14 @@ class DataLoader:
         self._epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count if (
-            self.process_count > 1
-        ) else len(self.dataset)
+        n = len(self.dataset)
+        # every process emits one local batch per GLOBAL batch, so the
+        # epoch length is identical on all processes (a divergent count
+        # would deadlock the collectives of a multi-process step)
+        gbs = self.batch_size * self.process_count
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return n // gbs
+        return -(-n // gbs)
 
     def _epoch_index_chunks(self):
         order = np.arange(len(self.dataset))
@@ -149,20 +153,53 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
-        if self.process_count > 1:
-            order = order[self.process_index::self.process_count]
+        if self.process_count <= 1:
+            if self.length_hint is not None:
+                chunks = self._bucketed_chunks(order, rng,
+                                               self.batch_size)
+                if chunks is not None:
+                    return chunks
+            return self._plain_chunks(order, self.batch_size)
+        # multi-process DP: form GLOBAL batches of
+        # batch_size*process_count — every process computes the same
+        # chunks from the same seed — then take this process's
+        # CONTIGUOUS row slice of each. The process-concatenated global
+        # batch then preserves single-process row order exactly, so a
+        # pod trajectory is RNG-identical (augmentation/dropout keys
+        # and all) to a single-process run at the global batch size.
+        # The final partial global batch instead strides its rows
+        # across processes (shards stay disjoint, chunk counts stay
+        # equal) and each process self-pads via pad_to_full.
+        gbs = self.batch_size * self.process_count
+        gchunks = None
         if self.length_hint is not None:
-            chunks = self._bucketed_chunks(order, rng)
-            if chunks is not None:
-                return chunks
+            gchunks = self._bucketed_chunks(order, rng, gbs)
+        if gchunks is None:
+            gchunks = self._plain_chunks(order, gbs)
+        p, pc, bs = self.process_index, self.process_count, self.batch_size
+        out = []
+        for chunk in gchunks:
+            if len(chunk) == gbs:
+                out.append(chunk[p * bs:(p + 1) * bs])
+            else:
+                rows = chunk[p::pc]
+                if len(rows) == 0:
+                    # fewer tail rows than processes: repeat a row so
+                    # every process still emits the same batch count
+                    # (the duplicate carries normal loss weight)
+                    rows = chunk[p % len(chunk): p % len(chunk) + 1]
+                out.append(rows)
+        return out
+
+    def _plain_chunks(self, order, batch_size):
         n = len(order)
-        stop = n - n % self.batch_size if self.drop_last else n
+        stop = n - n % batch_size if self.drop_last else n
         return [
-            order[start:start + self.batch_size]
-            for start in range(0, stop, self.batch_size)
+            order[start:start + batch_size]
+            for start in range(0, stop, batch_size)
         ]
 
-    def _bucketed_chunks(self, order, rng):
+    def _bucketed_chunks(self, order, rng, batch_size):
         """Group the epoch's items by collate time bucket and batch
         within groups; per-bucket remainders merge into cross-bucket
         tail batches, so the epoch's batch count is exactly the
@@ -191,7 +228,7 @@ class DataLoader:
             groups[b].append(i)
         if rng is not None:
             keys = [keys[j] for j in rng.permutation(len(keys))]
-        bs = self.batch_size
+        bs = batch_size
         chunks = []
         leftover = []
         for b in keys:

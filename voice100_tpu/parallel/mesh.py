@@ -29,6 +29,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "infer_param_spec",
+    "mesh_spans_processes",
+    "replicate_tree",
     "shard_params",
     "shard_batch",
     "pad_batch_to_multiple",
@@ -247,8 +249,38 @@ def infer_param_spec(path_leaf, mesh: Mesh, min_size: int = 256):
     return P(*spec)
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of other processes (a real
+    multi-process run under ``jax.distributed.initialize``)."""
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
+def _place_global(leaf, mesh: Mesh, spec) -> jax.Array:
+    """Build a global array on a multi-process mesh from a host value
+    every process holds in full (``jax.device_put`` only talks to
+    addressable devices; ``make_array_from_callback`` asks each process
+    for exactly the index slices its local devices need)."""
+    leaf = np.asarray(leaf)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        leaf.shape, sharding, lambda idx: leaf[idx]
+    )
+
+
 def shard_params(params, mesh: Mesh):
-    """Place a parameter pytree on the mesh per ``infer_param_spec``."""
+    """Place a parameter pytree on the mesh per ``infer_param_spec``.
+
+    On a multi-process mesh every process passes the SAME full host
+    values (model init is seed-deterministic, so each host's init is
+    bit-identical) and receives global arrays."""
+    if mesh_spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda leaf: _place_global(
+                leaf, mesh, infer_param_spec(np.asarray(leaf), mesh)
+            ),
+            params,
+        )
     return jax.tree_util.tree_map(
         lambda leaf: jax.device_put(
             leaf, NamedSharding(mesh, infer_param_spec(leaf, mesh))
@@ -257,8 +289,34 @@ def shard_params(params, mesh: Mesh):
     )
 
 
+def replicate_tree(tree, mesh: Mesh):
+    """Place a host pytree fully replicated over the mesh (extra
+    variable collections, RNG keys, restored optimizer state). On a
+    multi-process mesh the values must be identical on every host."""
+    if mesh_spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda leaf: _place_global(leaf, mesh, P()), tree
+        )
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, sharding), tree
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place host batch arrays with the leading axis over 'data'."""
+    """Place host batch arrays with the leading axis over 'data'.
+
+    Multi-process: each process passes its LOCAL rows (the loader's
+    contiguous per-process slice of the global batch) and the global
+    array is their process-order concatenation — exactly the
+    single-process batch row order (data/loader.py
+    _epoch_index_chunks)."""
+    if mesh_spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            batch, mesh, P("data")
+        )
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch

@@ -296,27 +296,52 @@ def cli_main(argv=None) -> None:
         "--distributed", action="store_true",
         help="multi-host pod training: call jax.distributed.initialize()"
              " before touching devices (coordinator/process settings come"
-             " from the TPU pod environment); the data loader then shards"
+             " from the TPU pod environment, or from the three flags"
+             " below for a manual cluster); the data loader then shards"
              " batches per process and the mesh spans all hosts' chips",
+    )
+    parser.add_argument(
+        "--coordinator_address", type=str, default=None,
+        help="with --distributed: host:port of process 0's coordinator"
+             " (omit on TPU pods, where JAX auto-detects it)",
+    )
+    parser.add_argument(
+        "--num_processes", type=int, default=None,
+        help="with --distributed: total process count for a manual"
+             " (non-pod) cluster",
+    )
+    parser.add_argument(
+        "--process_id", type=int, default=None,
+        help="with --distributed: this process's index in a manual"
+             " (non-pod) cluster",
     )
     args = parser.parse_args(argv)
 
+    if args.platform:
+        import jax
+
+        # before distributed init: a CPU cluster must not let this
+        # machine's sitecustomize-registered TPU plugin win the backend
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed:
         import jax
 
         # must run before any backend query; each host then sees the
         # global device set and the DataLoader splits work by
         # jax.process_index() (data/loader.py)
-        jax.distributed.initialize()
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if v is not None and k not in ("subcommand", "config", "distributed")
+        if v is not None and k not in (
+            "subcommand", "config", "distributed",
+            "coordinator_address", "num_processes", "process_id",
+        )
     }
     config = load_config(args.config)
     model, data, tc, audio_stat = build_from_config(config, overrides)

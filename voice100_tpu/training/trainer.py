@@ -28,7 +28,8 @@ import numpy as np
 import optax
 
 from ..parallel.mesh import (
-    fit_mesh_for_batch, kernel_sharding, pad_batch_to_multiple,
+    fit_mesh_for_batch, kernel_sharding, make_mesh,
+    mesh_spans_processes, pad_batch_to_multiple, replicate_tree,
     shard_batch, shard_params,
 )
 from .tasks import Task, make_task
@@ -123,7 +124,10 @@ class Trainer:
         self.mesh = None  # built in fit() once the batch size is known
         self._stop_requested = False
         self._log_file = None
-        if config.log_path:
+        if config.log_path and jax.process_index() == 0:
+            # one writer: in a multi-process run every host passes the
+            # same log_path (shared FS on pods), and interleaved
+            # appends would corrupt the JSONL
             os.makedirs(os.path.dirname(config.log_path) or ".", exist_ok=True)
             self._log_file = open(config.log_path, "a")
 
@@ -133,10 +137,24 @@ class Trainer:
             f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
             for k, v in record.items()
         )
-        print(f"[trainer] {msg}", flush=True)
+        tag = (
+            f"[trainer p{jax.process_index()}]"
+            if jax.process_count() > 1 else "[trainer]"
+        )
+        print(f"{tag} {msg}", flush=True)
         if self._log_file:
             self._log_file.write(json.dumps(record) + "\n")
             self._log_file.flush()
+
+    def _save(self, path: str, state) -> None:
+        """Checkpoint write, multi-process safe: EVERY process calls
+        orbax (its checkpointers carry internal cross-process barriers,
+        so a lone-process save would deadlock); the state materializes
+        to identical host arrays on each host (fully replicated under
+        DP, the multi-process layout) and orbax's primary host writes.
+        The built-in barrier also keeps hosts from racing ahead — e.g.
+        restoring 'last' before it exists."""
+        save_checkpoint(path, state)
 
     # ------------------------------------------------------------------
     def _make_step_fns(self, task: Task, optimizer):
@@ -233,9 +251,18 @@ class Trainer:
         task = make_task(model)
         self._task = task
         if self.mesh is None:
-            self.mesh = fit_mesh_for_batch(
-                datamodule.batch_size, model=cfg.mesh_model_axis
-            )
+            if jax.process_count() > 1:
+                # multi-process DP: the mesh must span every process's
+                # devices (a process with no mesh devices cannot join
+                # the SPMD program), so use the full fleet; the global
+                # batch is batch_size * process_count rows
+                self.mesh = make_mesh(
+                    jax.devices(), model=cfg.mesh_model_axis
+                )
+            else:
+                self.mesh = fit_mesh_for_batch(
+                    datamodule.batch_size, model=cfg.mesh_model_axis
+                )
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
@@ -271,12 +298,28 @@ class Trainer:
                 })
         params = variables.pop("params")
         extra = variables
+        multiproc = mesh_spans_processes(self.mesh)
         params = shard_params(params, self.mesh)
+        if multiproc:
+            # every non-batch jit input must be a GLOBAL array in a
+            # multi-process run (init is seed-deterministic, so each
+            # host holds identical values to replicate from)
+            extra = replicate_tree(
+                jax.tree_util.tree_map(np.asarray, extra), self.mesh
+            )
         opt_state = optimizer.init(params)
         state = TrainState(params=params, extra=extra, opt_state=opt_state)
 
         if restore_from:
             state = restore_checkpoint(restore_from, state)
+            if multiproc:
+                # restore_checkpoint returns host arrays; re-place them
+                # as global arrays (same layout as the initial state)
+                state.params = shard_params(state.params, self.mesh)
+                state.extra = replicate_tree(state.extra, self.mesh)
+                state.opt_state = replicate_tree(
+                    state.opt_state, self.mesh
+                )
 
         train_step, eval_step = self._make_step_fns(task, optimizer)
         n_params = sum(
@@ -286,6 +329,7 @@ class Trainer:
         self._log({"event": "fit_start", "params": n_params,
                    "steps_per_epoch": steps_per_epoch,
                    "devices": len(jax.devices()),
+                   "processes": jax.process_count(),
                    "upload": "bf16" if self._upload_bf16() else "f32"})
 
         # graceful interruption: SIGTERM/SIGINT (preemption, ^C) request
@@ -357,7 +401,9 @@ class Trainer:
     def _pad_multiple(self) -> int:
         """Batch-axis multiple the loader pads to: the kernel fleet
         size when the shard kernels will engage (so a TP mesh's
-        fleet-flattened batch split divides), else the 'data' axis."""
+        fleet-flattened batch split divides), else the 'data' axis.
+        Multi-process runs pad their LOCAL rows, so the multiple is
+        this process's share of the fleet."""
         import contextlib
 
         from ..parallel.mesh import kernel_batch_divisor
@@ -365,8 +411,17 @@ class Trainer:
         if self.mesh is None:
             return 1
         if isinstance(self._kernel_ctx(), contextlib.nullcontext):
-            return self.mesh.shape["data"]
-        return kernel_batch_divisor(self.mesh)
+            n = self.mesh.shape["data"]
+        else:
+            n = kernel_batch_divisor(self.mesh)
+        pc = jax.process_count()
+        if pc > 1:
+            assert n % pc == 0, (
+                f"mesh axes ({n}) must divide evenly across "
+                f"{pc} processes"
+            )
+            return max(1, n // pc)
+        return n
 
     def request_stop(self) -> None:
         """Programmatic equivalent of SIGTERM: stop after the current
@@ -398,6 +453,49 @@ class Trainer:
             getattr(self, "_task", None), "upload_cast", None
         )
 
+        multiproc = (
+            self.mesh is not None and mesh_spans_processes(self.mesh)
+        )
+
+        def check_mp_shapes(batch):
+            """Multi-process batches must collate to ONE static shape:
+            hosts see different rows of the same global batch, so
+            per-batch dynamic buckets would give each host a different
+            global array shape — divergent SPMD programs, a deadlock.
+            The first batch's shapes are cross-checked host-to-host
+            (one tiny allgather); later batches check locally."""
+            shapes = tuple(
+                np.shape(leaf)
+                for leaf in jax.tree_util.tree_leaves(batch)
+            )
+            first = getattr(self, "_mp_batch_shapes", None)
+            if first is None:
+                from jax.experimental import multihost_utils
+
+                digest = np.frombuffer(
+                    np.asarray(
+                        [hash(shapes) & 0x7FFFFFFF], np.int64
+                    ).tobytes(), np.int64,
+                )
+                gathered = multihost_utils.process_allgather(digest)
+                if not (gathered == gathered[0]).all():
+                    raise RuntimeError(
+                        "multi-process batch shapes differ across "
+                        "hosts; pin one collate bucket (set "
+                        "VOICE100_TPU_TIME_BUCKET/TEXT_BUCKET above "
+                        "the corpus max) so every host pads to the "
+                        "same static extents"
+                    )
+                self._mp_batch_shapes = shapes
+            elif shapes != first:
+                raise RuntimeError(
+                    f"multi-process batch shapes drifted ({shapes} vs "
+                    f"{first}); pin one collate bucket (set "
+                    "VOICE100_TPU_TIME_BUCKET/TEXT_BUCKET above the "
+                    "corpus max) so every batch pads to the same "
+                    "static extents"
+                )
+
         def place(batch):
             if upload_bf16 and upload_cast is not None:
                 # halve the upload bytes: float INPUT features quantize
@@ -415,6 +513,9 @@ class Trainer:
                     if getattr(a, "dtype", None) == np.float32 else a,
                 )
             batch, _ = pad_batch_to_multiple(batch, data_axis)
+            if multiproc:
+                check_mp_shapes(batch)
+                return shard_batch(batch, self.mesh)
             if self.mesh is None or self.mesh.size == 1:
                 # single device: upload the whole batch as ONE PJRT
                 # transfer (per-leaf device_put pays a fixed dispatch
@@ -575,7 +676,7 @@ class Trainer:
                                "step": state.step})
                     state.epoch = epoch  # resume re-runs this epoch
                     if cfg.checkpoint_dir and cfg.save_last:
-                        save_checkpoint(
+                        self._save(
                             os.path.join(cfg.checkpoint_dir, "last"),
                             state,
                         )
@@ -611,7 +712,7 @@ class Trainer:
                                "step": state.step})
                     state.epoch = epoch  # resume re-runs this epoch
                     if cfg.checkpoint_dir and cfg.save_last:
-                        save_checkpoint(
+                        self._save(
                             os.path.join(cfg.checkpoint_dir, "last"),
                             state,
                         )
@@ -689,15 +790,15 @@ class Trainer:
             )
             if is_best:
                 state.best_monitor = monitor_value
-                save_checkpoint(
+                self._save(
                     os.path.join(cfg.checkpoint_dir, "best"), state
                 )
             if cfg.save_last:
-                save_checkpoint(
+                self._save(
                     os.path.join(cfg.checkpoint_dir, "last"), state
                 )
             if (epoch + 1) % cfg.every_n_epochs == 0:
-                save_checkpoint(
+                self._save(
                     os.path.join(cfg.checkpoint_dir, f"epoch_{epoch + 1}"),
                     state,
                 )
@@ -706,13 +807,28 @@ class Trainer:
     def evaluate(self, eval_step, state: TrainState, loader) -> Dict[str, float]:
         """Loss metrics over a loader, invariant to ``pad_to_full``:
         duplicated pad rows in the final batch are sliced off before the
-        step runs (the partial shape compiles once, eval-only)."""
+        step runs (the partial shape compiles once, eval-only).
+
+        Multi-process: per-host slicing would give hosts different
+        batch shapes (divergent SPMD programs), so the padded global
+        batch runs whole and pad-duplicate rows keep their loss weight
+        — a bias bounded by (global_batch - 1) / n_valid samples,
+        identical on every host."""
         totals: Dict[str, float] = {}
         count = 0
         data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        multiproc = (
+            self.mesh is not None and mesh_spans_processes(self.mesh)
+        )
         for batch, n_real in self._iter_counted(loader):
             bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
-            if n_real < bs:
+            if multiproc:
+                batch, _ = pad_batch_to_multiple(
+                    batch, self._pad_multiple()
+                )
+                batch = shard_batch(batch, self.mesh)
+                n_real = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            elif n_real < bs:
                 batch = jax.tree_util.tree_map(
                     lambda x: x[:n_real], batch
                 )
@@ -765,11 +881,31 @@ class Trainer:
         # boundaries (char modes); phone tokenizers join with '/' or
         # per-phone spaces and JA has no word boundaries
         word_level = not hasattr(tokenizer, "_separator")
+        multiproc = (
+            self.mesh is not None and mesh_spans_processes(self.mesh)
+        )
         for batch, n_real in self._iter_counted(loader):
             (audio, audio_len), (text, text_len) = batch
-            ids, out_len = decode(state.params, state.extra,
-                                  audio, audio_len)
-            ids, out_len = np.asarray(ids), np.asarray(out_len)
+            if multiproc:
+                # decode the GLOBAL batch (local rows placed as this
+                # host's slice), then score only this host's rows from
+                # its addressable output shards; per-host counts are
+                # summed once at the end
+                pad = self._pad_multiple()
+                (g_audio, g_audio_len) = shard_batch(
+                    pad_batch_to_multiple(
+                        (audio, audio_len), pad)[0],
+                    self.mesh,
+                )
+                ids, out_len = decode(state.params, state.extra,
+                                      g_audio, g_audio_len)
+                ids = self._local_rows(ids)
+                out_len = self._local_rows(out_len)
+                n_real = min(n_real, len(ids))
+            else:
+                ids, out_len = decode(state.params, state.extra,
+                                      audio, audio_len)
+                ids, out_len = np.asarray(ids), np.asarray(out_len)
             refs, hyps = [], []
             for i in range(n_real):
                 ref = tokenizer.decode(text[i, : int(text_len[i])])
@@ -787,10 +923,27 @@ class Trainer:
                 )
                 w_edits += we
                 w_total += wt
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            sums = multihost_utils.process_allgather(
+                np.asarray([edits, total, w_edits, w_total], np.int64)
+            ).sum(axis=0)
+            edits, total, w_edits, w_total = (int(x) for x in sums)
         rates = {"cer": edits / max(total, 1)}
         if word_level:
             rates["wer"] = w_edits / max(w_total, 1)
         return rates
+
+    @staticmethod
+    def _local_rows(garr) -> np.ndarray:
+        """This host's rows of a batch-sharded global array, in global
+        row order (the loader's contiguous per-process slice)."""
+        shards = sorted(
+            garr.addressable_shards,
+            key=lambda s: s.index[0].start or 0,
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards])
 
     def run_eval(
         self, model, datamodule, state: TrainState, stage: str = "test"
