@@ -47,24 +47,24 @@ def test_lts_accuracy_vs_gold_lexicon():
         denom += max(len(goldp), len(pred))
     # the lexicon deliberately collects the most irregular spellings
     # (French loans, silent letters), so the rules' score on it is a
-    # hard floor, not typical-word accuracy. Measured 0.9934 stripped /
-    # 0.9928 with-stress (phone acc 0.9986, stress-only misses 1) on
-    # the probe-grown 1519-word set after
-    # the round-3 error-class sweeps: systematic spelling families
-    # (-ough, -oul, silent mb/l, ch->K Greek contexts, o->AH families,
-    # ed-after-t/d syllabification, -ies/-ean/-ature/-ence/-ful
-    # suffixes, French loan endings) plus rule-pinned stress digits for
-    # the commonest irregular words (a rule that emits an explicit *1
-    # suppresses heuristic stress/reduction for that word); floors
-    # leave a small margin.
-    assert exact / total > 0.985, f"word-exact {exact}/{total}"
-    assert match / denom > 0.995, f"phone accuracy {match / denom:.3f}"
-    assert with_stress / total > 0.985, (
+    # hard floor, not typical-word accuracy. Round-5 policy change:
+    # probe-band words now enter the lexicon EVEN when no general rule
+    # can derive them (CMU's lexical classes, e.g. the unstressed-i
+    # reduction coin flip: hospital keeps IH0, festival reduces to
+    # AH0), because the lexicon is the blind pipeline's vocabulary —
+    # so the rules-only score over it dilutes as deliberately-lexical
+    # words accumulate. Measured 0.978 stripped / 0.975 with-stress
+    # (phone acc 0.994) on the 1602-word set at the band-A merge;
+    # floors leave a small margin. tools/g2p_cv.py measures the
+    # fold-out generalization (0.98) separately.
+    assert exact / total > 0.970, f"word-exact {exact}/{total}"
+    assert match / denom > 0.990, f"phone accuracy {match / denom:.3f}"
+    assert with_stress / total > 0.965, (
         f"with-stress exact {with_stress}/{total}"
     )
     # stress-only error mass (stripped-correct but mis-stressed):
-    # measured 0, gate well under the round-2 verdict's <15 target
-    assert stress_only <= 4, f"stress-only misses {stress_only}"
+    # gate under the round-2 verdict's <15 target
+    assert stress_only <= 8, f"stress-only misses {stress_only}"
 
 
 def test_lts_emits_secondary_stress():

@@ -932,6 +932,89 @@ _LEXICON: Dict[str, str] = {
     "opportunity": "AA2 P ER0 T UW1 N AH0 T IY0",
     "responsibility": "R IH0 S P AA2 N S AH0 B IH1 L AH0 T IY0",
     "responsible": "R IH0 S P AA1 N S AH0 B AH0 L",
+    # round-5 thirty-fifth probe band (band A): everyday
+    # Latinate/suffix vocabulary behind the new -ism/-asm/-mony/
+    # -ere/-archy/-osity/-osure/-osal/-oval/-ival/-ure rule
+    # families (tools/g2p_cv.py + band analysis)
+    "adhere": "AH0 D HH IH1 R",
+    "alimony": "AE1 L AH0 M OW2 N IY0",
+    "animosity": "AE2 N AH0 M AA1 S AH0 T IY0",
+    "approval": "AH0 P R UW1 V AH0 L",
+    "authority": "AH0 TH AO1 R AH0 T IY0",
+    "capacity": "K AH0 P AE1 S AH0 T IY0",
+    "capture": "K AE1 P CH ER0",
+    "carnival": "K AA1 R N AH0 V AH0 L",
+    "celebrity": "S AH0 L EH1 B R IH0 T IY0",
+    "charity": "CH EH1 R AH0 T IY0",
+    "clarity": "K L EH1 R AH0 T IY0",
+    "closure": "K L OW1 ZH ER0",
+    "collision": "K AH0 L IH1 ZH AH0 N",
+    "conclusion": "K AH0 N K L UW1 ZH AH0 N",
+    "confusion": "K AH0 N F Y UW1 ZH AH0 N",
+    "creature": "K R IY1 CH ER0",
+    "criticism": "K R IH1 T IH0 S IH2 Z AH0 M",
+    "difficulty": "D IH1 F AH0 K AH0 L T IY0",
+    "dignity": "D IH1 G N AH0 T IY0",
+    "disposal": "D IH0 S P OW1 Z AH0 L",
+    "explosion": "IH0 K S P L OW1 ZH AH0 N",
+    "exposure": "IH0 K S P OW1 ZH ER0",
+    "faculty": "F AE1 K AH0 L T IY0",
+    "failure": "F EY1 L Y ER0",
+    "feature": "F IY1 CH ER0",
+    "festival": "F EH1 S T AH0 V AH0 L",
+    "fixture": "F IH1 K S CH ER0",
+    "fracture": "F R AE1 K CH ER0",
+    "frustration": "F R AH0 S T R EY1 SH AH0 N",
+    "generosity": "JH EH2 N ER0 AA1 S AH0 T IY0",
+    "gesture": "JH EH1 S CH ER0",
+    "hemisphere": "HH EH1 M AH0 S F IH2 R",
+    "illusion": "IH0 L UW1 ZH AH0 N",
+    "interfere": "IH2 N T ER0 F IH1 R",
+    "interval": "IH1 N T ER0 V AH0 L",
+    "invasion": "IH0 N V EY1 ZH AH0 N",
+    "journalism": "JH ER1 N AH0 L IH2 Z AH0 M",
+    "leisure": "L IY1 ZH ER0",
+    "loyalty": "L OY1 AH0 L T IY0",
+    "majority": "M AH0 JH AO1 R AH0 T IY0",
+    "matrimony": "M AE1 T R AH0 M OW2 N IY0",
+    "maturity": "M AH0 CH UH1 R AH0 T IY0",
+    "minority": "M AY0 N AO1 R AH0 T IY0",
+    "mixture": "M IH1 K S CH ER0",
+    "moisture": "M OY1 S CH ER0",
+    "monarchy": "M AA1 N AA0 R K IY0",
+    "nurture": "N ER1 CH ER0",
+    "oligarchy": "AA1 L AH0 G AA2 R K IY0",
+    "optimism": "AA1 P T AH0 M IH2 Z AH0 M",
+    "organism": "AO1 R G AH0 N IH2 Z AH0 M",
+    "pasture": "P AE1 S CH ER0",
+    "persuasion": "P ER0 S W EY1 ZH AH0 N",
+    "posture": "P AA1 S CH ER0",
+    "poverty": "P AA1 V ER0 T IY0",
+    "pressure": "P R EH1 SH ER0",
+    "priority": "P R AY0 AO1 R AH0 T IY0",
+    "procedure": "P R AH0 S IY1 JH ER0",
+    "property": "P R AA1 P ER0 T IY0",
+    "proposal": "P R AH0 P OW1 Z AH0 L",
+    "publicity": "P AH0 B L IH1 S AH0 T IY0",
+    "refusal": "R IH0 F Y UW1 Z AH0 L",
+    "removal": "R IY0 M UW1 V AH0 L",
+    "revision": "R IY0 V IH1 ZH AH0 N",
+    "ridicule": "R IH1 D IH0 K Y UW2 L",
+    "rupture": "R AH1 P CH ER0",
+    "sarcasm": "S AA1 R K AE2 Z AH0 M",
+    "sculpture": "S K AH1 L P CH ER0",
+    "security": "S IH0 K Y UH1 R AH0 T IY0",
+    "seizure": "S IY1 ZH ER0",
+    "severe": "S AH0 V IH1 R",
+    "survival": "S ER0 V AY1 V AH0 L",
+    "testimony": "T EH1 S T AH0 M OW2 N IY0",
+    "texture": "T EH1 K S CH ER0",
+    "torture": "T AO1 R CH ER0",
+    "tourism": "T UH1 R IH2 Z AH0 M",
+    "vanity": "V AE1 N AH0 T IY0",
+    "variety": "V ER0 AY1 AH0 T IY0",
+    "velocity": "V AH0 L AA1 S AH0 T IY0",
+    "venture": "V EH1 N CH ER0",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1413,7 +1496,7 @@ class G2P:
         "pathy": 2,
     }
     _FINAL_STRESS = ("ee", "eed", "teen", "oon", "esque", "ique", "ade",
-                     "eer", "ette", "aire",
+                     "eer", "ette", "aire", "ere", "eres",
                      # French -et loans (lts_rules emits their EY);
                      # native -et words (banquet, wallet) never match
                      # these longer suffixes
@@ -1604,17 +1687,28 @@ class G2P:
             out = [
                 p[:-1] + tag if p[-1] in "012" else p for p in out
             ]
-        if not pinned:
-            # heuristic stress ran; reduce around it. Rule-pinned
-            # words keep their exact vowels — the rule author wrote
-            # CMUdict forms. Individual vowels a rule emitted WITH a
-            # digit (subject's JH EH0 K T) are likewise exact and must
-            # not reduce even when the rest of the word is heuristic.
-            keep = frozenset(
-                i for i, p in enumerate(phones)
-                if p and p[-1] in "012"
-            )
-            out = cls._reduce_unstressed(out, word, keep=keep)
+        # vowel reduction runs for BOTH heuristic and rule-pinned
+        # words: vowels a rule emitted WITH a digit (subject's
+        # JH EH0 K T, a suffix rule's OW1) are exact CMUdict forms and
+        # never reduce, but the rest of a pinned word's vowels came
+        # from ordinary digitless rules and reduce around the pinned
+        # primary exactly as they would around a heuristic one
+        # (procedure's pro-, exposure's ex-). Before round 5 pinning
+        # froze the whole word, which blocked suffix rules from
+        # pinning a non-initial primary (-osure, -osity, ...).
+        keep = frozenset(
+            i for i, p in enumerate(phones)
+            if p and p[-1] in "012"
+        )
+        # pinned words reduce only OPEN adjacent syllables: suffix
+        # rules pin mid-word primaries whose open pretonics reduce
+        # (procedure's pro-, velocity's ve-), while closed pretonics
+        # next to a pinned suffix keep quality (antenna AE0 N T EH1,
+        # campaign K AE0 M P EY1 N) — heuristic words keep the
+        # original unconditional adjacency rule the gold floor was
+        # measured on
+        out = cls._reduce_unstressed(out, word, keep=keep,
+                                     open_only=pinned)
         # indices the secondary pass must not promote: vowels whose
         # digit a rule pinned explicitly, and schwas that came from AX
         # (a schwa never takes secondary stress: communication's first
@@ -1729,9 +1823,39 @@ class G2P:
     # the gold lexicon)
     _REDUCIBLE = {"AE", "AA", "EH", "AO", "EY"}
 
+    # phone-level onset clusters English allows syllable-initially
+    # (stop/fricative + liquid/glide, s + stop/sonorant); used by the
+    # pinned-word open-syllable test under onset maximization
+    _ONSETS_2 = frozenset(
+        "P R,P L,B R,B L,T R,D R,K R,K L,G R,G L,F R,F L,TH R,"
+        "SH R,S T,S P,S K,S L,S M,S N,S W,S F,K W,T W,D W,G W"
+        .split(",")
+    )
+    _ONSETS_3 = frozenset(
+        "S T R,S P R,S P L,S K R,S K W".split(",")
+    )
+
+    @classmethod
+    def _open_syllable(cls, phones, vowel_idx, k, i) -> bool:
+        """True when vowel ``k`` (phone index ``i``) ends an open
+        syllable: every consonant phone before the next vowel forms a
+        legal onset of that next syllable."""
+        if k + 1 >= len(vowel_idx):
+            return False
+        cluster = [p for p in phones[i + 1:vowel_idx[k + 1]]]
+        if len(cluster) <= 1:
+            return True
+        joined = " ".join(cluster)
+        if len(cluster) == 2:
+            return joined in cls._ONSETS_2
+        if len(cluster) == 3:
+            return joined in cls._ONSETS_3
+        return False
+
     @classmethod
     def _reduce_unstressed(cls, phones: List[str], word: str = "",
-                           keep: frozenset = frozenset()) -> List[str]:
+                           keep: frozenset = frozenset(),
+                           open_only: bool = False) -> List[str]:
         """Unstressed-vowel reduction: a reducible vowel in the syllable
         adjacent to the primary stress reduces to schwa (English stress
         alternation puts secondary stress two syllables away, so the
@@ -1773,6 +1897,16 @@ class G2P:
                 and i != last_keep
                 and abs(k - prim_syl) == 1
                 and not (protect_first and k == 0)
+                # open_only (rule-pinned words): the vowel's syllable
+                # must be open under onset maximization — the whole
+                # consonant cluster before the next vowel syllabifies
+                # as that syllable's onset (approval a.PRO, procedure
+                # pro.CE), else the syllable is closed and keeps its
+                # quality (antenna an.TEN, campaign cam.PAIGN)
+                and (
+                    not open_only
+                    or cls._open_syllable(phones, vowel_idx, k, i)
+                )
                 # NOTE: final full-vowel+R syllables are deliberately
                 # still reduced (comfort/orchard/dollar -> ER0) even
                 # though compound-ish second elements lexically keep
@@ -1781,6 +1915,12 @@ class G2P:
                 # compound exceptions live in the lexicon
             ):
                 out[i] = "AH0"
+            # NOTE (round-5, band A analysis): a post-tonic
+            # open-syllable IH0 -> AH0 rule was tried and REVERTED —
+            # CMUdict's spelled-i reduction is lexical, near 50/50
+            # (festival/president/editor reduce; hospital/bicycle/
+            # technical/criticize keep IH0). Words on the reducing
+            # side are lexicon entries, not a rule.
         return out
 
 
