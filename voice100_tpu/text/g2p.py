@@ -1015,6 +1015,56 @@ _LEXICON: Dict[str, str] = {
     "variety": "V ER0 AY1 AH0 T IY0",
     "velocity": "V AH0 L AA1 S AH0 T IY0",
     "venture": "V EH1 N CH ER0",
+    # round-5 thirty-sixth probe band (band B): domain
+    # vocabulary (gardening/astronomy/carpentry/weather/banking/
+    # marine/music/sports/chemistry) behind the -ion/-ium/-ogen/
+    # -olar/-ometer/-marine/-ling/urr rule families and the
+    # final-IH0 coda reduction
+    "acoustic": "AH0 K UW1 S T IH0 K",
+    "aileron": "EY1 L ER0 AA2 N",
+    "annuity": "AH0 N UW1 AH0 T IY0",
+    "athletic": "AE0 TH L EH1 T IH0 K",
+    "audit": "AO1 D AH0 T",
+    "avalanche": "AE1 V AH0 L AE2 N CH",
+    "aviator": "EY1 V IY0 EY2 T ER0",
+    "bankruptcy": "B AE1 NG K R AH0 P S IY0",
+    "biplane": "B AY1 P L EY2 N",
+    "collateral": "K AH0 L AE1 T ER0 AH0 L",
+    "compound": "K AA1 M P AW0 N D",
+    "cosmic": "K AA1 Z M IH0 K",
+    "crystalline": "K R IH1 S T AH0 L AY2 N",
+    "distillation": "D IH2 S T AH0 L EY1 SH AH0 N",
+    "ferry": "F EH1 R IY0",
+    "fuselage": "F Y UW1 S AH0 L AA2 ZH",
+    "gymnastics": "JH IH0 M N AE1 S T IH0 K S",
+    "hailstorm": "HH EY1 L S T AO2 R M",
+    "inflation": "IH0 N F L EY1 SH AH0 N",
+    "isotope": "AY1 S AH0 T OW2 P",
+    "javelin": "JH AE1 V AH0 L AH0 N",
+    "joinery": "JH OY1 N ER0 IY0",
+    "lilac": "L AY1 L AE2 K",
+    "navigation": "N AE2 V AH0 G EY1 SH AH0 N",
+    "planetary": "P L AE1 N AH0 T EH2 R IY0",
+    "polymer": "P AA1 L AH0 M ER0",
+    "reaction": "R IY0 AE1 K SH AH0 N",
+    "reef": "R IY1 F",
+    "relay": "R IY1 L EY2",
+    "rhythmic": "R IH1 DH M IH0 K",
+    "sander": "S AE1 N D ER0",
+    "saxophone": "S AE1 K S AH0 F OW2 N",
+    "serenade": "S EH2 R AH0 N EY1 D",
+    "shrub": "SH R AH1 B",
+    "solution": "S AH0 L UW1 SH AH0 N",
+    "sprint": "S P R IH1 N T",
+    "submarine": "S AH2 B M ER0 IY1 N",
+    "supernova": "S UW2 P ER0 N OW1 V AH0",
+    "taxiing": "T AE1 K S IY0 IH0 NG",
+    "tournaments": "T AO1 R N AH0 M AH0 N T S",
+    "trowel": "T R AW1 AH0 L",
+    "umpire": "AH1 M P AY2 ER0",
+    "vessel": "V EH1 S AH0 L",
+    "voyage": "V OY1 AH0 JH",
+    "wrestling": "R EH1 S AH0 L IH0 NG",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1574,6 +1624,13 @@ class G2P:
         if (word.startswith("er") and len(word) >= 5
                 and word[2] in vowels):
             return True
+        # word-initial e + a legal 2-consonant onset leaves the e- as
+        # an open unstressed syllable (eclipse IH0 K L IH1 P S);
+        # single consonants stay ambiguous (elect vs elephant) and are
+        # NOT destressed here — band-B analysis, round 5
+        if (word[0] == "e" and len(word) >= 5
+                and word[1:3] in cls._LEGAL_ONSETS):
+            return True
         # to- destresses only before the d/g/m/n stems (today, together,
         # tomorrow, tonight) — a bare "to" + w/t (tower, total) keeps
         # first-syllable stress
@@ -1921,6 +1978,22 @@ class G2P:
             # (festival/president/editor reduce; hospital/bicycle/
             # technical/criticize keep IH0). Words on the reducing
             # side are lexicon entries, not a rule.
+        # FINAL-syllable IH0 with a plain {T,D,N} coda reduces (the
+        # gold convention: visit V IH1 Z AH0 T, audit, dolphin,
+        # cousin, margin); epenthetic past -ted/-ded and the -men
+        # plural keep IH0, as do sibilant codas (-ist, -es plurals)
+        # and non-coronal codas (-ing/-ish/-ic/-ive) — band-B
+        # analysis, round 5
+        last_i = vowel_idx[-1]
+        coda = out[last_i + 1:]
+        if (
+            out[last_i] == "IH0"
+            and last_i not in keep
+            and coda
+            and all(c in ("T", "D", "N") for c in coda)
+            and not word.endswith(("ted", "ded", "men"))
+        ):
+            out[last_i] = "AH0"
         return out
 
 

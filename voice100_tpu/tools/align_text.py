@@ -36,8 +36,10 @@ def run_align(model, variables, data, output_path: str) -> int:
         return res, logits_len
 
     n = 0
+    loader = data.predict_dataloader()
     with open(output_path, "w", encoding="utf-8") as f:
-        for (audio, audio_len), (text, text_len) in data.predict_dataloader():
+        for batch, n_real in loader.iter_with_counts():
+            (audio, audio_len), (text, text_len) = batch
             res, logits_len = best_path(
                 variables,
                 jnp.asarray(audio), jnp.asarray(audio_len),
@@ -46,7 +48,10 @@ def run_align(model, variables, data, output_path: str) -> int:
             path = np.asarray(res.path)
             labels = np.asarray(res.labels)
             logits_len = np.asarray(logits_len)
-            for i in range(path.shape[0]):
+            # only the real rows: the loader pads the final batch to a
+            # full static shape by repeating items, and duplicate align
+            # lines would break downstream MergeDataset length checks
+            for i in range(n_real):
                 n_slots = 2 * int(text_len[i]) + 1
                 hist = np.bincount(
                     path[i, : logits_len[i]], minlength=n_slots
