@@ -1991,7 +1991,9 @@ class G2P:
             and last_i not in keep
             and coda
             and all(c in ("T", "D", "N") for c in coda)
-            and not word.endswith(("ted", "ded", "men"))
+            # epenthetic past -ted/-ded, the -men plural, and the -kin
+            # morpheme (napkin, pumpkin) keep IH0
+            and not word.endswith(("ted", "ded", "men", "kin"))
         ):
             out[last_i] = "AH0"
         return out
