@@ -1065,6 +1065,194 @@ _LEXICON: Dict[str, str] = {
     "vessel": "V EH1 S AH0 L",
     "voyage": "V OY1 AH0 JH",
     "wrestling": "R EH1 S AH0 L IH0 NG",
+    # round-5 thirty-seventh probe bands (C: second domain sweep,
+    # D: basic everyday nouns doubling as compound elements) —
+    # behind the -ane/-yme/-yte/electr- rules, the 3-letter
+    # compound first-element set, and loan pins
+    "aerodynamic": "EH2 R OW0 D AY0 N AE1 M IH0 K",
+    "airfield": "EH1 R F IY2 L D",
+    "altimeter": "AE0 L T IH1 M AH0 T ER0",
+    "ammonia": "AH0 M OW1 N Y AH0",
+    "anthem": "AE1 N TH AH0 M",
+    "archery": "AA1 R CH ER0 IY0",
+    "ballad": "B AE1 L AH0 D",
+    "bark": "B AA1 R K",
+    "barn": "B AA1 R N",
+    "beam": "B IY1 M",
+    "bench": "B EH1 N CH",
+    "bird": "B ER1 D",
+    "bite": "B AY1 T",
+    "boat": "B OW1 T",
+    "bottom": "B AA1 T AH0 M",
+    "branch": "B R AE1 N CH",
+    "brick": "B R IH1 K",
+    "brush": "B R AH1 SH",
+    "butter": "B AH1 T ER0",
+    "cabin": "K AE1 B AH0 N",
+    "cashier": "K AE0 SH IH1 R",
+    "cave": "K EY1 V",
+    "celestial": "S AH0 L EH1 S CH AH0 L",
+    "checking": "CH EH1 K IH0 NG",
+    "cheese": "CH IY1 Z",
+    "chill": "CH IH1 L",
+    "chloride": "K L AO1 R AY0 D",
+    "clay": "K L EY1",
+    "cliff": "K L IH1 F",
+    "cloud": "K L AW1 D",
+    "coal": "K OW1 L",
+    "combustion": "K AH0 M B AH1 S CH AH0 N",
+    "concerto": "K AH0 N CH EH1 R T OW0",
+    "copilot": "K OW1 P AY2 L AH0 T",
+    "corn": "K AO1 R N",
+    "corner": "K AO1 R N ER0",
+    "cosmos": "K AA1 Z M OW0 S",
+    "creditor": "K R EH1 D IH0 T ER0",
+    "creek": "K R IY1 K",
+    "crew": "K R UW1",
+    "crop": "K R AA1 P",
+    "cup": "K AH1 P",
+    "debtor": "D EH1 T ER0",
+    "decathlon": "D IH0 K AE1 TH L AA0 N",
+    "deck": "D EH1 K",
+    "dew": "D UW1",
+    "dish": "D IH1 SH",
+    "dock": "D AA1 K",
+    "drummer": "D R AH1 M ER0",
+    "dugout": "D AH1 G AW2 T",
+    "dust": "D AH1 S T",
+    "edge": "EH1 JH",
+    "electrode": "IH0 L EH1 K T R OW0 D",
+    "ensemble": "AA0 N S AA1 M B AH0 L",
+    "enzyme": "EH1 N Z AY2 M",
+    "equinox": "IY1 K W AH0 N AA2 K S",
+    "evaporation": "IH0 V AE2 P ER0 EY1 SH AH0 N",
+    "fare": "F EH1 R",
+    "fence": "F EH1 N S",
+    "fencing": "F EH1 N S IH0 NG",
+    "fern": "F ER1 N",
+    "field": "F IY1 L D",
+    "flame": "F L EY1 M",
+    "flotilla": "F L OW0 T IH1 L AH0",
+    "flour": "F L AW1 ER0",
+    "fog": "F AA1 G",
+    "fork": "F AO1 R K",
+    "gate": "G EY1 T",
+    "gaze": "G EY1 Z",
+    "germinate": "JH ER1 M AH0 N EY2 T",
+    "glucose": "G L UW1 K OW0 S",
+    "glue": "G L UW1",
+    "goal": "G OW1 L",
+    "grass": "G R AE1 S",
+    "gravitational": "G R AE2 V AH0 T EY1 SH AH0 N AH0 L",
+    "harpoon": "HH AA0 R P UW1 N",
+    "hay": "HH EY1",
+    "heat": "HH IY1 T",
+    "heatwave": "HH IY1 T W EY2 V",
+    "hole": "HH OW1 L",
+    "horse": "HH AO1 R S",
+    "horticulture": "HH AO1 R T IH0 K AH2 L CH ER0",
+    "hurdles": "HH ER1 D AH0 L Z",
+    "ice": "AY1 S",
+    "innings": "IH1 N IH0 NG Z",
+    "interstellar": "IH2 N T ER0 S T EH1 L ER0",
+    "jet": "JH EH1 T",
+    "jetliner": "JH EH1 T L AY2 N ER0",
+    "joist": "JH OY1 S T",
+    "knife": "N AY1 F",
+    "lake": "L EY1 K",
+    "landing": "L AE1 N D IH0 NG",
+    "leaf": "L IY1 F",
+    "maestro": "M AY1 S T R OW0",
+    "mallet": "M AE1 L AH0 T",
+    "mariner": "M EH1 R AH0 N ER0",
+    "mast": "M AE1 S T",
+    "meadow": "M EH1 D OW2",
+    "methane": "M EH1 TH EY0 N",
+    "middle": "M IH1 D AH0 L",
+    "mill": "M IH1 L",
+    "mist": "M IH1 S T",
+    "moon": "M UW1 N",
+    "moss": "M AO1 S",
+    "nautical": "N AO1 T IH0 K AH0 L",
+    "off": "AO1 F",
+    "offside": "AO1 F S AY2 D",
+    "overture": "OW1 V ER0 CH ER0",
+    "paddle": "P AE1 D AH0 L",
+    "pan": "P AE1 N",
+    "path": "P AE1 TH",
+    "peroxide": "P ER0 AA1 K S AY0 D",
+    "pier": "P IH1 R",
+    "pipe": "P AY1 P",
+    "planetarium": "P L AE2 N AH0 T EH1 R IY0 AH0 M",
+    "pollen": "P AA1 L AH0 N",
+    "pollinate": "P AA1 L AH0 N EY2 T",
+    "pond": "P AA1 N D",
+    "porthole": "P AO1 R T HH OW2 L",
+    "pot": "P AA1 T",
+    "quarterback": "K W AO1 R T ER0 B AE2 K",
+    "quasar": "K W EY1 Z AA0 R",
+    "rafter": "R AE1 F T ER0",
+    "rain": "R EY1 N",
+    "refinance": "R IY0 F AY1 N AE2 N S",
+    "ridge": "R IH1 JH",
+    "rock": "R AA1 K",
+    "roof": "R UW1 F",
+    "root": "R UW1 T",
+    "rope": "R OW1 P",
+    "sail": "S EY1 L",
+    "salt": "S AO1 L T",
+    "sand": "S AE1 N D",
+    "sapling": "S AE1 P L IH0 NG",
+    "saw": "S AO1",
+    "sawhorse": "S AO1 HH AO2 R S",
+    "sawmill": "S AO1 M IH2 L",
+    "score": "S K AO1 R",
+    "sea": "S IY1",
+    "seafarer": "S IY1 F EH2 R ER0",
+    "seed": "S IY1 D",
+    "shadow": "SH AE1 D OW2",
+    "shed": "SH EH1 D",
+    "shore": "SH AO1 R",
+    "silk": "S IH1 L K",
+    "sky": "S K AY1",
+    "slope": "S L OW1 P",
+    "smoke": "S M OW1 K",
+    "snow": "S N OW1",
+    "solstice": "S AA1 L S T AH0 S",
+    "spark": "S P AA1 R K",
+    "spoon": "S P UW1 N",
+    "stargazer": "S T AA1 R G EY2 Z ER0",
+    "statement": "S T EY1 T M AH0 N T",
+    "steel": "S T IY1 L",
+    "stem": "S T EH1 M",
+    "storm": "S T AO1 R M",
+    "sulfur": "S AH1 L F ER0",
+    "sun": "S AH1 N",
+    "swamp": "S W AA1 M P",
+    "takeoff": "T EY1 K AO2 F",
+    "tape": "T EY1 P",
+    "temperate": "T EH1 M P ER0 AH0 T",
+    "thorn": "TH AO1 R N",
+    "tidal": "T AY1 D AH0 L",
+    "tool": "T UW1 L",
+    "topsoil": "T AA1 P S OY2 L",
+    "trail": "T R EY1 L",
+    "transfer": "T R AE1 N S F ER0",
+    "tree": "T R IY1",
+    "trunk": "T R AH1 NG K",
+    "turbine": "T ER1 B AY0 N",
+    "vault": "V AO1 L T",
+    "vine": "V AY1 N",
+    "vocalist": "V OW1 K AH0 L IH0 S T",
+    "wall": "W AO1 L",
+    "wave": "W EY1 V",
+    "wharf": "W AO1 R F",
+    "wheat": "W IY1 T",
+    "wind": "W IH1 N D",
+    "windchill": "W IH1 N D CH IH2 L",
+    "woodwork": "W UH1 D W ER2 K",
+    "wool": "W UH1 L",
+    "zodiac": "Z OW1 D IY0 AE2 K",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1139,6 +1327,16 @@ _SUBORDINATE_FIRST = frozenset({"under", "over", "out", "with", "fore"})
 # lexicon words that act as suffixes, not compound heads (comfortable
 # is comfort+-able, not a compound); "some" fully destresses (-some)
 _NON_SECOND = frozenset({"able"})
+
+# 3-letter nouns that productively head English compounds (see
+# _split_compound); deliberately a closed list — excludes openers of
+# false splits like car(pet) and man(date)
+_SHORT_FIRST = frozenset(
+    """sea saw jet air sun sky ice out oil egg tea ear eye leg arm
+    gun fog mud log oak bee cow pig hen dog cat fox owl bat net rod
+    bed pot pan pie ham ink pen map bag box cap hat wax tar gas day
+    war tax toe rib jaw""".split()
+)
 _DESTRESSED_SECOND = frozenset({"some"})
 
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")
@@ -1364,7 +1562,13 @@ class G2P:
         Stress: second element demoted to secondary (newspaper ->
         N UW1 Z P EY2 P ER0), or the first for subordinating prefixes
         (understand -> AH2 N D ER0 S T AE1 N D)."""
-        for i in range(4, len(word) - 3):
+        for i in range(3, len(word) - 3):
+            if i == 3 and word[:3] not in _SHORT_FIRST:
+                # 3-letter first elements only from the curated
+                # productive set (seaweed, sawdust, jetliner) — a
+                # blanket 3-letter rule would split carpet (car+pet)
+                # and mandate (man+date)
+                continue
             a, b = word[:i], word[i:]
             pa = self._lexicon.get(a)
             if pa is None or b in _NON_SECOND:
