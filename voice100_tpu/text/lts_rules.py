@@ -48,6 +48,13 @@ RULES: Dict[str, List[Rule]] = {
         # enthusiasm, spasm) — thirty-fifth probe band (band A)
         ("", "asm", " ", "AE2 Z AX M"),
         ("", "asms", " ", "AE2 Z AX M Z"),
+        # "alc" keeps the full AE L + hard/soft c (calcium's c softens
+        # before i; falcon, balcony, alcohol keep K); walk/chalk spell
+        # "alk" and keep their silent-l rules — thirty-ninth probe
+        # band (band G)
+        ("", "alcium", " ", "AE L S IY0 AX M"),
+        ("", "alci", "", "AE L S IH"),
+        ("", "alc", "", "AE L K"),
         # chemical/loan -ane keeps the long A with a secondary when a
         # syllable precedes (methane, propane, membrane, airplane);
         # monosyllabic crane/plane keep the plain magic-e via the
@@ -957,6 +964,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "l", "", "L"),
     ],
     "m": [
+        # -man in compounds/derivatives reduces (fisherman, human,
+        # woman, German); voiced-stem -sman voices the s (helmsman
+        # HH EH1 L M Z M AH0 N, oarsman, salesman) — thirty-eighth
+        # probe band (band E)
+        ("#:^", "man", " ", "M AX N"),
+        ("#", "man", " ", "M AX N"),
         # -marine keeps the French long I with final-element stress
         # (marine, submarine) — thirty-sixth probe band (band B)
         ("", "marine", " ", "M ER0 IY1 N"),
@@ -1034,6 +1047,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "n", "", "N"),
     ],
     "o": [
+        # "oar" is the AO R rime everywhere (oar, board, roar, soar,
+        # hoarse, coarse, oarsman) — thirty-eighth probe band (band E)
+        ("", "oar", "", "AO R"),
         # chemical -ogen nominals (hydrogen, nitrogen, estrogen,
         # pathogen) — thirty-sixth probe band (band B)
         ("", "ogen", " ", "AH0 JH AX N"),
@@ -1376,6 +1392,17 @@ RULES: Dict[str, List[Rule]] = {
         ("", "r", "", "R"),
     ],
     "s": [
+        # n + sure is the stressed SH UH R (insure, ensure, unsure) —
+        # thirty-ninth probe band (band G)
+        ("n", "sure", " ", "SH UH1 R"),
+        ("n", "sured", " ", "SH UH1 R D"),
+        ("n", "sures", " ", "SH UH1 R Z"),
+        # voiced-stem -sman voices the s (helmsman, oarsman,
+        # salesman, spokesman) — thirty-eighth probe band (band E)
+        ("e", "sman", " ", "Z M AX N"),
+        ("r", "sman", " ", "Z M AX N"),
+        ("m", "sman", " ", "Z M AX N"),
+        ("l", "sman", " ", "Z M AX N"),
         # -sphere compounds: secondary IH R (atmosphere, hemisphere,
         # stratosphere); spheric- keeps the short E (spherical) —
         # thirty-fifth probe band (band A)
@@ -1463,6 +1490,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "s", "", "S"),
     ],
     "t": [
+        # tz devoices to T S (quartz, waltz, blitz) — thirty-ninth
+        # probe band (band G)
+        ("", "tz", "", "T S"),
         # French tour- keeps UH R word-finally and in touri- stems
         # (tour, detour, contour, tourist, tourism); tournament keeps
         # its established AO via the narrower contexts — thirty-fifth
@@ -1530,6 +1560,14 @@ RULES: Dict[str, List[Rule]] = {
         ("", "t", "", "T"),
     ],
     "u": [
+        # -ular adjectives palatalize the u and reduce (circular
+        # S ER1 K Y AH0 L ER0, molecular, muscular); stress lands on
+        # the preceding syllable via the _PENULT_STRESS entry —
+        # thirty-ninth probe band (band G)
+        # (bare ER so the stress pass counts the suffix vowels when
+        # placing the antepenult primary)
+        ("", "ularly", " ", "Y AX L ER L IY0"),
+        ("", "ular", " ", "Y AX L ER"),
         # urr before a vowel is the plain ER rime (current, currency,
         # hurry, burrow, furry) — the doubled r never syllabifies as a
         # separate phone — thirty-sixth probe band (band B)
@@ -1675,6 +1713,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "x", "", "K S"),
     ],
     "y": [
+        # oxygen joins the -ogen family through its y spelling —
+        # thirty-ninth probe band (band G)
+        ("", "ygen", " ", "AH0 JH AX N"),
         # Greek -yme/-yte keep the long Y (enzyme, electrolyte) —
         # thirty-seventh probe band (band C)
         ("", "yme", " ", "AY2 M"),
