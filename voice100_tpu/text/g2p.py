@@ -1471,6 +1471,86 @@ _LEXICON: Dict[str, str] = {
     "velvet": "V EH1 L V AH0 T",
     "withdrawn": "W IH0 TH D R AO1 N",
     "xylophone": "Z AY1 L AH0 F OW2 N",
+    # round-5 fortieth probe band (band H): participles and
+    # weather/marine/aviation adjectives-verbs behind the
+    # alm/alv/nge/oor rules
+    "anchored": "AE1 NG K ER0 D",
+    "ascend": "AH0 S EH1 N D",
+    "ascent": "AH0 S EH1 N T",
+    "balmy": "B AA1 M IY0",
+    "banked": "B AE1 NG K T",
+    "breezy": "B R IY1 Z IY0",
+    "buoyant": "B OY1 AH0 N T",
+    "capsized": "K AE1 P S AY2 Z D",
+    "carved": "K AA1 R V D",
+    "choppy": "CH AA1 P IY0",
+    "cruised": "K R UW1 Z D",
+    "descend": "D IH0 S EH1 N D",
+    "drafty": "D R AE1 F T IY0",
+    "engrave": "IH0 N G R EY1 V",
+    "engraved": "IH0 N G R EY1 V D",
+    "forged": "F AO1 R JH D",
+    "frost": "F R AO1 S T",
+    "frosty": "F R AO1 S T IY0",
+    "glazed": "G L EY1 Z D",
+    "glide": "G L AY1 D",
+    "gusty": "G AH1 S T IY0",
+    "hoisted": "HH OY1 S T IH0 D",
+    "hover": "HH AH1 V ER0",
+    "krill": "K R IH1 L",
+    "maneuver": "M AH0 N UW1 V ER0",
+    "moored": "M UH1 R D",
+    "muggy": "M AH1 G IY0",
+    "nautilus": "N AO1 T AH0 L AH0 S",
+    "plummet": "P L AH1 M AH0 T",
+    "plunge": "P L AH1 N JH",
+    "plunged": "P L AH1 N JH D",
+    "polished": "P AA1 L IH0 SH T",
+    "rusty": "R AH1 S T IY0",
+    "salvaged": "S AE1 L V IH0 JH D",
+    "skid": "S K IH1 D",
+    "slippery": "S L IH1 P ER0 IY0",
+    "soared": "S AO1 R D",
+    "soggy": "S AA1 G IY0",
+    "splintered": "S P L IH1 N T ER0 D",
+    "stalled": "S T AO1 L D",
+    "stranded": "S T R AE1 N D IH0 D",
+    "sturdy": "S T ER1 D IY0",
+    "submerged": "S AH0 B M ER1 JH D",
+    "swerve": "S W ER1 V",
+    "taxi": "T AE1 K S IY0",
+    "taxied": "T AE1 K S IY0 D",
+    "throttled": "TH R AA1 T AH0 L D",
+    "veer": "V IH1 R",
+    "warped": "W AO1 R P T",
+    # round-5 forty-first probe band (band I): construction/
+    # carpentry vocabulary behind the adle/aper/olt/ull/eled rules
+    "awning": "AO1 N IH0 NG",
+    "bevel": "B EH1 V AH0 L",
+    "blunt": "B L AH1 N T",
+    "bolt": "B OW1 L T",
+    "caulk": "K AO1 K",
+    "girder": "G ER1 D ER0",
+    "grind": "G R AY1 N D",
+    "grout": "G R AW1 T",
+    "gutter": "G AH1 T ER0",
+    "jagged": "JH AE1 G IH0 D",
+    "ladle": "L EY1 D AH0 L",
+    "lattice": "L AE1 T AH0 S",
+    "louver": "L UW1 V ER0",
+    "mortar": "M AO1 R T ER0",
+    "plaster": "P L AE1 S T ER0",
+    "pulley": "P UH1 L IY0",
+    "ragged": "R AE1 G IH0 D",
+    "rivet": "R IH1 V AH0 T",
+    "rugged": "R AH1 G IH0 D",
+    "sealant": "S IY1 L AH0 N T",
+    "serrated": "S EH1 R EY2 T IH0 D",
+    "sharpen": "SH AA1 R P AH0 N",
+    "shingle": "SH IH1 NG G AH0 L",
+    "taper": "T EY1 P ER0",
+    "wax": "W AE1 K S",
+    "winch": "W IH1 N CH",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1553,11 +1633,11 @@ _SHORT_FIRST = frozenset(
     """sea saw jet air sun sky ice out oil egg tea ear eye leg arm
     gun fog mud log oak bee cow pig hen dog cat fox owl bat net rod
     bed pot pan pie ham ink pen map bag box cap hat wax tar gas day
-    war tax toe rib jaw hay""".split()
+    war tax toe rib jaw hay dry""".split()
 )
 # ... and 3-letter nouns that productively CLOSE compounds (mailbox,
 # sunset, highway); "man" is handled by the -man suffix rule instead
-_SHORT_SECOND = frozenset("box set way bow day bag pot pan".split())
+_SHORT_SECOND = frozenset("box set way bow day bag pot pan bar".split())
 _DESTRESSED_SECOND = frozenset({"some"})
 
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")

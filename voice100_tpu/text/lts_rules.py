@@ -48,6 +48,22 @@ RULES: Dict[str, List[Rule]] = {
         # enthusiasm, spasm) — thirty-fifth probe band (band A)
         ("", "asm", " ", "AE2 Z AX M"),
         ("", "asms", " ", "AE2 Z AX M Z"),
+        # -adle keeps the long A (ladle, cradle); doubled saddle is
+        # untouched — forty-first probe band (band I)
+        ("", "adle", "", "EY D AX L"),
+        # consonant + aper is the long-A open syllable (taper, paper,
+        # caper, draper); word-initial aperture keeps AE via the
+        # required left consonant — forty-first probe band
+        ("^", "aper", "", "EY P ER"),
+        # word-final -alm family: silent l, dark AA (palm, calm, balm,
+        # balmy) — almost/already keep their AO L via narrower scope —
+        # fortieth probe band (band H)
+        ("", "alm", " ", "AA M"),
+        ("", "alms", " ", "AA M Z"),
+        ("", "almy", " ", "AA M IY0"),
+        # "alv" keeps the full AE L V (salvage, valve, galvanize) —
+        # fortieth probe band
+        ("", "alv", "", "AE L V"),
         # "alc" keeps the full AE L + hard/soft c (calcium's c softens
         # before i; falcon, balcony, alcohol keep K); walk/chalk spell
         # "alk" and keep their silent-l rules — thirty-ninth probe
@@ -388,6 +404,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "d", "", "D"),
     ],
     "e": [
+        # unstressed -eled participles (beveled, modeled, labeled,
+        # traveled, chiseled); a vowel before (heeled, fueled) fails
+        # the consonant context — forty-first probe band (band I)
+        ("#:^", "eled", " ", "AX L D"),
         # word-final -ere is the IH R rime (severe, adhere, interfere,
         # mere, premiere); there/where/were are lexicon words and the
         # -sphere compounds match the s-bucket rule first —
@@ -1022,6 +1042,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "m", "", "M"),
     ],
     "n": [
+        # word-final -nge is the soft N JH (hinge, plunge, orange,
+        # challenge, fringe); mid-word nge (angel, anger) unaffected —
+        # fortieth probe band (band H)
+        ("", "nge", " ", "N JH"),
+        ("", "nged", " ", "N JH D"),
+        ("", "nges", " ", "N JH IH0 Z"),
         # nitr- keeps the long I (nitrogen, nitrate, nitric) —
         # thirty-sixth probe band (band B)
         (" ", "nitr", "", "N AY T R"),
@@ -1050,6 +1076,14 @@ RULES: Dict[str, List[Rule]] = {
         # "oar" is the AO R rime everywhere (oar, board, roar, soar,
         # hoarse, coarse, oarsman) — thirty-eighth probe band (band E)
         ("", "oar", "", "AO R"),
+        # "olt" keeps the long O (bolt, colt, volt, jolt, revolt) —
+        # forty-first probe band (band I)
+        ("", "olt", "", "OW L T"),
+        ("", "olts", "", "OW L T S"),
+        # m/p + oor is the UH R rime (moor, poor, spoor); door/floor
+        # keep AO R — fortieth probe band (band H)
+        ("m", "oor", "", "UH R"),
+        ("p", "oor", "", "UH R"),
         # chemical -ogen nominals (hydrogen, nitrogen, estrogen,
         # pathogen) — thirty-sixth probe band (band B)
         ("", "ogen", " ", "AH0 JH AX N"),
@@ -1568,6 +1602,11 @@ RULES: Dict[str, List[Rule]] = {
         # placing the antepenult primary)
         ("", "ularly", " ", "Y AX L ER L IY0"),
         ("", "ular", " ", "Y AX L ER"),
+        # p/b/f + ull is the UH rime (pull, bull, full, bullet,
+        # pulley); dull/gull/hull keep AH — forty-first probe band
+        ("p", "ull", "", "UH L"),
+        ("b", "ull", "", "UH L"),
+        ("f", "ull", "", "UH L"),
         # urr before a vowel is the plain ER rime (current, currency,
         # hurry, burrow, furry) — the doubled r never syllabifies as a
         # separate phone — thirty-sixth probe band (band B)
