@@ -329,10 +329,15 @@ class LexiconReader:
                 and text[end] not in _PARTICLE_HEADS
                 # a multi-kanji segment before し/さ/せ is almost
                 # always a suru-noun (発表します, 調査され, 開催せず),
-                # and one before な a na-adjective (深刻な): the final
+                # one before な a na-adjective (深刻な), and one before
+                # する/すれ a plain suru-verb (印刷する): the final
                 # kanji stays ON. Segment-initial kanji keep kun
-                # (話します; 明日返します after the 明日 compound).
+                # (話します; 明日返します after the 明日 compound), and
+                # a bare す okurigana (見直す) is untouched because it
+                # is not followed by る/れ.
                 and not (pos > seg_start and text[end] in "しさせな")
+                and not (pos > seg_start and text[end] == "す"
+                         and text[end + 1: end + 2] in ("る", "れ"))
             )
             isolated = run_len == 1 or okurigana or before_iter
             if (
