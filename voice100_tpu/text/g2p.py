@@ -1551,6 +1551,53 @@ _LEXICON: Dict[str, str] = {
     "taper": "T EY1 P ER0",
     "wax": "W AE1 K S",
     "winch": "W IH1 N CH",
+    # round-5 forty-second probe band (band K): Latinate
+    # derivational vocabulary (-ous/-ent/-ancy/-age families; the
+    # long stem vowels before -ency/-ancy are lexical)
+    "abundant": "AH0 B AH1 N D AH0 N T",
+    "acreage": "EY1 K ER0 AH0 JH",
+    "adjacent": "AH0 JH EY1 S AH0 N T",
+    "agency": "EY1 JH AH0 N S IY0",
+    "anchorage": "AE1 NG K ER0 IH0 JH",
+    "apparent": "AH0 P EH1 R AH0 N T",
+    "buoyancy": "B OY1 AH0 N S IY0",
+    "coherent": "K OW0 HH IH1 R AH0 N T",
+    "decency": "D IY1 S AH0 N S IY0",
+    "drainage": "D R EY1 N AH0 JH",
+    "efficient": "IH0 F IH1 SH AH0 N T",
+    "fibrous": "F AY1 B R AH0 S",
+    "fluency": "F L UW1 AH0 N S IY0",
+    "foliage": "F OW1 L IH0 JH",
+    "frequency": "F R IY1 K W AH0 N S IY0",
+    "hazardous": "HH AE1 Z ER0 D AH0 S",
+    "leakage": "L IY1 K AH0 JH",
+    "luminous": "L UW1 M AH0 N AH0 S",
+    "moorings": "M UH1 R IH0 NG Z",
+    "numerous": "N UW1 M ER0 AH0 S",
+    "ominous": "AA1 M AH0 N AH0 S",
+    "porous": "P AO1 R AH0 S",
+    "potency": "P OW1 T AH0 N S IY0",
+    "proficient": "P R AH0 F IH1 SH AH0 N T",
+    "redundant": "R IH0 D AH1 N D AH0 N T",
+    "reluctant": "R IH0 L AH1 K T AH0 N T",
+    "resilient": "R IH0 Z IH1 L Y AH0 N T",
+    "rigorous": "R IH1 G ER0 AH0 S",
+    "salinity": "S AH0 L IH1 N AH0 T IY0",
+    "sewage": "S UW1 AH0 JH",
+    "shrinkage": "SH R IH1 NG K AH0 JH",
+    "spillage": "S P IH1 L AH0 JH",
+    "tendency": "T EH1 N D AH0 N S IY0",
+    "tonnage": "T AH1 N AH0 JH",
+    "transparent": "T R AE0 N S P EH1 R AH0 N T",
+    "turbulent": "T ER1 B Y AH0 L AH0 N T",
+    "urgency": "ER1 JH AH0 N S IY0",
+    "vacancy": "V EY1 K AH0 N S IY0",
+    "venomous": "V EH1 N AH0 M AH0 S",
+    "vibrancy": "V AY1 B R AH0 N S IY0",
+    "vigilance": "V IH1 JH AH0 L AH0 N S",
+    "vigorous": "V IH1 G ER0 AH0 S",
+    "voltage": "V OW1 L T AH0 JH",
+    "wreckage": "R EH1 K AH0 JH",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
