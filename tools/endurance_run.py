@@ -191,9 +191,9 @@ def phase_corpus(work, log, n_clips, chars_per_clip):
     oracle_path = align_path + ".oracle"
     os.replace(align_path, oracle_path)
     n_samples = sum(
-        os.path.getsize(os.path.join(root, "wavs", f))
+        os.path.getsize(os.path.join(root, "wavs", f)) - 44
         for f in os.listdir(os.path.join(root, "wavs"))
-    ) // 4  # f32 WAVs
+    ) // 2  # PCM16 payload (44-byte header)
     hours = n_samples / 16000 / 3600
     log.phase("corpus", t, clips=n_clips, hours=round(hours, 2))
     return data_dir, oracle_path
