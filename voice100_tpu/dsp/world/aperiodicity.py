@@ -19,12 +19,15 @@ power-weighted circular resultant of the per-bin group delay
 (``band_aperiodicity_gd``).
 
 Provenance note: this module deliberately does NOT claim to implement
-the published D4C algorithm (Morise 2016). A from-the-paper
-reconstruction of D4C's static-group-delay statistic was built and
-measured here and failed ground-truth discrimination (flat ~-2..-5 dB
-response across 0-40 dB SNR); without the WORLD sources or pyworld in
-this environment, a faithful D4C cannot be validated, so the repo
-ships the estimator whose correctness IS provable. The pyworld
+the published D4C algorithm (Morise 2016). Round 5 rebuilt the
+published static-group-delay statistic stage by stage against the
+exact ground-truth harness (tools/d4c_analysis.py,
+docs/d4c_analysis.md): it DOES discriminate (the round-3 "flat
+response" was that reconstruction's bug, most plausibly the missing
+dual ±T0/4 centroid or an over-wide trend removal), but it carries a
+~3 dB aperiodic bias below ~25 dB SNR and compresses above ~30 dB,
+while the harmonic least-squares estimator here stays within 0.25 dB
+of truth everywhere — so it remains the default. The pyworld
 agreement suite (tests/test_parity_optional.py) remains dependency-
 gated for environments that have pyworld. The output contract (coarse
 bands in dB, full [T, fft//2+1] spectrum decoded from them, dB range
