@@ -1020,6 +1020,122 @@ def _train_loader_bench(precision: str = "32"):
     }
 
 
+def _server_bench():
+    """Concurrent-load HTTP serving: requests/s and p50/p95 latency at
+    N concurrent clients, with the cross-request micro-batcher ON
+    (flagship config) vs OFF (max_batch=1) — the round-4 verdict asked
+    for the batcher's measured throughput effect, not just its
+    correctness tests (tests/test_server.py)."""
+    import http.client
+    import statistics
+    import threading
+
+    import jax
+
+    from voice100_tpu.dsp.wav import write_wav_bytes
+    from voice100_tpu.inference import ASRPipeline
+    from voice100_tpu.server import MicroBatcher, SpeechServer
+
+    model = _make_asr_model()
+    seconds_per_clip = 2.0
+    rng = np.random.RandomState(0)
+    wav = np.cumsum(rng.randn(int(seconds_per_clip * 16000)))
+    wav = (wav - wav.mean()) / (np.abs(wav).max() + 1e-6)
+    body = write_wav_bytes(wav.astype(np.float32), 16000)
+
+    mel0 = jnp.zeros((1, 16, 64), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), mel0, jnp.asarray([16], jnp.int32)
+    )
+    pipe = ASRPipeline(model, variables, batch_size=8,
+                       buckets_sec=(seconds_per_clip,))
+    pipe.transcribe([wav.astype(np.float32)] * 8)  # compile
+
+    n_clients, per_client = 16, 12
+
+    def drive(port):
+        lat = []
+        lock = threading.Lock()
+        errors = []
+
+        def client():
+            conn = http.client.HTTPConnection("127.0.0.1", port)
+            mine = []
+            try:
+                for _ in range(per_client):
+                    t0 = time.perf_counter()
+                    conn.request("POST", "/transcribe", body,
+                                 {"Content-Type": "audio/wav"})
+                    resp = conn.getresponse()
+                    resp.read()
+                    if resp.status != 200:
+                        raise RuntimeError(f"HTTP {resp.status}")
+                    mine.append(time.perf_counter() - t0)
+            except Exception as e:  # surface, don't hang the join
+                with lock:
+                    errors.append(repr(e))
+            finally:
+                conn.close()
+            with lock:
+                lat.extend(mine)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        assert not errors, errors[:3]
+        assert len(lat) == n_clients * per_client
+        lat.sort()
+        return {
+            "rps": len(lat) / wall,
+            "p50_ms": 1000 * statistics.median(lat),
+            "p95_ms": 1000 * lat[int(0.95 * len(lat))],
+        }
+
+    results = {}
+    for mode in ("batched", "unbatched"):
+        server = SpeechServer(asr_pipeline=pipe, port=0,
+                              batch_window_ms=10.0)
+        if mode == "unbatched":
+            server.asr_batcher.close()
+            server.asr_batcher = MicroBatcher(
+                pipe.transcribe, max_batch=1, flush_ms=0.0
+            )
+        port = server.start()
+        try:
+            drive(port)  # warm the HTTP path + any residual compiles
+            results[mode] = drive(port)
+            if mode == "batched":
+                sizes = list(server.asr_batcher.batch_sizes)
+                results[mode]["mean_batch"] = round(
+                    float(np.mean(sizes[-50:])), 2
+                )
+        finally:
+            server.stop()
+
+    on, off = results["batched"], results["unbatched"]
+    return {
+        "metric": "asr_server_requests_per_second",
+        "value": round(on["rps"], 1),
+        "unit": "req_per_s",
+        "vs_baseline": round(on["rps"] / max(off["rps"], 1e-9), 2),
+        "note": (
+            f"{n_clients} concurrent clients x {per_client} requests "
+            f"of {seconds_per_clip:.0f}s WAV each; micro-batcher ON: "
+            f"{on['rps']:.1f} req/s p50 {on['p50_ms']:.0f} ms p95 "
+            f"{on['p95_ms']:.0f} ms (mean dispatched batch "
+            f"{on['mean_batch']}); OFF (max_batch=1): "
+            f"{off['rps']:.1f} req/s p50 {off['p50_ms']:.0f} ms p95 "
+            f"{off['p95_ms']:.0f} ms — vs_baseline is the "
+            "batched/unbatched throughput ratio"
+        ),
+    }
+
+
 def _make_asr_model():
     from voice100_tpu.models import AudioToAlignText
 
@@ -1077,6 +1193,8 @@ def main() -> None:
         result = _beam_bench()
     elif args.metric == "world_analysis":
         result = _world_analysis_bench()
+    elif args.metric == "server":
+        result = _server_bench()
     else:
         result = _train_bench(args.precision)
     print(json.dumps(result))
