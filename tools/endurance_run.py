@@ -138,6 +138,13 @@ class Log:
     def __init__(self, path: str) -> None:
         self.path = path
         self._t0 = time.time()
+        # resumability: a phase recorded in an existing log is skipped
+        # (its artifacts are on disk), so a crash mid-campaign resumes
+        # instead of repaying the trained phases
+        self.done = set()
+        if os.path.exists(path):
+            for line in open(path):
+                self.done.add(json.loads(line)["phase"])
 
     def phase(self, name: str, t_start: float, **fields) -> None:
         rec = {
@@ -149,6 +156,7 @@ class Log:
         print(f"[endurance] {json.dumps(rec)}", flush=True)
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        self.done.add(name)
 
 
 def run(args, timeout=7200, **popen):
@@ -453,24 +461,43 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
+    # the MAIN process only audits checkpoints and runs the final
+    # 4-clip round trip — pin it to CPU (an orbax restore to the
+    # tunneled TPU backend was observed to hang); every training/tool
+    # phase is a subprocess with the default (TPU) platform
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     log = Log(os.path.join(args.work, "endurance_log.jsonl"))
 
-    data_dir, oracle = phase_corpus(
-        args.work, log, args.n_clips, args.chars_per_clip
-    )
-    asr_cfg = phase_asr(
-        args.work, log, args.asr_epochs, args.interrupt_after_epoch
-    )
-    phase_align_text(args.work, log, asr_cfg, oracle)
-    phase_calc_stat(args.work, log)
-    align_cfg = phase_fit(
-        args.work, log, "align",
-        ALIGN_CONFIG.format(align_epochs=args.align_epochs),
-    )
-    tts_cfg = phase_fit(
-        args.work, log, "tts",
-        TTS_CONFIG.format(tts_epochs=args.tts_epochs),
-    )
+    data_dir = os.path.join(args.work, "data")
+    oracle = os.path.join(
+        data_dir, "dummy_tonecode-align-train.txt.oracle")
+    if "corpus" not in log.done:
+        data_dir, oracle = phase_corpus(
+            args.work, log, args.n_clips, args.chars_per_clip
+        )
+    asr_cfg = os.path.join(args.work, "asr.yaml")
+    if "asr_best_audit" not in log.done:
+        asr_cfg = phase_asr(
+            args.work, log, args.asr_epochs, args.interrupt_after_epoch
+        )
+    if "align_text" not in log.done:
+        phase_align_text(args.work, log, asr_cfg, oracle)
+    if "calc_stat" not in log.done:
+        phase_calc_stat(args.work, log)
+    align_cfg = os.path.join(args.work, "align.yaml")
+    if "align_train" not in log.done:
+        align_cfg = phase_fit(
+            args.work, log, "align",
+            ALIGN_CONFIG.format(align_epochs=args.align_epochs),
+        )
+    tts_cfg = os.path.join(args.work, "tts.yaml")
+    if "tts_train" not in log.done:
+        tts_cfg = phase_fit(
+            args.work, log, "tts",
+            TTS_CONFIG.format(tts_epochs=args.tts_epochs),
+        )
     with open(os.path.join(
             data_dir, "dummy-speech-tonecode", "metadata.csv")) as f:
         sentences = [line.split("|")[1] for line in f][:4]
