@@ -159,7 +159,12 @@ class Log:
         self.done.add(name)
 
 
+PLATFORM = None  # set by main(); appended to every CLI invocation
+
+
 def run(args, timeout=7200, **popen):
+    if PLATFORM:
+        args = list(args) + ["--platform", PLATFORM]
     print("[endurance] $", " ".join(args), flush=True)
     return subprocess.run(
         args, cwd=REPO, timeout=timeout, check=True, **popen
@@ -216,7 +221,10 @@ def phase_asr(work, log, asr_epochs, interrupt_after_epoch):
     # `interrupt_after_epoch`, confirm the graceful stop saved 'last'
     t = time.time()
     log_path = os.path.join(work, "fit_asr.jsonl")
-    proc = subprocess.Popen(fit_args(cfg, work, "asr"), cwd=REPO)
+    asr_args = fit_args(cfg, work, "asr")
+    if PLATFORM:
+        asr_args += ["--platform", PLATFORM]
+    proc = subprocess.Popen(asr_args, cwd=REPO)
     try:
         while proc.poll() is None:
             time.sleep(2.0)
@@ -458,6 +466,9 @@ def main() -> None:
     ap.add_argument("--interrupt_after_epoch", type=int, default=2)
     ap.add_argument("--doc", action="store_true",
                     help="render docs/endurance_run.md from the log")
+    ap.add_argument("--platform", default=None,
+                    help="force every phase onto a jax platform "
+                         "(e.g. cpu when the TPU tunnel is down)")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -468,6 +479,8 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    global PLATFORM
+    PLATFORM = args.platform
     log = Log(os.path.join(args.work, "endurance_log.jsonl"))
 
     data_dir = os.path.join(args.work, "data")

@@ -78,7 +78,16 @@ def cli_main(argv=None) -> None:
     parser.add_argument("--split", default="train")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--output", default=None)
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a jax platform (e.g. cpu); this machine's "
+             "sitecustomize pre-registers the TPU backend",
+    )
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     config = load_config(args.config)
     model, data, _, _ = build_from_config(

@@ -87,7 +87,16 @@ def cli_main(argv=None) -> None:
     parser.add_argument("--data_dir", type=str, default="./data")
     parser.add_argument("--cache_dir", type=str, default="./cache")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a jax platform (e.g. cpu); this machine's "
+             "sitecustomize pre-registers the TPU backend",
+    )
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     data = AudioTextDataModule(
         vocoder=args.vocoder,

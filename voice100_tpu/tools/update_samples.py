@@ -145,7 +145,16 @@ def cli_main(argv=None) -> None:
     parser.add_argument("--output_prefix", default="sample")
     parser.add_argument("--no_phone", action="store_true",
                         help="char-mode models (CharTokenizer)")
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a jax platform (e.g. cpu); this machine's "
+             "sitecustomize pre-registers the TPU backend",
+    )
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     texts = args.text or _DEFAULT_TEXTS[args.language]
     make_samples(
