@@ -214,71 +214,86 @@ def phase_corpus(work, log, n_clips, chars_per_clip):
 
 def phase_asr(work, log, asr_epochs, interrupt_after_epoch):
     cfg = os.path.join(work, "asr.yaml")
-    with open(cfg, "w") as f:
-        f.write(ASR_CONFIG.format(asr_epochs=asr_epochs))
-
-    # start, interrupt with a REAL SIGTERM once training is past
-    # `interrupt_after_epoch`, confirm the graceful stop saved 'last'
-    t = time.time()
+    if not os.path.exists(cfg):
+        with open(cfg, "w") as f:
+            f.write(ASR_CONFIG.format(asr_epochs=asr_epochs))
     log_path = os.path.join(work, "fit_asr.jsonl")
-    asr_args = fit_args(cfg, work, "asr")
-    if PLATFORM:
-        asr_args += ["--platform", PLATFORM]
-    proc = subprocess.Popen(asr_args, cwd=REPO)
-    try:
-        while proc.poll() is None:
-            time.sleep(2.0)
-            if not os.path.exists(log_path):
-                continue
-            recs = [json.loads(line) for line in open(log_path)]
-            done = [r["epoch"] for r in recs if "train_time_s" in r]
-            if done and max(done) >= interrupt_after_epoch:
-                proc.send_signal(signal.SIGTERM)
-                break
-        rc = proc.wait(timeout=600)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-    assert rc == 0, f"ASR fit exited {rc} after SIGTERM"
-    recs = read_log(work, "asr")
-    assert any(r.get("event") == "stopped" for r in recs), (
-        "no graceful-stop record; SIGTERM arrived after completion?"
-    )
     last = os.path.join(work, "ckpt_asr", "last")
-    assert os.path.isdir(last), "graceful stop did not save 'last'"
-    stop_epoch = max(
-        r["epoch"] for r in recs if "train_time_s" in r
-    )
-    log.phase("asr_interrupt", t, stopped_after_epoch=stop_epoch)
 
-    # resume from 'last' and train to completion
-    t = time.time()
-    run(fit_args(cfg, work, "asr", restore_from=last))
-    recs = read_log(work, "asr")
-    epochs = {r["epoch"]: r for r in recs if "val_loss" in r}
-    assert max(epochs) == asr_epochs - 1, sorted(epochs)
-    final = epochs[max(epochs)]
-    log.phase(
-        "asr_resume_train", t,
-        epochs=asr_epochs,
-        resumed_from_epoch=stop_epoch,
-        final_val_loss=round(final["val_loss"], 4),
-        final_val_cer=round(final["val_cer"], 4),
-    )
+    if "asr_interrupt" not in log.done:
+        # fresh start: the interrupt monitor reads the fit log, so a
+        # stale one from a previous attempt must not trigger an
+        # immediate SIGTERM (observed: the signal landed during jax
+        # import, before the trainer's graceful handler existed)
+        if os.path.exists(log_path):
+            os.remove(log_path)
+        # start, interrupt with a REAL SIGTERM once training is past
+        # `interrupt_after_epoch`, confirm the graceful stop saved
+        # 'last'
+        t = time.time()
+        asr_args = fit_args(cfg, work, "asr")
+        if PLATFORM:
+            asr_args += ["--platform", PLATFORM]
+        proc = subprocess.Popen(asr_args, cwd=REPO)
+        try:
+            while proc.poll() is None:
+                time.sleep(2.0)
+                if not os.path.exists(log_path):
+                    continue
+                recs = [json.loads(line) for line in open(log_path)]
+                done = [r["epoch"] for r in recs
+                        if "train_time_s" in r]
+                if done and max(done) >= interrupt_after_epoch:
+                    proc.send_signal(signal.SIGTERM)
+                    break
+            rc = proc.wait(timeout=600)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert rc == 0, f"ASR fit exited {rc} after SIGTERM"
+        recs = read_log(work, "asr")
+        assert any(r.get("event") == "stopped" for r in recs), (
+            "no graceful-stop record; SIGTERM arrived after completion?"
+        )
+        assert os.path.isdir(last), "graceful stop did not save 'last'"
+        stop_epoch = max(
+            r["epoch"] for r in recs if "train_time_s" in r
+        )
+        log.phase("asr_interrupt", t, stopped_after_epoch=stop_epoch)
 
-    # best-checkpoint audit: 'best' must hold the argmin val-loss epoch
-    import orbax.checkpoint as ocp
+    if "asr_resume_train" not in log.done:
+        # resume from 'last' and train to completion
+        t = time.time()
+        run(fit_args(cfg, work, "asr", restore_from=last))
+        recs = read_log(work, "asr")
+        epochs = {r["epoch"]: r for r in recs if "val_loss" in r}
+        assert max(epochs) == asr_epochs - 1, sorted(epochs)
+        final = epochs[max(epochs)]
+        log.phase(
+            "asr_resume_train", t,
+            epochs=asr_epochs,
+            final_val_loss=round(final["val_loss"], 4),
+            final_val_cer=round(final["val_cer"], 4),
+        )
 
-    best_epoch = min(epochs, key=lambda e: epochs[e]["val_loss"])
-    meta = ocp.PyTreeCheckpointer().restore(
-        os.path.abspath(os.path.join(work, "ckpt_asr", "best"))
-    )["meta"]
-    assert int(meta["epoch"]) == best_epoch + 1, (
-        int(meta["epoch"]), best_epoch + 1,
-    )
-    log.phase("asr_best_audit", time.time(),
-              best_epoch=best_epoch,
-              best_val_loss=round(epochs[best_epoch]["val_loss"], 4))
+    if "asr_best_audit" not in log.done:
+        # best-checkpoint audit: 'best' must hold the argmin val-loss
+        # epoch (runs on the main process's CPU-pinned jax)
+        import orbax.checkpoint as ocp
+
+        recs = read_log(work, "asr")
+        epochs = {r["epoch"]: r for r in recs if "val_loss" in r}
+        best_epoch = min(epochs, key=lambda e: epochs[e]["val_loss"])
+        meta = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(os.path.join(work, "ckpt_asr", "best"))
+        )["meta"]
+        assert int(meta["epoch"]) == best_epoch + 1, (
+            int(meta["epoch"]), best_epoch + 1,
+        )
+        log.phase(
+            "asr_best_audit", time.time(), best_epoch=best_epoch,
+            best_val_loss=round(epochs[best_epoch]["val_loss"], 4),
+        )
     return cfg
 
 
@@ -490,11 +505,9 @@ def main() -> None:
         data_dir, oracle = phase_corpus(
             args.work, log, args.n_clips, args.chars_per_clip
         )
-    asr_cfg = os.path.join(args.work, "asr.yaml")
-    if "asr_best_audit" not in log.done:
-        asr_cfg = phase_asr(
-            args.work, log, args.asr_epochs, args.interrupt_after_epoch
-        )
+    asr_cfg = phase_asr(
+        args.work, log, args.asr_epochs, args.interrupt_after_epoch
+    )
     if "align_text" not in log.done:
         phase_align_text(args.work, log, asr_cfg, oracle)
     if "calc_stat" not in log.done:
