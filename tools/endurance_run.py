@@ -311,21 +311,65 @@ def phase_align_text(work, log, asr_cfg, oracle_path):
         work, "data", "dummy_tonecode-align-train.txt"
     )
     assert os.path.exists(produced)
-    # agreement vs the fixture oracle (report-only): exact aligntext
-    # match rate over shared transcripts
+    n, err = _align_oracle_error(produced, oracle_path)
+    log.phase("align_text", t, lines=n,
+              oracle_mid_frame_err=err)
+    return produced
+
+
+def _align_oracle_error(produced, oracle_path):
+    """Mean |midpoint - oracle midpoint| in frames, per character
+    occurrence. The tonecode oracle renders each character as exactly
+    10 contiguous frames with no blanks, while a real CTC Viterbi path
+    interleaves blanks — so exact aligntext equality is the wrong
+    metric; what matters is WHERE each character sits."""
     oracle = {}
     for line in open(oracle_path):
         text, aligntext, _ = line.rstrip("\n").split("|")
         oracle[text] = aligntext
-    n = hit = 0
+
+    def midpoints(aligntext, text):
+        mids, pos, ci = [], 0, 0
+        i = 0
+        n = len(aligntext)
+        while i < n and ci < len(text):
+            ch = text[ci]
+            # span of this character occurrence: first..last index of
+            # ch before the next distinct text character begins
+            start = aligntext.find(ch, i)
+            if start < 0:
+                mids.append(None)
+                ci += 1
+                continue
+            end = start
+            j = start
+            nxt = text[ci + 1] if ci + 1 < len(text) else None
+            while j < n:
+                if aligntext[j] == ch:
+                    end = j
+                elif nxt is not None and aligntext[j] == nxt:
+                    break
+                j += 1
+            mids.append((start + end) / 2.0)
+            i = end + 1
+            ci += 1
+        return mids
+
+    n = 0
+    total = cnt = 0.0
     for line in open(produced):
         text, aligntext, _ = line.rstrip("\n").split("|")
-        if text in oracle:
-            n += 1
-            hit += int(aligntext == oracle[text])
-    log.phase("align_text", t, lines=n,
-              oracle_exact=round(hit / max(n, 1), 4))
-    return produced
+        ref = oracle.get(text)
+        if ref is None:
+            continue
+        n += 1
+        got = midpoints(aligntext, text)
+        want = midpoints(ref, text)
+        for g, w in zip(got, want):
+            if g is not None and w is not None:
+                total += abs(g - w)
+                cnt += 1
+    return n, round(total / max(cnt, 1.0), 2)
 
 
 def phase_calc_stat(work, log):
