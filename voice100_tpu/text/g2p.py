@@ -1643,6 +1643,9 @@ _COMPOUND_PARTS = {
     "plane": "P L EY1 N", "land": "L AE1 N D", "light": "L AY1 T",
     "moon": "M UW1 N", "star": "S T AA1 R", "fish": "F IH1 SH",
     "snow": "S N OW1", "storm": "S T AO1 R M", "break": "B R EY1 K",
+    "hail": "HH EY1 L", "dug": "D AH1 G", "pilot": "P AY1 L AH0 T",
+    "power": "P AW1 ER0", "low": "L OW1", "slow": "S L OW1",
+    "acre": "EY1 K ER0",
     "fast": "F AE1 S T", "week": "W IY1 K", "home": "HH OW1 M",
     "work": "W ER1 K", "class": "K L AE1 S", "mate": "M EY1 T",
     "play": "P L EY1", "ground": "G R AW1 N D", "side": "S AY1 D",
@@ -1684,8 +1687,18 @@ _SHORT_FIRST = frozenset(
 )
 # ... and 3-letter nouns that productively CLOSE compounds (mailbox,
 # sunset, highway); "man" is handled by the -man suffix rule instead
-_SHORT_SECOND = frozenset("box set way bow day bag pot pan bar".split())
+_SHORT_SECOND = frozenset(
+    "box set way bow day bag pot pan bar out off".split()
+)
 _DESTRESSED_SECOND = frozenset({"some"})
+
+# 2-letter Latin prefixes that head compounds with a free stem
+# (copilot, coworker, biplane, biweekly); the stem must resolve through
+# the lexicon so "cover"/"bingo" never split. The blocklist holds free
+# stems whose prefixed form is lexically reduced, not a live compound
+# (bicycle B AY1 S IH0 K AH0 L, covert, coward).
+_PREFIX_FIRST = {"co": "K OW1", "bi": "B AY1"}
+_PREFIX_BLOCK_SECOND = frozenset({"cycle", "ward", "vert", "cent"})
 
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")
 
@@ -1940,6 +1953,19 @@ class G2P:
             else:
                 second = demote(second, "2")
             return first + second
+        for pre, pre_phones in _PREFIX_FIRST.items():
+            if not word.startswith(pre) or len(word) - len(pre) < 4:
+                continue
+            b = word[len(pre):]
+            if b in _PREFIX_BLOCK_SECOND or b in _NON_SECOND:
+                continue
+            pb_phones = (self._lexicon[b].split() if b in self._lexicon
+                         else self._strip_suffix(b))
+            if pb_phones is None:
+                continue
+            second = [p[:-1] + "2" if p.endswith("1") else p
+                      for p in pb_phones]
+            return pre_phones.split() + second
         return None
 
     _VOICELESS_FINAL = {"P", "T", "K", "F", "TH"}
@@ -1982,10 +2008,25 @@ class G2P:
             if not word.endswith(suffix) or len(word) <= len(suffix):
                 continue
             stem = word[: -len(suffix)]
-            if len(stem) < 2:
+            if len(stem) < 2 or not any(c in "aeiouy" for c in stem):
                 # a 1-letter stem is never a real morphological base:
-                # "west" is not we+est (W IY1 AH0 S T), "bed" not be+d
+                # "west" is not we+est (W IY1 AH0 S T), "bed" not be+d;
+                # nor is a vowel-less one ("shed" is not she+d)
                 continue
+            if (
+                suffix in ("er", "est")
+                and stem in ("strong", "long", "young")
+                and stem in self._lexicon
+            ):
+                # the -ng comparatives insert a hard G (stronger
+                # S T R AO1 NG G ER0) unlike agentive -nger (singer);
+                # lexicon membership is checked because CV folds drop
+                # these stems
+                base = self._lexicon[stem].split()
+                return base + (
+                    ["G", "ER0"] if suffix == "er"
+                    else ["G", "AH0", "S", "T"]
+                )
             variants = [stem, stem + "e"]
             if len(stem) >= 3 and stem[-1] == stem[-2]:
                 # consonant doubling before a vowel-initial suffix

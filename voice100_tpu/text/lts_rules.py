@@ -404,6 +404,27 @@ RULES: Dict[str, List[Rule]] = {
         ("", "d", "", "D"),
     ],
     "e": [
+        # -ency nominals destress the suffix so the stem takes primary
+        # (decency D IY1 S AH0 N S IY0, frequency, tendency, currency);
+        # the left vowel requirement keeps monosyllabic stems intact —
+        # round-5 CV error-class sweep (fold analysis, not held-out)
+        ("#:", "ency", " ", "AX N S IY0"),
+        ("#:", "encies", " ", "AX N S IY0 Z"),
+        # -emony parallels -imony (ceremony S EH1 R AH0 M OW2 N IY0)
+        ("#:^", "emony", " ", "AX M OW2 N IY0"),
+        # frequency/frequent keep the long open E (F R IY1 K W AH0 N T)
+        ("r", "equen", "", "IY K W AX N"),
+        # -estial palatalizes (celestial S AH0 L EH1 S CH AH0 L,
+        # bestial)
+        ("", "estial", " ", "EH1 S CH AX L"),
+        # French -euver (maneuver M AH0 N UW1 V ER0)
+        ("", "euver", "", "UW1 V ER0"),
+        # sewage S UW1 AH0 JH (unlike sew S OW1)
+        ("", "ewage", " ", "UW1 AH0 JH"),
+        # chemical -ium nominals stress the open antepenult long
+        # (helium HH IY1 L IY0 AH0 M, magnesium M AE0 G N IY1 Z IY0)
+        ("", "elium", " ", "IY1 L IY0 AX M"),
+        ("", "esium", " ", "IY1 Z IY0 AX M"),
         # unstressed -eled participles (beveled, modeled, labeled,
         # traveled, chiseled); a vowel before (heeled, fueled) fails
         # the consonant context — forty-first probe band (band I)
