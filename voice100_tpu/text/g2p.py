@@ -1663,6 +1663,13 @@ _COMPOUND_PARTS = {
     "black": "B L AE1 K", "else": "EH1 L S",
     "soft": "S AO1 F T", "hard": "HH AA1 R D", "ware": "W EH1 R",
     "base": "B EY1 S", "line": "L AY1 N",
+    "flake": "F L EY1 K", "watch": "W AA1 CH", "mile": "M AY1 L",
+    "lime": "L AY1 M", "speed": "S P IY1 D", "chill": "CH IH1 L",
+    "wrist": "R IH1 S T", "sand": "S AE1 N D", "tail": "T EY1 L",
+    "cross": "K R AO1 S", "gaze": "G EY1 Z", "stream": "S T R IY1 M",
+    "wheel": "W IY1 L", "chair": "CH EH1 R", "front": "F R AH1 N T",
+    "field": "F IY1 L D", "house": "HH AW1 S", "horse": "HH AO1 R S",
+    "bird": "B ER1 D", "sail": "S EY1 L", "boat": "B OW1 T",
     # lexicalized compounds whose parts would mislead the splitter
     "breakfast": "B R EH1 K F AH0 S T",
     "something": "S AH1 M TH IH0 NG",
@@ -1683,7 +1690,7 @@ _SHORT_FIRST = frozenset(
     """sea saw jet air sun sky ice out oil egg tea ear eye leg arm
     gun fog mud log oak bee cow pig hen dog cat fox owl bat net rod
     bed pot pan pie ham ink pen map bag box cap hat wax tar gas day
-    war tax toe rib jaw hay dry""".split()
+    war tax toe rib jaw hay dry dug""".split()
 )
 # ... and 3-letter nouns that productively CLOSE compounds (mailbox,
 # sunset, highway); "man" is handled by the -man suffix rule instead
@@ -1691,6 +1698,10 @@ _SHORT_SECOND = frozenset(
     "box set way bow day bag pot pan bar out off".split()
 )
 _DESTRESSED_SECOND = frozenset({"some"})
+# heteronym elements pinned to their compound-noun reading in either
+# position (tailwind/crosswind/windchill read the noun W IH1 N D,
+# never the verb W AY1 N D)
+_COMPOUND_OVERRIDE = {"wind": "W IH1 N D"}
 
 # 2-letter Latin prefixes that head compounds with a free stem
 # (copilot, coworker, biplane, biweekly); the stem must resolve through
@@ -1894,9 +1905,30 @@ class G2P:
                 out.append(word)
         return out
 
+    # irregular high-frequency forms whose spelling misleads every
+    # generative path (says is not say+s; titles are vowel-less and
+    # would spell out as letter names; number is not numb+er), plus
+    # the closed class of adjectival -ed words that keep a syllabic
+    # ending where the verb participle would not (a jagged edge vs. he
+    # jagged left) and lexicalized syncope (evening, government)
+    _IRREGULAR = {
+        "says": "S EH1 Z", "does": "D AH1 Z", "mr": "M IH1 S T ER0",
+        "mrs": "M IH1 S IH0 Z", "ms": "M IH1 Z",
+        "number": "N AH1 M B ER0", "numbers": "N AH1 M B ER0 Z",
+        "evening": "IY1 V N IH0 NG", "evenings": "IY1 V N IH0 NG Z",
+        "government": "G AH1 V ER0 M AH0 N T",
+        "governments": "G AH1 V ER0 M AH0 N T S",
+        "jagged": "JH AE1 G IH0 D", "ragged": "R AE1 G IH0 D",
+        "rugged": "R AH1 G IH0 D", "dogged": "D AO1 G IH0 D",
+        "wicked": "W IH1 K AH0 D", "naked": "N EY1 K AH0 D",
+        "crooked": "K R UH1 K AH0 D", "wretched": "R EH1 CH AH0 D",
+    }
+
     def _word_phones(self, word: str) -> List[str]:
         if word in self._lexicon:
             return self._lexicon[word].split()
+        if word in self._IRREGULAR:
+            return self._IRREGULAR[word].split()
         # strip morphological suffixes and retry the lexicon, voicing the
         # affix phone by the stem's final sound like g2p_en's dictionary
         # layer would return
@@ -1933,10 +1965,16 @@ class G2P:
                 continue
             if len(b) == 3 and b not in _SHORT_SECOND:
                 continue
-            pa = self._lexicon.get(a)
+            # curated parts back the lexicon so a compound still splits
+            # when the standalone word is absent (CV folds, trimmed
+            # lexicons); heteronym overrides take the noun reading
+            pa = (_COMPOUND_OVERRIDE.get(a) or self._lexicon.get(a)
+                  or _COMPOUND_PARTS.get(a))
             if pa is None or b in _NON_SECOND:
                 continue
-            pb_phones = (self._lexicon[b].split() if b in self._lexicon
+            pb = (_COMPOUND_OVERRIDE.get(b) or self._lexicon.get(b)
+                  or _COMPOUND_PARTS.get(b))
+            pb_phones = (pb.split() if pb is not None
                          else self._strip_suffix(b))
             if pb_phones is None:
                 continue
@@ -1988,8 +2026,18 @@ class G2P:
                 return stem_phones + ["T"]
             return stem_phones + ["D"]
 
+        def es_plural(stem_phones: List[str]) -> Optional[List[str]]:
+            # -es only attaches after sibilants (boxes) or o (heroes);
+            # elsewhere the e belongs to the stem (planes = plane+s,
+            # ones = one+s), which the "s" candidate below handles
+            last = stem_phones[-1].rstrip("012")
+            if last in self._SIBILANT_FINAL or last == "OW":
+                return plural(stem_phones)
+            return None
+
         candidates = (
-            ("'s", plural), ("s'", plural), ("es", plural), ("s", plural),
+            ("'s", plural), ("s'", plural), ("es", es_plural),
+            ("s", plural),
             ("ed", past),
             # syllabic-le stems elide the schwa before -ing (paddling
             # P AE1 D L IH0 NG, cycling — CMU convention)
@@ -2034,13 +2082,20 @@ class G2P:
                 variants.append(stem[:-1])
             for variant in variants:
                 if variant in self._lexicon:
-                    return attach(self._lexicon[variant].split())
+                    attached = attach(self._lexicon[variant].split())
+                    if attached is not None:
+                        # an attach that declines (es_plural on a
+                        # non-sibilant stem) falls through to the next
+                        # candidate instead of ending the search
+                        return attached
             # consonant doubling: "stopped" -> stop + p + ed
             if (
                 len(stem) >= 2 and stem[-1] == stem[-2]
                 and stem[:-1] in self._lexicon
             ):
-                return attach(self._lexicon[stem[:-1]].split())
+                attached = attach(self._lexicon[stem[:-1]].split())
+                if attached is not None:
+                    return attached
         return None
 
     def _lts(self, word: str) -> List[str]:
@@ -2579,7 +2634,13 @@ class G2P:
                 # and the reducing class is the bigger one; the
                 # compound exceptions live in the lexicon
             ):
-                out[i] = "AH0"
+                # a word-initial unstressed vowel spelled bare "e"
+                # reduces to IH0 in CMU, not schwa (elect, event,
+                # effect, eleven, especially) — round-5 CV sweep
+                if i == 0 and word.startswith("e"):
+                    out[i] = "IH0"
+                else:
+                    out[i] = "AH0"
             # NOTE (round-5, band A analysis): a post-tonic
             # open-syllable IH0 -> AH0 rule was tried and REVERTED —
             # CMUdict's spelled-i reduction is lexical, near 50/50

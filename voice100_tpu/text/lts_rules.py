@@ -48,6 +48,49 @@ RULES: Dict[str, List[Rule]] = {
         # enthusiasm, spasm) — thirty-fifth probe band (band A)
         ("", "asm", " ", "AE2 Z AX M"),
         ("", "asms", " ", "AE2 Z AX M Z"),
+        # word-initial asc- Latinate verbs reduce the prefix vowel
+        # (ascend AH0 S EH1 N D, ascent) — round-5 CV sweep
+        (" ", "ascen", "", "AX S EH1 N"),
+        # acoustic family stresses the long U (AH0 K UW1 S T IH0 K)
+        (" ", "acoust", "", "AX K UW1 S T"),
+        # activity keeps the full front A (AE0 K T IH1 V AH0 T IY0);
+        # activate's different stress keeps its own path
+        (" ", "activit", "", "AE0 K T IH1 V AH0 T"),
+        # -alla-/-alle- nominals keep the front AE against the AO of
+        # "(b)all" (ballad B AE1 L AH0 D, gallant, mallet, pallet);
+        # w-onsets (wallet, wallaby) keep their own wa- rules
+        ("b", "alla", "^", "AE L AX"),
+        ("g", "alla", "^", "AE L AX"),
+        ("m", "allet", " ", "AE L AX T"),
+        ("p", "allet", " ", "AE L AX T"),
+        # w colors a following a before nasal clusters (swamp
+        # S W AA1 M P)
+        ("w", "a", "mp", "AA"),
+        # wharf keeps the AO of "war" (W AO1 R F)
+        ("wh", "ar", "", "AO R"),
+        # Latin -aurus keeps the AO diphthong value (thesaurus
+        # TH AH0 S AO1 R AH0 S, tyrannosaurus)
+        ("", "aurus", " ", "AO1 R AX S"),
+        ("", "athedral", "", "AX TH IY1 D R AX L"),
+        (" ", "apparat", "", "AE2 P ER0 AE1 T"),
+        (" ", "asparag", "", "AX S P EH1 R AX G"),
+        # agentive/instrument -ator keeps a secondary long A when the
+        # stem is two or more syllables (elevator EH1 L AH0 V EY2 T ER0,
+        # calculator, educator) or ends in a hiatus i (radiator,
+        # aviator, gladiator) or the clusters of dictator/spectator,
+        # narrator, translator; short stems reduce (senator, orator)
+        # and a vowel immediately before keeps its own primary
+        # (creator, equator) — round-5 CV sweep
+        ("#:^#:^", "ator", " ", "EY2 T ER0"),
+        ("#:^#:^", "ators", " ", "EY2 T ER0 Z"),
+        ("i", "ator", " ", "EY2 T ER0"),
+        ("i", "ators", " ", "EY2 T ER0 Z"),
+        ("ct", "ator", " ", "EY2 T ER0"),
+        ("ct", "ators", " ", "EY2 T ER0 Z"),
+        ("rr", "ator", " ", "EY2 T ER0"),
+        ("rr", "ators", " ", "EY2 T ER0 Z"),
+        ("sl", "ator", " ", "EY2 T ER0"),
+        ("sl", "ators", " ", "EY2 T ER0 Z"),
         # -adle keeps the long A (ladle, cradle); doubled saddle is
         # untouched — forty-first probe band (band I)
         ("", "adle", "", "EY D AX L"),
@@ -356,6 +399,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "c", "", "K"),
     ],
     "d": [
+        # final -dule palatalizes (module M AA1 JH UW0 L, schedule,
+        # nodule) — round-5 CV sweep
+        ("", "dule", " ", "JH UW0 L"),
+        ("", "dules", " ", "JH UW0 L Z"),
         (" ", "digit", "", "D IH1 JH AH0 T"),
         # the furniture drawer contracts to one syllable —
         # thirtieth probe band
@@ -425,6 +472,21 @@ RULES: Dict[str, List[Rule]] = {
         # (helium HH IY1 L IY0 AH0 M, magnesium M AE0 G N IY1 Z IY0)
         ("", "elium", " ", "IY1 L IY0 AX M"),
         ("", "esium", " ", "IY1 Z IY0 AX M"),
+        # final -eer is the stressed rhotic vowel in monosyllables and
+        # agent nouns alike (beer B IH1 R, steer, career, volunteer)
+        ("", "eer", " ", "IH1 R"),
+        ("", "eers", " ", "IH1 R Z"),
+        # Greek -eology keeps the hiatus (geology JH IY0 AA1 L AH0 JH,
+        # theology, ideology) — round-5 CV sweep
+        ("", "eolog", "", "IY0 AA1 L AX JH"),
+        # regul- keeps the full EH (regulator R EH1 G Y AH0 L EY2 T,
+        # regulate, regular)
+        (" r", "egul", "", "EH1 G Y AX L"),
+        ("", "ectoral", "", "EH1 K T ER0 AX L"),
+        # pre-empts the "eri" digraph (peripheral P ER0 IH1 F ER0...)
+        ("", "eripheral", "", "ER0 IH1 F ER0 AX L"),
+        # French -elain reduces (porcelain P AO1 R S AH0 L AH0 N)
+        ("", "elain", " ", "AX L AX N"),
         # unstressed -eled participles (beveled, modeled, labeled,
         # traveled, chiseled); a vowel before (heeled, fueled) fails
         # the consonant context — forty-first probe band (band I)
@@ -647,6 +709,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "e", "", "EH"),
     ],
     "f": [
+        # -ficient adjectives palatalize and take penult stress
+        # (efficient IH0 F IH1 SH AH0 N T, sufficient, proficient;
+        # the ff of efficient degeminates in the post-pass)
+        ("", "ficien", "", "F IH1 SH AX N"),
         (" ", "fever", "", "F IY1 V ER0"),
         (" ", "fatal", " ", "F EY1 T AH0 L"),
         (" ", "fortunate", "", "F AO1 R CH AH0 N AH0 T"),
@@ -696,6 +762,16 @@ RULES: Dict[str, List[Rule]] = {
         ("", "gm", " ", "M"),
         (" ", "gh", "", "G"),
         ("", "giv", "", "G IH V"),
+        # -gitude softens before the reduced linking i (longitude
+        # L AA1 N JH AH0 T UW2 D); "bargain" reduces its final
+        ("", "gitude", " ", "JH AX T UW2 D"),
+        ("ar", "gain", " ", "G AX N"),
+        # -geant/-geance keep the soft g with a reduced vowel
+        # (sergeant S AA1 R JH AH0 N T, pageant, vengeance); any other
+        # g before "ea" is hard (gear, geese via "ee") — round-5 CV
+        ("", "geant", "", "JH AX N T"),
+        ("", "geance", "", "JH AX N S"),
+        ("", "g", "ea", "G"),
         (" ", "g", "i^", "G"),
         ("", "ge", "t", "G EH"),
         ("su", "gges", "", "G JH EH S"),
@@ -768,6 +844,69 @@ RULES: Dict[str, List[Rule]] = {
         ("v", "ival", " ", "AY V AX L"),
         ("r", "ivals", " ", "AY V AX L Z"),
         ("v", "ivals", " ", "AY V AX L Z"),
+        # Latinate -iC+ation nominals reduce the linking i to schwa and
+        # the -ation suffix takes primary (application
+        # AE2 P L AH0 K EY1 SH AH0 N, nomination, navigation,
+        # invitation, distillation, pollinating) — round-5 CV
+        # error-class sweep (fold analysis, not held-out)
+        ("", "ication", "", "AX K EY1 SH AX N"),
+        ("", "ination", "", "AX N EY1 SH AX N"),
+        ("", "igation", "", "AX G EY1 SH AX N"),
+        # ... -itation keeps IH0 after v (invitation, gravitation,
+        # levitation) and reduces elsewhere (meditation, imitation)
+        ("v", "itation", "", "IH0 T EY1 SH AX N"),
+        ("", "itation", "", "AX T EY1 SH AX N"),
+        ("", "illation", "", "AX L EY1 SH AX N"),
+        # ... and the verb forms (-inate/-inating keep a secondary on
+        # the -ate; germinate JH ER1 M AH0 N EY2 T, pollinate)
+        ("#:^", "inate", "", "AX N EY2 T"),
+        ("#:^", "inati", "ng", "AX N EY2 T IH"),
+        # -imony parallels -emony with the linking i reduced
+        # (testimony T EH1 S T AH0 M OW2 N IY0, matrimony, alimony)
+        ("", "imony", " ", "AX M OW2 N IY0"),
+        # Latinate -itude reduces the linking i with a secondary on the
+        # suffix (attitude AE1 T AH0 T UW2 D, gratitude, solitude)
+        ("", "itude", " ", "AX T UW2 D"),
+        ("", "itudes", " ", "AX T UW2 D Z"),
+        ("", "iculum", " ", "IH1 K Y AX L AX M"),
+        ("", "inolog", "", "AX N AA1 L AX JH"),
+        ("n", "insula", "", "IH1 N S AX L AH0"),
+        # these pins pre-empt the digraph rules ("in", "eri", "ide")
+        # that would otherwise consume their onsets
+        (" ", "integral", "", "IH1 N T AX G R AX L"),
+        (" ", "ideolog", "", "AY2 D IY0 AA1 L AX JH"),
+        # Greek dino- keeps the long I (dinosaur)
+        (" d", "ino", "", "AY N AH0"),
+        # hiatus i before the -ator suffix (radiator
+        # R EY1 D IY0 EY2 T ER0, aviator, gladiator)
+        ("", "i", "ato", "IY0"),
+        # -inous/-imous adjectives reduce both suffix vowels (ominous
+        # AA1 M AH0 N AH0 S, luminous, unanimous)
+        ("", "inous", " ", "AX N AX S"),
+        ("", "imous", " ", "AX M AX S"),
+        # linking i before -mosity (animosity AE2 N AH0 M AA1 S...)
+        ("", "i", "mosit", "AX"),
+        # -icult(y) reduces the i (difficult D IH1 F AH0 K AH0 L T)
+        ("", "icult", "", "AX K AX L T"),
+        # -ilance/-ilant reduce (vigilance V IH1 JH AH0 L AH0 N S)
+        ("", "ilan", "^", "AX L AX N"),
+        # vowel+iage compresses to IH0 JH (carriage, marriage,
+        # foliage F OW1 L IH0 JH)
+        ("", "iage", " ", "IH0 JH"),
+        ("", "iages", " ", "IH0 JH IH0 Z"),
+        # -idal keeps the stem's long I (tidal, bridal, suicidal)
+        ("", "idal", " ", "AY D AX L"),
+        # -bine nouns keep the long I (turbine T ER1 B AY0 N, combine,
+        # carbine); engine's g-context rule precedes in its own bucket
+        ("b", "ine", " ", "AY N"),
+        # final -ier after a word-initial consonant is the rhotic
+        # monosyllable (pier, tier)
+        (" ^", "ier", " ", "IH1 R"),
+        (" ^", "iers", " ", "IH1 R Z"),
+        # Latin-plural -bi keeps AY (alibi, rabbi); other final
+        # unstressed -i loans read IY0 (taxi, chili, bikini)
+        ("b", "i", " ", "AY2"),
+        ("#:^", "i", " ", "IY0"),
         # -ierce monosyllables (fierce, pierce) —
         # twenty-eighth probe band
         ("", "ierce", " ", "IH1 R S"),
@@ -1063,6 +1202,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "m", "", "M"),
     ],
     "n": [
+        # -ntain reduces after the ou of mountain/fountain (verbs like
+        # maintain/contain never carry that left context); integral
+        # front-stresses — round-5 CV sweep
+        ("ou", "ntain", " ", "N T AX N"),
+        ("ou", "ntains", " ", "N T AX N Z"),
+        ("lo", "ngitude", " ", "N JH AX T UW2 D"),
         # word-final -nge is the soft N JH (hinge, plunge, orange,
         # challenge, fringe); mid-word nge (angel, anger) unaffected —
         # fortieth probe band (band H)
@@ -1129,6 +1274,25 @@ RULES: Dict[str, List[Rule]] = {
         # thirty-fifth probe band (band A)
         ("", "osity", " ", "AA1 S AX T IY0"),
         ("", "osities", " ", "AA1 S AX T IY0 Z"),
+        # onset-consonant + -ond monosyllables keep the open AA (pond,
+        # bond, fond, blond); polysyllables (second, diamond) never
+        # match the word-initial contexts — round-5 CV sweep
+        (" ^", "ond", " ", "AA1 N D"),
+        (" ^^", "ond", " ", "AA1 N D"),
+        ("", "onze", " ", "AA1 N Z"),
+        # chemical -ose sugars keep the voiceless S (glucose, sucrose);
+        # verb close/chose keep Z via their l/h contexts
+        ("c", "ose", " ", "OW0 S"),
+        # frost family is the AO of lost/cost, not the OW of most
+        ("fr", "o", "st", "AO"),
+        # wool is the lone UH among the UW -ool words
+        (" w", "ool", " ", "UH1 L"),
+        # Latin -onus/-ocus keep the long O (bonus B OW1 N AH0 S, onus,
+        # focus, locus, crocus)
+        ("", "onus", " ", "OW1 N AX S"),
+        ("", "ocus", "", "OW1 K AX S"),
+        (" ", "octop", "", "AA1 K T AX P"),
+        ("", "onquer", "", "AA1 NG K ER0"),
         ("", "ocity", " ", "AA1 S AX T IY0"),
         ("", "ocities", " ", "AA1 S AX T IY0 Z"),
         ("", "osure", " ", "OW1 ZH ER"),
@@ -1476,6 +1640,20 @@ RULES: Dict[str, List[Rule]] = {
         # suave is a lexicon pin — thirty-second probe band
         ("", "sua", "d", "S W EY"),
         (" ", "sacrific", "", "S AE1 K R AH0 F AY2 S"),
+        # -psule reduces (capsule K AE1 P S AH0 L)
+        ("p", "sule", " ", "S AX L"),
+        # Greek -saur(us) keeps the voiceless S between vowels
+        # (thesaurus TH AH0 S AO1 R AH0 S, dinosaur)
+        ("", "saurus", " ", "S AO1 R AX S"),
+        ("", "saur", " ", "S AO2 R"),
+        ("", "saurs", " ", "S AO2 R Z"),
+        # Norwegian loan "ski" keeps the long I in all its forms; the
+        # bare-grapheme rules below would read the magic-e pattern
+        (" ", "ski", " ", "S K IY1"),
+        (" ", "skis", " ", "S K IY1 Z"),
+        (" ", "skiing", " ", "S K IY1 IH0 NG"),
+        (" ", "skier", " ", "S K IY1 ER0"),
+        (" ", "skiers", " ", "S K IY1 ER0 Z"),
         ("d", "scape", " ", "S K EY2 P"),
         (" ", "sufficient", "", "S AH0 F IH1 SH AH0 N T"),
         (" ", "sesame", "", "S EH1 S AH0 M IY0"),
@@ -1545,6 +1723,8 @@ RULES: Dict[str, List[Rule]] = {
         ("", "s", "", "S"),
     ],
     "t": [
+        # -tula palatalizes (spatula S P AE1 CH AH0 L AH0, tarantula)
+        ("", "tula", " ", "CH AX L AH0"),
         # tz devoices to T S (quartz, waltz, blitz) — thirty-ninth
         # probe band (band G)
         ("", "tz", "", "T S"),
@@ -1660,6 +1840,26 @@ RULES: Dict[str, List[Rule]] = {
         (" ", "unless", "", "AH0 N L EH1 S"),
         (" ", "until", "", "AH0 N T IH1 L"),
         (" ", "unfortunate", "", "AH0 N F AO1 R CH AH0 N AH0 T"),
+        # -uity abstract nouns stress the U; y-glide drops after the
+        # @-set coronals (annuity AH0 N UW1 AH0 T IY0, gratuity) and
+        # survives elsewhere (acuity, ambiguity) — round-5 CV sweep
+        ("@", "uity", " ", "UW1 AX T IY0"),
+        ("", "uity", " ", "Y UW1 AX T IY0"),
+        # -ulent adjectives glide and reduce (turbulent
+        # T ER1 B Y AH0 L AH0 N T, opulent, succulent)
+        ("", "ulent", " ", "Y AX L AX N T"),
+        # final -ula nominals glide and reduce (formula
+        # F AO1 R M Y AH0 L AH0, nebula); s-stems skip the glide
+        # (peninsula via its insula rule); -ulator agents keep the
+        # glide with the -ator secondary (calculator, regulator)
+        ("s", "ula", " ", "AX L AH0"),
+        ("", "ula", " ", "Y AX L AH0"),
+        ("", "ulator", " ", "Y AX L EY2 T ER0"),
+        ("", "ulators", " ", "Y AX L EY2 T ER0 Z"),
+        # incubator (the -ator family pins the EY2)
+        ("", "ubator", " ", "Y AX B EY2 T ER0"),
+        ("", "umvent", "", "AX M V EH1 N T"),
+        ("", "umference", "", "AH1 M F ER0 AX N S"),
         (" ", "universe", "", "Y UW1 N AH0 V ER2 S"),
         (" ", "usual", "", "Y UW1 ZH AX W AX L"),
         (" ", "umbrella", "", "AH0 M B R EH1 L AH0"),
@@ -1773,6 +1973,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "x", "", "K S"),
     ],
     "y": [
+        # Latin -yrus keeps the long Y (papyrus P AH0 P AY1 R AH0 S,
+        # Cyrus) — round-5 CV sweep
+        ("", "yrus", " ", "AY1 R AX S"),
         # oxygen joins the -ogen family through its y spelling —
         # thirty-ninth probe band (band G)
         ("", "ygen", " ", "AH0 JH AX N"),
