@@ -386,7 +386,15 @@ class LexiconReader:
                         # clause-scan: the governing particle may be
                         # separated from the verb by adverbs (雪が
                         # たくさん降ります); scan back to the nearest
-                        # case particle and test that instead
+                        # case particle and test that instead. A "**"
+                        # prefix additionally skips the adjunct
+                        # particles に/で so a time/place phrase does
+                        # not mask the object (会を金曜日に開きます
+                        # still sees the を)
+                        skip_adjuncts = cond.startswith("**")
+                        stops = ("がをもはへ、。．！？　 "
+                                 if skip_adjuncts
+                                 else "がをにもはへで、。．！？　 ")
                         found = ""
                         for j in range(kanji_pos - 1, -1, -1):
                             # から/まで are clause stops too: バスから
@@ -398,7 +406,7 @@ class LexiconReader:
                             ):
                                 found = text[j - 1: j + 1]
                                 break
-                            if text[j] in "がをにもはへで、。．！？　 ":
+                            if text[j] in stops:
                                 found = text[j]
                                 break
                         # no governing particle found: reject the
