@@ -65,9 +65,15 @@ _DEMONSTRATIVES = (
 )
 
 
-def _euphonic_join(prev: str, nxt: str):
-    """Adjust an (on, on) reading pair at a morpheme boundary."""
-    if not prev or not nxt:
+def _euphonic_join(prev: str, nxt: str, even_boundary: bool = True):
+    """Adjust an (on, on) reading pair at a morpheme boundary.
+
+    ``even_boundary`` is True when the left kanji sits at an even
+    offset within its jukugo segment: sound changes bind the 0-1 pair
+    of a two-kanji word (学校=ガッコウ, 発表=ハッピョウ) but NOT the
+    word seam of a 2+2 compound (建設工事=ケンセツコウジ,
+    新聞配達=シンブンハイタツ stay unchanged at the 1-2 boundary)."""
+    if not prev or not nxt or not even_boundary:
         return prev, nxt
     head = nxt[0]
     # gemination: a final tsu/chi assimilates into a following unvoiced
@@ -357,7 +363,9 @@ class LexiconReader:
                 on_read = bool(ON.get(ch))
             if on_read and prev_on >= 0 and yomi:
                 p_surf, p_yomi = out[prev_on]
-                p_yomi, yomi = _euphonic_join(p_yomi, yomi)
+                p_yomi, yomi = _euphonic_join(
+                    p_yomi, yomi,
+                    even_boundary=((pos - 1 - seg_start) % 2 == 0))
                 out[prev_on] = (p_surf, p_yomi)
             out.append((ch, yomi))
             prev_on = len(out) - 1 if on_read and yomi else -1
