@@ -1670,6 +1670,17 @@ _COMPOUND_PARTS = {
     "wheel": "W IY1 L", "chair": "CH EH1 R", "front": "F R AH1 N T",
     "field": "F IY1 L D", "house": "HH AW1 S", "horse": "HH AO1 R S",
     "bird": "B ER1 D", "sail": "S EY1 L", "boat": "B OW1 T",
+    # roots for the stress-neutral prefixes (entangle, enrich,
+    # forgive, forsake)
+    "act": "AE1 K T", "rich": "R IH1 CH", "list": "L IH1 S T",
+    "roll": "R OW1 L", "sake": "S EY1 K", "tangle": "T AE1 NG G AH0 L",
+    "trust": "T R AH1 S T", "gulf": "G AH1 L F",
+    "title": "T AY1 T AH0 L", "large": "L AA1 R JH",
+    "close": "K L OW1 Z", "force": "F AO1 R S", "joy": "JH OY1",
+    "gage": "G EY1 JH", "sure": "SH UH1 R", "roach": "R OW1 CH",
+    "bid": "B IH1 D", "bark": "B AA1 R K", "lighten": "L AY1 T AH0 N",
+    "courage": "K ER1 AH0 JH", "counter": "K AW1 N T ER0",
+    "circle": "S ER1 K AH0 L", "compass": "K AH1 M P AH0 S",
     # lexicalized compounds whose parts would mislead the splitter
     "breakfast": "B R EH1 K F AH0 S T",
     "something": "S AH1 M TH IH0 NG",
@@ -1710,6 +1721,32 @@ _COMPOUND_OVERRIDE = {"wind": "W IH1 N D"}
 # (bicycle B AY1 S IH0 K AH0 L, covert, coward).
 _PREFIX_FIRST = {"co": "K OW1", "bi": "B AY1"}
 _PREFIX_BLOCK_SECOND = frozenset({"cycle", "ward", "vert", "cent"})
+
+# stress-neutral verb prefixes: the root keeps its own primary and the
+# prefix reduces (entangle EH0 N T AE1 NG G AH0 L, forgive
+# F ER0 G IH1 V, foretell F AO0 R T EH1 L). Gated on the root being a
+# lexicon word so engine/energy/forest never split; the blocklists
+# hold roots whose prefixed word is initial-stressed anyway (entry,
+# forecast) or lexically reshaped (entire, forward).
+_NEUTRAL_PREFIXES = (
+    ("fore", "F AO0 R",
+     frozenset({"cast", "casts", "ground", "head", "most", "front",
+                "man", "men", "arm", "arms"})),
+    ("for", "F ER0",
+     frozenset({"ward", "wards", "tune", "tunes", "mat", "mats",
+                "ear", "est", "ester", "um", "ums", "ay", "ays",
+                "age", "ages", "ce", "ces", "me", "mer", "ms", "ties",
+                "ty", "k", "ks", "t", "ts", "th", "go"})),
+    ("en", "EH0 N",
+     frozenset({"try", "tries", "trance", "trances", "tire", "tires",
+                "sign", "signs", "gine", "gines", "velope",
+                "velopes", "tity", "tities", "ergy", "tree", "trees",
+                "vy", "d", "ds", "dings", "ding"})),
+    ("em", "EH0 M",
+     frozenset({"it", "its", "ber", "bers", "pire", "pires", "blem",
+                "blems", "inent", "phasis", "peror", "perors",
+                "ail", "ails"})),
+)
 
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")
 
@@ -2004,6 +2041,19 @@ class G2P:
             second = [p[:-1] + "2" if p.endswith("1") else p
                       for p in pb_phones]
             return pre_phones.split() + second
+        for pre, pre_phones, block in _NEUTRAL_PREFIXES:
+            if not word.startswith(pre) or len(word) - len(pre) < 3:
+                continue
+            b = word[len(pre):]
+            if b in block or b in _NON_SECOND:
+                continue
+            pb = self._lexicon.get(b) or _COMPOUND_PARTS.get(b)
+            pb_phones = (pb.split() if pb is not None
+                         else self._strip_suffix(b))
+            if pb_phones is None:
+                continue
+            # the root keeps its own primary; the prefix is reduced
+            return pre_phones.split() + list(pb_phones)
         return None
 
     _VOICELESS_FINAL = {"P", "T", "K", "F", "TH"}
@@ -2202,6 +2252,9 @@ class G2P:
         "ity": 2, "ety": 2, "ical": 2, "ious": 2, "eous": 2,
         "uous": 2, "itive": 2, "graphy": 2, "logy": 2, "metry": 2,
         "pathy": 2, "ular": 2, "ularly": 3,
+        # -ish verbs stress the penult (astonish, establish, demolish,
+        # diminish; 2-syllable finish/punish/vanish are penult=first)
+        "ish": 1, "ished": 1, "ishes": 1, "ishing": 1, "ishment": 2,
     }
     _FINAL_STRESS = ("ee", "eed", "teen", "oon", "esque", "ique", "ade",
                      "eer", "ette", "aire", "ere", "eres",
@@ -2251,6 +2304,7 @@ class G2P:
     _PREFIX_STRESS_EXCEPTIONS = frozenset(
         """any anybody anyone anything anywhere area areas able ably
         apron aprons acre acres agent agents alien aliens april
+        adjective adjectives
         access accident accidents application applications average
         exercise exercises expert experts extra exit exits exile excellent
         influence influences income into instant instance industry
@@ -2317,6 +2371,11 @@ class G2P:
                 # geminate spelling = single onset (attack, appear),
                 # incl. geminate+liquid clusters (apprentice, attract,
                 # approve, aggressive, address)
+                return True
+            if run in ("cq", "dj"):
+                # spelling geminates of a single sound (acquire,
+                # acquaint, adjust, adjourn; "adjective" is in the
+                # exceptions list) — round-5 CV sweep
                 return True
             return run in cls._LEGAL_ONSETS
         for pfx in cls._UNSTRESSED_PREFIXES:

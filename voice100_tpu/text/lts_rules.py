@@ -51,6 +51,12 @@ RULES: Dict[str, List[Rule]] = {
         # word-initial asc- Latinate verbs reduce the prefix vowel
         # (ascend AH0 S EH1 N D, ascent) — round-5 CV sweep
         (" ", "ascen", "", "AX S EH1 N"),
+        (" ", "absorb", "", "AH0 B Z AO1 R B"),
+        (" ", "adjourn", "", "AH0 JH ER1 N"),
+        # reduced -ately adverbs (deliberately, fortunately,
+        # immediately); lately/stately keep EY via the left-vowel
+        # requirement
+        ("#:^", "ately", " ", "AX T L IY0"),
         # acoustic family stresses the long U (AH0 K UW1 S T IH0 K)
         (" ", "acoust", "", "AX K UW1 S T"),
         # activity keeps the full front A (AE0 K T IH1 V AH0 T IY0);
@@ -403,6 +409,9 @@ RULES: Dict[str, List[Rule]] = {
         # nodule) — round-5 CV sweep
         ("", "dule", " ", "JH UW0 L"),
         ("", "dules", " ", "JH UW0 L Z"),
+        # ad- before j is a spelling geminate of one JH (adjust
+        # AH0 JH AH1 S T, adjacent, adjourn, adjective)
+        ("a", "dj", "", "JH"),
         (" ", "digit", "", "D IH1 JH AH0 T"),
         # the furniture drawer contracts to one syllable —
         # thirtieth probe band
@@ -482,6 +491,9 @@ RULES: Dict[str, List[Rule]] = {
         # regul- keeps the full EH (regulator R EH1 G Y AH0 L EY2 T,
         # regulate, regular)
         (" r", "egul", "", "EH1 G Y AX L"),
+        # -ecise keeps the long I with final-root stress (precise,
+        # precisely, imprecise)
+        ("r", "ecise", "", "IH0 S AY1 S"),
         ("", "ectoral", "", "EH1 K T ER0 AX L"),
         # pre-empts the "eri" digraph (peripheral P ER0 IH1 F ER0...)
         ("", "eripheral", "", "ER0 IH1 F ER0 AX L"),
@@ -877,6 +889,8 @@ RULES: Dict[str, List[Rule]] = {
         (" ", "ideolog", "", "AY2 D IY0 AA1 L AX JH"),
         # Greek dino- keeps the long I (dinosaur)
         (" d", "ino", "", "AY N AH0"),
+        # finish keeps the short I against the magic-e-like -ish read
+        ("f", "inish", "", "IH1 N IH0 SH"),
         # hiatus i before the -ator suffix (radiator
         # R EY1 D IY0 EY2 T ER0, aviator, gladiator)
         ("", "i", "ato", "IY0"),
@@ -1208,6 +1222,8 @@ RULES: Dict[str, List[Rule]] = {
         ("ou", "ntain", " ", "N T AX N"),
         ("ou", "ntains", " ", "N T AX N Z"),
         ("lo", "ngitude", " ", "N JH AX T UW2 D"),
+        # -neath keeps the long E (beneath B IH0 N IY1 TH, underneath)
+        ("", "neath", " ", "N IY1 TH"),
         # word-final -nge is the soft N JH (hinge, plunge, orange,
         # challenge, fringe); mid-word nge (angel, anger) unaffected —
         # fortieth probe band (band H)
@@ -1285,12 +1301,18 @@ RULES: Dict[str, List[Rule]] = {
         ("c", "ose", " ", "OW0 S"),
         # frost family is the AO of lost/cost, not the OW of most
         ("fr", "o", "st", "AO"),
+        # -ourish verbs are the ER of courage's family (nourish
+        # N ER1 IH0 SH, flourish, nourishment)
+        ("", "ourish", "", "ER1 IH0 SH"),
         # wool is the lone UH among the UW -ool words
         (" w", "ool", " ", "UH1 L"),
         # Latin -onus/-ocus keep the long O (bonus B OW1 N AH0 S, onus,
         # focus, locus, crocus)
         ("", "onus", " ", "OW1 N AX S"),
         ("", "ocus", "", "OW1 K AX S"),
+        # forecast's silent e (the fore- prefix machinery blocks the
+        # "cast" root so the whole word reaches the rules)
+        ("f", "orecast", "", "AO1 R K AE2 S T"),
         (" ", "octop", "", "AA1 K T AX P"),
         ("", "onquer", "", "AA1 NG K ER0"),
         ("", "ocity", " ", "AA1 S AX T IY0"),
@@ -1647,6 +1669,7 @@ RULES: Dict[str, List[Rule]] = {
         ("", "saurus", " ", "S AO1 R AX S"),
         ("", "saur", " ", "S AO2 R"),
         ("", "saurs", " ", "S AO2 R Z"),
+        ("", "scarce", "", "S K EH1 R S"),
         # Norwegian loan "ski" keeps the long I in all its forms; the
         # bare-grapheme rules below would read the magic-e pattern
         (" ", "ski", " ", "S K IY1"),
@@ -1848,6 +1871,8 @@ RULES: Dict[str, List[Rule]] = {
         # -ulent adjectives glide and reduce (turbulent
         # T ER1 B Y AH0 L AH0 N T, opulent, succulent)
         ("", "ulent", " ", "Y AX L AX N T"),
+        # punish is the lone short-u -unish (P AH1 N IH0 SH)
+        ("p", "unish", "", "AH1 N IH0 SH"),
         # final -ula nominals glide and reduce (formula
         # F AO1 R M Y AH0 L AH0, nebula); s-stems skip the glide
         # (peninsula via its insula rule); -ulator agents keep the
