@@ -53,6 +53,9 @@ RULES: Dict[str, List[Rule]] = {
         (" ", "ascen", "", "AX S EH1 N"),
         (" ", "absorb", "", "AH0 B Z AO1 R B"),
         (" ", "adjourn", "", "AH0 JH ER1 N"),
+        # voiceless medial s in -asin (moccasin M AA1 K AH0 S AH0 N)
+        ("c", "asin", " ", "AX S AX N"),
+        ("", "aprika", "", "AE0 P R IY1 K AH0"),
         # reduced -ately adverbs (deliberately, fortunately,
         # immediately); lately/stately keep EY via the left-vowel
         # requirement
@@ -97,6 +100,8 @@ RULES: Dict[str, List[Rule]] = {
         ("rr", "ators", " ", "EY2 T ER0 Z"),
         ("sl", "ator", " ", "EY2 T ER0"),
         ("sl", "ators", " ", "EY2 T ER0 Z"),
+        # alcove pre-empts the alc- hard-K family's vowel
+        ("", "alcove", "", "AE1 L K OW2 V"),
         # -adle keeps the long A (ladle, cradle); doubled saddle is
         # untouched — forty-first probe band (band I)
         ("", "adle", "", "EY D AX L"),
@@ -321,6 +326,16 @@ RULES: Dict[str, List[Rule]] = {
         ("", "b", "", "B"),
     ],
     "c": [
+        # Italian cch is a plain K (zucchini, gnocchi) — round-5 sweep
+        ("", "cch", "", "K"),
+        # Greek n+chol keeps the hard K (melancholy)
+        ("n", "chol", "", "K AA2 L"),
+        ("", "celer", "", "S EH1 L ER0"),
+        # final -cove keeps the long O (alcove AE1 L K OW2 V, cove);
+        # medial recover/discovery keep their AH via the boundary
+        ("", "cove", " ", "K OW1 V"),
+        ("", "coves", " ", "K OW1 V Z"),
+        (" ", "croissant", "", "K R AH0 S AA1 N T"),
         # stressed compl- keeps AA (compliment, complicated), unlike
         # reduced com- (complete, complain) — twenty-sixth probe band
         (" ", "compl", "i", "K AA M P L"),
@@ -412,6 +427,8 @@ RULES: Dict[str, List[Rule]] = {
         # ad- before j is a spelling geminate of one JH (adjust
         # AH0 JH AH1 S T, adjacent, adjourn, adjective)
         ("a", "dj", "", "JH"),
+        # denim pre-empts the de- prefix digraph
+        (" ", "denim", " ", "D EH1 N AX M"),
         (" ", "digit", "", "D IH1 JH AH0 T"),
         # the furniture drawer contracts to one syllable —
         # thirtieth probe band
@@ -494,6 +511,7 @@ RULES: Dict[str, List[Rule]] = {
         # -ecise keeps the long I with final-root stress (precise,
         # precisely, imprecise)
         ("r", "ecise", "", "IH0 S AY1 S"),
+        ("v", "eranda", "", "ER0 AE1 N D AH0"),
         ("", "ectoral", "", "EH1 K T ER0 AX L"),
         # pre-empts the "eri" digraph (peripheral P ER0 IH1 F ER0...)
         ("", "eripheral", "", "ER0 IH1 F ER0 AX L"),
@@ -778,6 +796,9 @@ RULES: Dict[str, List[Rule]] = {
         # L AA1 N JH AH0 T UW2 D); "bargain" reduces its final
         ("", "gitude", " ", "JH AX T UW2 D"),
         ("ar", "gain", " ", "G AX N"),
+        # final -igan reduces (cardigan, hooligan, Michigan)
+        ("i", "gan", " ", "G AX N"),
+        ("i", "gans", " ", "G AX N Z"),
         # -geant/-geance keep the soft g with a reduced vowel
         # (sergeant S AA1 R JH AH0 N T, pageant, vengeance); any other
         # g before "ea" is hard (gear, geese via "ee") — round-5 CV
@@ -869,6 +890,10 @@ RULES: Dict[str, List[Rule]] = {
         ("v", "itation", "", "IH0 T EY1 SH AX N"),
         ("", "itation", "", "AX T EY1 SH AX N"),
         ("", "illation", "", "AX L EY1 SH AX N"),
+        # single-l -ilation after a syllable reduces too (ventilation,
+        # compilation); word-initial dilation keeps its long I via the
+        # left-vowel requirement
+        ("#:^", "ilation", "", "AX L EY1 SH AX N"),
         # ... and the verb forms (-inate/-inating keep a secondary on
         # the -ate; germinate JH ER1 M AH0 N EY2 T, pollinate)
         ("#:^", "inate", "", "AX N EY2 T"),
@@ -1313,6 +1338,10 @@ RULES: Dict[str, List[Rule]] = {
         # forecast's silent e (the fore- prefix machinery blocks the
         # "cast" root so the whole word reaches the rules)
         ("f", "orecast", "", "AO1 R K AE2 S T"),
+        (" ", "omelet", "", "AA1 M L AH0 T"),
+        (" ", "oregano", "", "ER0 EH1 G AH0 N OW2"),
+        ("m", "olasses", "", "AH0 L AE1 S IH0 Z"),
+        ("", "orridor", "", "AO1 R AX D AO2 R"),
         (" ", "octop", "", "AA1 K T AX P"),
         ("", "onquer", "", "AA1 NG K ER0"),
         ("", "ocity", " ", "AA1 S AX T IY0"),
@@ -1542,6 +1571,10 @@ RULES: Dict[str, List[Rule]] = {
         # -ptcy: the t is silent (bankruptcy B AE1 NG K R AH0 P S IY0)
         # — thirty-sixth probe band (band B)
         ("", "ptcy", " ", "P S IY0"),
+        # Greek -phoria (euphoria Y UW0 F AO1 R IY0 AH0)
+        ("", "phoria", " ", "F AO1 R IY0 AH0"),
+        (" ", "pajamas", "", "P AH0 JH AA1 M AH0 Z"),
+        (" ", "pajama", "", "P AH0 JH AA1 M AH0"),
         # noun-default protest keeps the long O with full second
         # syllable — thirty-first probe band
         (" ", "protest", "", "P R OW1 T EH2 S T"),
@@ -1670,6 +1703,11 @@ RULES: Dict[str, List[Rule]] = {
         ("", "saur", " ", "S AO2 R"),
         ("", "saurs", " ", "S AO2 R Z"),
         ("", "scarce", "", "S K EH1 R S"),
+        # -sley keeps the cluster (parsley P AA1 R S L IY0, paisley)
+        ("", "sley", " ", "S L IY0"),
+        ("", "stalgia", "", "S T AE1 L JH AH0"),
+        # voiceless s in -stasy (ecstasy EH1 K S T AH0 S IY0)
+        ("", "stasy", " ", "S T AX S IY0"),
         # Norwegian loan "ski" keeps the long I in all its forms; the
         # bare-grapheme rules below would read the magic-e pattern
         (" ", "ski", " ", "S K IY1"),
@@ -1748,6 +1786,10 @@ RULES: Dict[str, List[Rule]] = {
     "t": [
         # -tula palatalizes (spatula S P AE1 CH AH0 L AH0, tarantula)
         ("", "tula", " ", "CH AX L AH0"),
+        # initial therm- is the voiceless Greek root (thermostat,
+        # thermal, thermometer) against the voiced there/then family
+        (" ", "therm", "", "TH ER M"),
+        ("", "tasy", " ", "T AX S IY0"),
         # tz devoices to T S (quartz, waltz, blitz) — thirty-ninth
         # probe band (band G)
         ("", "tz", "", "T S"),
@@ -1873,6 +1915,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "ulent", " ", "Y AX L AX N T"),
         # punish is the lone short-u -unish (P AH1 N IH0 SH)
         ("p", "unish", "", "AH1 N IH0 SH"),
+        # -ulation nominals glide except after s (calculation vs
+        # insulation IH2 N S AH0 L EY1 SH AH0 N)
+        ("s", "ulation", "", "AX L EY1 SH AX N"),
+        ("", "ulation", "", "Y AX L EY1 SH AX N"),
+        ("z", "ucchini", "", "UW0 K IY1 N IY0"),
+        ("t", "uxedo", "", "AH0 K S IY1 D OW0"),
         # final -ula nominals glide and reduce (formula
         # F AO1 R M Y AH0 L AH0, nebula); s-stems skip the glide
         # (peninsula via its insula rule); -ulator agents keep the
