@@ -80,6 +80,10 @@ RULES: Dict[str, List[Rule]] = {
         # Latin -aurus keeps the AO diphthong value (thesaurus
         # TH AH0 S AO1 R AH0 S, tyrannosaurus)
         ("", "aurus", " ", "AO1 R AX S"),
+        # Latin -andum nominals stress the suffix (memorandum)
+        ("", "andum", " ", "AE1 N D AX M"),
+        ("n", "asium", " ", "EY1 Z IY0 AX M"),
+        ("t", "aphor", "", "AX F AO2 R"),
         ("", "athedral", "", "AX TH IY1 D R AX L"),
         (" ", "apparat", "", "AE2 P ER0 AE1 T"),
         (" ", "asparag", "", "AX S P EH1 R AX G"),
@@ -331,6 +335,7 @@ RULES: Dict[str, List[Rule]] = {
         # Greek n+chol keeps the hard K (melancholy)
         ("n", "chol", "", "K AA2 L"),
         ("", "celer", "", "S EH1 L ER0"),
+        (" ", "connoisseur", "", "K AA2 N AH0 S ER1"),
         # final -cove keeps the long O (alcove AE1 L K OW2 V, cove);
         # medial recover/discovery keep their AH via the boundary
         ("", "cove", " ", "K OW1 V"),
@@ -429,6 +434,8 @@ RULES: Dict[str, List[Rule]] = {
         ("a", "dj", "", "JH"),
         # denim pre-empts the de- prefix digraph
         (" ", "denim", " ", "D EH1 N AX M"),
+        # n+dulum palatalizes (pendulum P EH1 N JH AH0 L AH0 M)
+        ("n", "dulum", " ", "JH AX L AX M"),
         (" ", "digit", "", "D IH1 JH AH0 T"),
         # the furniture drawer contracts to one syllable —
         # thirtieth probe band
@@ -515,6 +522,15 @@ RULES: Dict[str, List[Rule]] = {
         ("", "ectoral", "", "EH1 K T ER0 AX L"),
         # pre-empts the "eri" digraph (peripheral P ER0 IH1 F ER0...)
         ("", "eripheral", "", "ER0 IH1 F ER0 AX L"),
+        # Greek -enomen stems (phenomena F AH0 N AA1 M AH0 N AH0)
+        ("", "enomen", "", "AX N AA1 M AX N"),
+        ("", "erendum", "", "ER0 EH1 N D AX M"),
+        ("", "eaucracy", "", "AA1 K R AX S IY0"),
+        (" ", "entrepreneur", "", "AA2 N T R AH0 P R AH0 N ER1"),
+        # French -oire/-oir keep the W (repertoire, reservoir)
+        ("", "ertoire", "", "ER0 T W AA2 R"),
+        ("", "ervoir", " ", "ER0 V W AA2 R"),
+        ("rh", "etoric", "", "EH1 T ER0 IH0 K"),
         # French -elain reduces (porcelain P AO1 R S AH0 L AH0 N)
         ("", "elain", " ", "AX L AX N"),
         # unstressed -eled participles (beveled, modeled, labeled,
@@ -816,6 +832,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "g", "", "G"),
     ],
     "h": [
+        # silent h in French -lhouette (silhouette S IH2 L UW0 EH1 T)
+        ("l", "houette", "", "UW0 EH1 T"),
+        # heredity family pre-empts the "here" adverb's long E
+        (" ", "heredit", "", "HH ER0 EH1 D AX T"),
         # Greek hydr- keeps the long I (hydrogen, hydrant, hydraulic)
         # — thirty-sixth probe band (band B)
         ("", "hydr", "", "HH AY D R"),
@@ -919,6 +939,15 @@ RULES: Dict[str, List[Rule]] = {
         # hiatus i before the -ator suffix (radiator
         # R EY1 D IY0 EY2 T ER0, aviator, gladiator)
         ("", "i", "ato", "IY0"),
+        ("", "ilemma", "", "AX L EH1 M AH0"),
+        ("", "imatum", " ", "AX M EY1 T AX M"),
+        ("", "itiative", "", "IH1 SH AX T IH0 V"),
+        # hier- keeps the long I hiatus (hierarchy HH AY1 ER0 AA2 R K)
+        ("", "ierarch", "", "AY ER0 AA2 R K"),
+        # Greek -iatry/-iatrist stress the long I (psychiatry
+        # S AH0 K AY1 AH0 T R IY0, podiatry)
+        ("", "iatry", " ", "AY1 AX T R IY0"),
+        ("", "iatrist", "", "AY1 AX T R IH0 S T"),
         # -inous/-imous adjectives reduce both suffix vowels (ominous
         # AA1 M AH0 N AH0 S, luminous, unanimous)
         ("", "inous", " ", "AX N AX S"),
@@ -1140,6 +1169,7 @@ RULES: Dict[str, List[Rule]] = {
     ],
 
     "l": [
+        (" ", "liaison", "", "L IY0 EY1 Z AA2 N"),
         # -ease S-exceptions: lease/release (please keeps the voiced
         # default via its 'p' left context) — twenty-third probe band
         (" ", "lease", "", "L IY S"),
@@ -1339,6 +1369,10 @@ RULES: Dict[str, List[Rule]] = {
         # "cast" root so the whole word reaches the rules)
         ("f", "orecast", "", "AO1 R K AE2 S T"),
         (" ", "omelet", "", "AA1 M L AH0 T"),
+        ("n", "omaly", "", "AA1 M AX L IY0"),
+        ("", "omentum", "", "OW0 M EH1 N T AX M"),
+        ("", "osium", " ", "OW1 Z IY0 AX M"),
+        ("", "ouflage", "", "AH0 F L AA2 ZH"),
         (" ", "oregano", "", "ER0 EH1 G AH0 N OW2"),
         ("m", "olasses", "", "AH0 L AE1 S IH0 Z"),
         ("", "orridor", "", "AO1 R AX D AO2 R"),
@@ -1623,6 +1657,8 @@ RULES: Dict[str, List[Rule]] = {
         ("", "p", "", "P"),
     ],
     "q": [
+        # -quarium keeps the front EH (aquarium AH0 K W EH1 R IY0 AH0 M)
+        ("", "quarium", "", "K W EH1 R IY0 AX M"),
         (" ", "queue", " ", "K Y UW1"),
         (" ", "quiche", "", "K IY1 SH"),
         # French loan ending (bouquet; banquet keeps K W AX T)
@@ -1634,6 +1670,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "q", "", "K"),
     ],
     "r": [
+        ("c", "riterion", "", "R AY0 T IH1 R IY0 AX N"),
+        ("c", "riteria", "", "R AY0 T IH1 R IY0 AH0"),
+        # -ranean Latinates (subterranean, mediterranean)
+        ("", "ranean", " ", "R EY1 N IY0 AX N"),
         (" ", "refugee", "", "R EH2 F Y UW0 JH IY1"),
         (" ", "recommend", "", "R EH2 K AH0 M EH1 N D"),
         (" ", "responsibilit", "", "R IH0 S P AA2 N S AH0 B IH1 L AH0 T"),
@@ -1789,6 +1829,8 @@ RULES: Dict[str, List[Rule]] = {
         # initial therm- is the voiceless Greek root (thermostat,
         # thermal, thermometer) against the voiced there/then family
         (" ", "therm", "", "TH ER M"),
+        # -torium halls stress the suffix O (auditorium)
+        ("", "torium", " ", "T AO1 R IY0 AX M"),
         ("", "tasy", " ", "T AX S IY0"),
         # tz devoices to T S (quartz, waltz, blitz) — thirty-ninth
         # probe band (band G)
@@ -1921,6 +1963,7 @@ RULES: Dict[str, List[Rule]] = {
         ("", "ulation", "", "Y AX L EY1 SH AX N"),
         ("z", "ucchini", "", "UW0 K IY1 N IY0"),
         ("t", "uxedo", "", "AH0 K S IY1 D OW0"),
+        ("c", "ulin", "ar", "AH1 L AX N"),
         # final -ula nominals glide and reduce (formula
         # F AO1 R M Y AH0 L AH0, nebula); s-stems skip the glide
         # (peninsula via its insula rule); -ulator agents keep the
