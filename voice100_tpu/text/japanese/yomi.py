@@ -172,6 +172,12 @@ class LexiconReader:
                         rep = "ワ" if run[k] == "は" else "エ"
                         yomi = yomi[:k] + rep + yomi[k + 1:]
                         break
+                # は directly after て/で is the topic particle even
+                # mid-run (走ってはいけません, それではまた,
+                # 食べてはだめ) — round-5 J9 sweep
+                for j in range(1, len(run)):
+                    if run[j] == "は" and run[j - 1] in "てで":
+                        yomi = yomi[:j] + "ワ" + yomi[j + 1:]
                 out.append((run, yomi))
                 i = m.end()
                 continue
