@@ -1598,6 +1598,33 @@ _LEXICON: Dict[str, str] = {
     "vigorous": "V IH1 G ER0 AH0 S",
     "voltage": "V OW1 L T AH0 JH",
     "wreckage": "R EH1 K AH0 JH",
+    # forty-fourth probe band (band L): geology, textiles, law
+    # enforcement, photography — lexical irregulars the rules cannot
+    # derive (French/Latin loans, silent letters, reshaped stress)
+    "aperture": "AE1 P ER0 CH ER0",
+    "apron": "EY1 P R AH0 N",
+    "bailiff": "B EY1 L AH0 F",
+    "basalt": "B AH0 S AO1 L T",
+    "basil": "B AE1 Z AH0 L",
+    "chiffon": "SH IH0 F AA1 N",
+    "contrast": "K AA1 N T R AE0 S T",
+    "corduroy": "K AO1 R D ER0 OY2",
+    "demeanor": "D IH0 M IY1 N ER0",
+    "deputy": "D EH1 P Y AH0 T IY0",
+    "geyser": "G AY1 Z ER0",
+    "linen": "L IH1 N AH0 N",
+    "misdemeanor": "M IH2 S D IH0 M IY1 N ER0",
+    "mishap": "M IH1 S HH AE2 P",
+    "parole": "P ER0 OW1 L",
+    "precinct": "P R IY1 S IH2 NG K T",
+    "probation": "P R OW0 B EY1 SH AH0 N",
+    "pumice": "P AH1 M AH0 S",
+    "sheriff": "SH EH1 R AH0 F",
+    "subpoena": "S AH0 P IY1 N AH0",
+    "surveillance": "S ER0 V EY1 L AH0 N S",
+    "tectonic": "T EH0 K T AA1 N IH0 K",
+    "tripod": "T R AY1 P AA2 D",
+    "woolen": "W UH1 L AH0 N",
 }
 
 _UNITS = "zero one two three four five six seven eight nine".split()
@@ -1670,6 +1697,7 @@ _COMPOUND_PARTS = {
     "wheel": "W IY1 L", "chair": "CH EH1 R", "front": "F R AH1 N T",
     "field": "F IY1 L D", "house": "HH AW1 S", "horse": "HH AO1 R S",
     "bird": "B ER1 D", "sail": "S EY1 L", "boat": "B OW1 T",
+    "cuff": "K AH1 F", "finder": "F AY1 N D ER0", "view": "V Y UW1",
     # roots for the stress-neutral prefixes (entangle, enrich,
     # forgive, forsake)
     "act": "AE1 K T", "rich": "R IH1 CH", "list": "L IH1 S T",
@@ -1746,6 +1774,13 @@ _NEUTRAL_PREFIXES = (
      frozenset({"it", "its", "ber", "bers", "pire", "pires", "blem",
                 "blems", "inent", "phasis", "peror", "perors",
                 "ail", "ails"})),
+    # mis- verbs keep the root's primary (mislead M IH0 S L IY1 D,
+    # misplace, mistrust); lexically reshaped forms are blocked
+    # (mission, missile via their non-word tails never split) —
+    # forty-fourth probe band (band L)
+    ("mis", "M IH0 S",
+     frozenset({"sing", "sings", "er", "ers", "chief", "tress",
+                "sive", "ery", "eries"})),
 )
 
 _WORD_RX = re.compile(r"[a-z']+|[0-9]+|[^\sa-z0-9']")

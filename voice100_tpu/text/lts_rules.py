@@ -43,6 +43,14 @@ Rule = Tuple[str, str, str, str]
 # apostrophe rules. Order within a bucket is significant.
 RULES: Dict[str, List[Rule]] = {
     "a": [
+        # final -ava loans read the broad A (lava L AA1 V AH0, java,
+        # guava, cassava) — forty-fourth probe band (band L)
+        ("", "ava", " ", "AA1 V AH0"),
+        ("", "avas", " ", "AA1 V AH0 Z"),
+        # dr + ama keeps the broad A too (drama D R AA1 M AH0,
+        # melodrama) — band L
+        ("dr", "ama", " ", "AA1 M AH0"),
+        ("dr", "amas", " ", "AA1 M AH0 Z"),
         # Greek -asm nominals carry a secondary on the suffix and an
         # epenthetic schwa before the M (sarcasm S AA1 R K AE2 Z AH0 M,
         # enthusiasm, spasm) — thirty-fifth probe band (band A)
@@ -484,6 +492,15 @@ RULES: Dict[str, List[Rule]] = {
         ("", "d", "", "D"),
     ],
     "e": [
+        # e in the open syllable before a -Cia(n/l) hiatus is long
+        # (median M IY1 D IY0 AH0 N, comedian, bohemian,
+        # encyclopedia) — forty-fourth probe band (band L)
+        ("", "e", "^ia", "IY"),
+        # unstressed -el after the K-S cluster of x reduces (pixel,
+        # megapixel M EH1 G AH0 P IH2 K S AH0 L); excel's stressed EH
+        # keeps its c left context — band L
+        ("x", "el", " ", "AX L"),
+        ("x", "els", " ", "AX L Z"),
         # -ency nominals destress the suffix so the stem takes primary
         # (decency D IY1 S AH0 N S IY0, frequency, tendency, currency);
         # the left vowel requirement keeps monosyllabic stems intact —
@@ -882,6 +899,22 @@ RULES: Dict[str, List[Rule]] = {
         ("l", "ions", " ", "Y AX N Z"),
         ("n", "ium", " ", "Y AX M"),
         ("n", "ius", " ", "Y AX S"),
+        # -ian hiatus parallels -ion/-ium (custodian
+        # K AH0 S T OW1 D IY0 AH0 N, guardian, meridian); the same n/l
+        # glide fusion applies (civilian S AH0 V IH1 L Y AH0 N), and
+        # s+ian palatalizes (asian EY1 ZH AH0 N, persian, parisian) —
+        # forty-fourth probe band (band L)
+        ("n", "ian", " ", "Y AX N"),
+        ("n", "ians", " ", "Y AX N Z"),
+        ("l", "ian", " ", "Y AX N"),
+        ("l", "ians", " ", "Y AX N Z"),
+        ("#:^", "ian", " ", "IY0 AX N"),
+        ("#:^", "ians", " ", "IY0 AX N Z"),
+        # final -ia hiatus (media M IY1 D IY0 AH0, india, trivia,
+        # encyclopedia); s+ia palatalizes in the s bucket (asia,
+        # amnesia) — band L
+        ("#:^", "ia", " ", "IY0 AH0"),
+        ("#:^", "ias", " ", "IY0 AH0 Z"),
         ("#:^", "ion", " ", "IY0 AX N"),
         ("#:^", "ions", " ", "IY0 AX N Z"),
         ("#:^", "ium", " ", "IY0 AX M"),
@@ -1117,6 +1150,11 @@ RULES: Dict[str, List[Rule]] = {
         ("", "ien", "", "IY EH N"),
         ("", "ie", "t", "AY EH"),
         ("", "ie", "^%", "IY"),
+        # x spells the K-S cluster, so a preceding i is checked/short
+        # (pixel, mixer, vixen) — the magic-e heuristics below would
+        # otherwise read the single letter as an open syllable —
+        # forty-fourth probe band (band L)
+        ("", "i", "x", "IH"),
         (" :", "i", "%", "AY"),
         ("", "i", "%", "IY"),
         ("", "ie", "", "IY"),
@@ -1359,8 +1397,17 @@ RULES: Dict[str, List[Rule]] = {
         # -ourish verbs are the ER of courage's family (nourish
         # N ER1 IH0 SH, flourish, nourishment)
         ("", "ourish", "", "ER1 IH0 SH"),
-        # wool is the lone UH among the UW -ool words
-        (" w", "ool", " ", "UH1 L"),
+        # wool is the lone UH among the UW -ool words (and its
+        # derivatives woolen/woolly) — forty-fourth probe band (band L)
+        (" w", "ool", "", "UH1 L"),
+        # control-family verbs reduce the con- prefix and stress the
+        # final O (control K AH0 N T R OW1 L, controlling,
+        # uncontrollable) — band L
+        ("c", "ontrol", "", "AH0 N T R OW1 L"),
+        # -orama spectacle nouns stress the suffix with a secondary on
+        # the head (panorama P AE2 N ER0 AE1 M AH0, diorama) — band L
+        ("", "orama", " ", "ER0 AE1 M AH0"),
+        ("", "oramas", " ", "ER0 AE1 M AH0 Z"),
         # Latin -onus/-ocus keep the long O (bonus B OW1 N AH0 S, onus,
         # focus, locus, crocus)
         ("", "onus", " ", "OW1 N AX S"),
@@ -1706,6 +1753,25 @@ RULES: Dict[str, List[Rule]] = {
         ("", "r", "", "R"),
     ],
     "s": [
+        # double-s + ian palatalizes voiceless (russian R AH1 SH AH0 N,
+        # hessian, prussian) before the i-bucket's voiced s+ian rule
+        # (asian, persian) can see the second s as its left context —
+        # forty-fourth probe band (band L)
+        ("s", "sian", " ", "SH AX N"),
+        ("s", "sians", " ", "SH AX N Z"),
+        # ... single s + ian palatalizes voiced (asian EY1 ZH AH0 N,
+        # persian, parisian, caucasian)
+        ("", "sian", " ", "ZH AX N"),
+        ("", "sians", " ", "ZH AX N Z"),
+        # and the bare -sia hiatus does the same (asia EY1 ZH AH0,
+        # amnesia, anesthesia, malaysia), voiceless after double s
+        # (russia R AH1 SH AH0) — band L
+        ("s", "sia", " ", "SH AH0"),
+        ("", "sia", " ", "ZH AH0"),
+        # unstressed final -sil reduces (fossil F AA1 S AH0 L, tonsil,
+        # utensil) — band L
+        ("", "sil", " ", "S AX L"),
+        ("", "sils", " ", "S AX L Z"),
         # n + sure is the stressed SH UH R (insure, ensure, unsure) —
         # thirty-ninth probe band (band G)
         ("n", "sure", " ", "SH UH1 R"),
@@ -1824,6 +1890,14 @@ RULES: Dict[str, List[Rule]] = {
         ("", "s", "", "S"),
     ],
     "t": [
+        # -trol verbs stress the final O (patrol P AH0 T R OW1 L);
+        # petrol keeps its initial stress via the e left context
+        # falling through; control is the o-bucket "ontrol" rule —
+        # forty-fourth probe band (band L)
+        ("a", "trol", " ", "T R OW1 L"),
+        ("a", "trols", " ", "T R OW1 L Z"),
+        ("a", "trolled", " ", "T R OW1 L D"),
+        ("a", "trolling", " ", "T R OW1 L IH0 NG"),
         # -tula palatalizes (spatula S P AE1 CH AH0 L AH0, tarantula)
         ("", "tula", " ", "CH AX L AH0"),
         # initial therm- is the voiceless Greek root (thermostat,
