@@ -76,7 +76,8 @@ _GEMINATING = {"回": "カイ", "個": "コ", "本": "ホン", "匹": "ヒキ",
                "足": "ソク"}
 _PLAIN = {"年": "ネン", "円": "エン", "番": "バン", "枚": "マイ",
           "台": "ダイ", "度": "ド", "点": "テン", "名": "メイ",
-          "語": "ゴ", "件": "ケン", "倍": "バイ", "歩": "ホ"}
+          "語": "ゴ", "件": "ケン", "倍": "バイ", "歩": "ホ",
+          "割": "ワリ"}
 
 COUNTERS = set(_GEMINATING) | set(_PLAIN) | {"月", "日", "時", "人"}
 

@@ -54,6 +54,12 @@ _NP_KEEP = {"ヒャク", "ホク", "ホン"}
 # keep their kun stems.
 _PARTICLE_HEADS = set("はをがのでともへやかだねよに")
 
+# two-character particles that mark the preceding multi-kanji run as a
+# noun just like the single-char heads above (月末まで = ゲツマツ, not
+# a スエ verb stem). から is deliberately absent: 分からない would
+# misread (から there is okurigana of the negative stem).
+_PARTICLE_PAIRS = ("まで", "など", "だけ", "しか", "より", "こそ")
+
 # numeral and prefix kanji that read ON before a katakana loanword
 _ON_PREFIX_KANJI = set("一二三四五六七八九十百千万新超大全各約元非再最")
 
@@ -155,6 +161,17 @@ class LexiconReader:
                     # は opening a hiragana run right after a read word
                     # is (almost always) the topic particle: ワ
                     yomi = "ワ" + hira2kata(run[1:])
+                elif (
+                    run.startswith("へ") and out and out[-1][1]
+                    and (len(run) == 1 or run[1] in "のはもと")
+                ):
+                    # へ opening a run after a read word is the
+                    # directional particle when a particle continuation
+                    # follows (問題への, 駅へは, 海へと); content words
+                    # like へた/へや are excluded by the continuation set
+                    yomi = "エ" + hira2kata(run[1:])
+                    if len(run) >= 2 and run[1] == "は":
+                        yomi = "エワ" + hira2kata(run[2:])
                 elif len(run) >= 2 and run.endswith("は"):
                     # ... as is a run-final は before kanji/punctuation
                     # (子供たちは公園で, それでは。)
@@ -339,6 +356,11 @@ class LexiconReader:
                 pos == end - 1
                 and _HIRA_RX.match(text, end) is not None
                 and text[end] not in _PARTICLE_HEADS
+                and text[end:end + 2] not in _PARTICLE_PAIRS
+                # a multi-kanji run after the honorific prefix ご is a
+                # Sino noun (ご利用いただき = リヨウ, ご案内 = アンナイ)
+                # even when keigo auxiliaries follow in hiragana
+                and not (pos > seg_start and i > 0 and text[i - 1] == "ご")
                 # a multi-kanji segment before し/さ/せ is almost
                 # always a suru-noun (発表します, 調査され, 開催せず),
                 # one before な a na-adjective (深刻な), and one before
