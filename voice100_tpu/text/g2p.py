@@ -1598,6 +1598,35 @@ _LEXICON: Dict[str, str] = {
     "vigorous": "V IH1 G ER0 AH0 S",
     "voltage": "V OW1 L T AH0 JH",
     "wreckage": "R EH1 K AH0 JH",
+    # forty-fifth probe band (band M): maritime, finance, astronomy,
+    # textiles — lexical irregulars behind the band's new rule
+    # families (-ngham, -charg-, upholst-, embroid-, amortiz-)
+    "amortize": "AE1 M ER0 T AY2 Z",
+    "arbitrage": "AA1 R B AH0 T R AA2 ZH",
+    "ballast": "B AE1 L AH0 S T",
+    "bowsprit": "B AW1 S P R IH2 T",
+    "brocade": "B R OW0 K EY1 D",
+    "capstan": "K AE1 P S T AH0 N",
+    "chenille": "SH AH0 N IY1 L",
+    "escrow": "EH1 S K R OW0",
+    "fiduciary": "F AH0 D UW1 SH IY0 EH2 R IY0",
+    "galleon": "G AE1 L IY0 AH0 N",
+    "gingham": "G IH1 NG AH0 M",
+    "herringbone": "HH EH1 R IH0 NG B OW2 N",
+    "liquidity": "L IH0 K W IH1 D AH0 T IY0",
+    "luminosity": "L UW2 M AH0 N AA1 S AH0 T IY0",
+    "maritime": "M EH1 R AH0 T AY2 M",
+    "occultation": "AA2 K AH0 L T EY1 SH AH0 N",
+    "paisley": "P EY1 Z L IY0",
+    "parallax": "P EH1 R AH0 L AE2 K S",
+    "perihelion": "P EH2 R AH0 HH IY1 L IY0 AH0 N",
+    "presley": "P R EH1 Z L IY0",
+    "regatta": "R AH0 G AA1 T AH0",
+    "sidereal": "S AY0 D IH1 R IY0 AH0 L",
+    "solvency": "S AA1 L V AH0 N S IY0",
+    "surcharge": "S ER1 CH AA2 R JH",
+    "taffeta": "T AE1 F AH0 T AH0",
+    "upholstery": "AH0 P OW1 L S T ER0 IY0",
     # forty-fourth probe band (band L): geology, textiles, law
     # enforcement, photography — lexical irregulars the rules cannot
     # derive (French/Latin loans, silent letters, reshaped stress)

@@ -43,6 +43,13 @@ Rule = Tuple[str, str, str, str]
 # apostrophe rules. Order within a bucket is significant.
 RULES: Dict[str, List[Rule]] = {
     "a": [
+        # amortize family stresses the initial A (AE1 M ER0 T AY2 Z)
+        # against the about-style schwa prefix — band M
+        (" ", "amortiz", "", "AE1 M ER0 T AY2 Z"),
+        # Italian -atta loans read the broad A (regatta
+        # R AH0 G AA1 T AH0) like the -ava family below — band M
+        ("", "atta", " ", "AA1 T AH0"),
+        ("", "attas", " ", "AA1 T AH0 Z"),
         # final -ava loans read the broad A (lava L AA1 V AH0, java,
         # guava, cassava) — forty-fourth probe band (band L)
         ("", "ava", " ", "AA1 V AH0"),
@@ -338,6 +345,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "b", "", "B"),
     ],
     "c": [
+        # -charge compounds keep the full verb root (discharge,
+        # recharge, surcharge, overcharge) — forty-fifth probe band
+        # (band M); bare "charge" keeps its primary via the
+        # word-initial rule
+        (" ", "charg", "", "CH AA1 R JH"),
+        ("", "charg", "", "CH AA2 R JH"),
         # Italian cch is a plain K (zucchini, gnocchi) — round-5 sweep
         ("", "cch", "", "K"),
         # Greek n+chol keeps the hard K (melancholy)
@@ -492,6 +505,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "d", "", "D"),
     ],
     "e": [
+        # embroider family keeps the em- prefix unstressed with the
+        # diphthong primary (embroidery EH0 M B R OY1 D ER0 IY0) —
+        # band M
+        (" ", "embroid", "", "EH0 M B R OY1 D"),
         # e in the open syllable before a -Cia(n/l) hiatus is long
         # (median M IY1 D IY0 AH0 N, comedian, bohemian,
         # encyclopedia) — forty-fourth probe band (band L)
@@ -1309,6 +1326,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "m", "", "M"),
     ],
     "n": [
+        # silent h in the -ngham place/fabric family (gingham,
+        # Birmingham, Nottingham, Buckingham) — band M
+        ("", "ngham", "", "NG AX M"),
         # -ntain reduces after the ou of mountain/fountain (verbs like
         # maintain/contain never carry that left context); integral
         # front-stresses — round-5 CV sweep
@@ -1976,6 +1996,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "t", "", "T"),
     ],
     "u": [
+        # upholster family: silent-ish ph boundary reads P, stressed
+        # long o (upholstery AH0 P OW1 L S T ER0 IY0) — band M
+        (" ", "upholst", "", "AH0 P OW1 L S T"),
         # -ular adjectives palatalize the u and reduce (circular
         # S ER1 K Y AH0 L ER0, molecular, muscular); stress lands on
         # the preceding syllable via the _PENULT_STRESS entry —
