@@ -1598,6 +1598,49 @@ _LEXICON: Dict[str, str] = {
     "vigorous": "V IH1 G ER0 AH0 S",
     "voltage": "V OW1 L T AH0 JH",
     "wreckage": "R EH1 K AH0 JH",
+    # forty-sixth probe band (band N): medicine, theater, insects,
+    # baking — plus the bare roots (turn, hang, shorten) whose absence
+    # broke compound/suffix splitting (turnover, hangover, shortening)
+    "antiseptic": "AE2 N T AH0 S EH1 P T IH0 K",
+    "audition": "AO0 D IH1 SH AH0 N",
+    "capsule": "K AE1 P S AH0 L",
+    "caterpillar": "K AE1 T ER0 P IH2 L ER0",
+    "centipede": "S EH1 N T AH0 P IY2 D",
+    "chrysalis": "K R IH1 S AH0 L IH0 S",
+    "cicada": "S IH0 K EY1 D AH0",
+    "cinnamon": "S IH1 N AH0 M AH0 N",
+    "dosage": "D OW1 S IH0 JH",
+    "dragonfly": "D R AE1 G AH0 N F L AY2",
+    "ganache": "G AH0 N AA1 SH",
+    "gauze": "G AO1 Z",
+    "hang": "HH AE1 NG",
+    "hornet": "HH AO1 R N IH0 T",
+    "inhaler": "IH0 N HH EY1 L ER0",
+    "intermission": "IH2 N T ER0 M IH1 SH AH0 N",
+    "knead": "N IY1 D",
+    "larvae": "L AA1 R V IY0",
+    "lozenge": "L AA1 Z AH0 N JH",
+    "marquee": "M AA0 R K IY1",
+    "matinee": "M AE2 T AH0 N EY1",
+    "meringue": "M ER0 AE1 NG",
+    "molasses": "M AH0 L AE1 S IH0 Z",
+    "ointment": "OY1 N T M AH0 N T",
+    "praline": "P R AA1 L IY0 N",
+    "premiere": "P R IH0 M IH1 R",
+    "salve": "S AE1 V",
+    "scenery": "S IY1 N ER0 IY0",
+    "shorten": "SH AO1 R T AH0 N",
+    "soliloquy": "S AH0 L IH1 L AH0 K W IY0",
+    "sourdough": "S AW1 R D OW2",
+    "syringe": "S ER0 IH1 N JH",
+    "tarantula": "T ER0 AE1 N CH AH0 L AH0",
+    "tourniquet": "T ER1 N IH0 K IH0 T",
+    "turn": "T ER1 N",
+    "turnover": "T ER1 N OW2 V ER0",
+    "understudy": "AH1 N D ER0 S T AH2 D IY0",
+    "usher": "AH1 SH ER0",
+    "weevil": "W IY1 V AH0 L",
+    "yeast": "Y IY1 S T",
     # forty-fifth probe band (band M): maritime, finance, astronomy,
     # textiles — lexical irregulars behind the band's new rule
     # families (-ngham, -charg-, upholst-, embroid-, amortiz-)
@@ -2740,6 +2783,10 @@ class G2P:
                 and i != last_keep
                 and abs(k - prim_syl) == 1
                 and not (protect_first and k == 0)
+                # word-initial spelled "au" keeps its AO quality when
+                # pretonic (audacity AO0 D AE1 S..., austere, audition)
+                # — band-N analysis, round 5
+                and not (k == 0 and word.startswith("au"))
                 # open_only (rule-pinned words): the vowel's syllable
                 # must be open under onset maximization — the whole
                 # consonant cluster before the next vowel syllabifies

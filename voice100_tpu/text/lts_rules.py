@@ -789,6 +789,11 @@ RULES: Dict[str, List[Rule]] = {
         ("", "e", "", "EH"),
     ],
     "f": [
+        # -fly insect/compound finals keep the diphthong (dragonfly,
+        # butterfly, mayfly); -ly adverbs (briefly, chiefly) are
+        # excluded by the consonant/ay left contexts — band N
+        ("^", "fly", " ", "F L AY2"),
+        ("ay", "fly", " ", "F L AY2"),
         # -ficient adjectives palatalize and take penult stress
         # (efficient IH0 F IH1 SH AH0 N T, sufficient, proficient;
         # the ff of efficient degeminates in the post-pass)
@@ -898,6 +903,11 @@ RULES: Dict[str, List[Rule]] = {
         ("", "h", "", ""),
     ],
     "i": [
+        # monosyllabic y-stem plurals/verbs read the diphthong (flies,
+        # tries, skies F L AY1 Z); polysyllables (babies, cities) have
+        # a vowel before the onset so the boundary+consonants context
+        # excludes them — band N
+        (" :", "ies", " ", "AY1 Z"),
         # -ism nominals: secondary on the suffix + epenthetic schwa
         # (tourism T UH1 R IH2 Z AH0 M, criticism, organism); the left
         # context requires an earlier vowel so prism/schism keep their
@@ -1737,6 +1747,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "q", "", "K"),
     ],
     "r": [
+        # firefly: fire+fly keeps the compound diphthong; briefly has
+        # no contiguous "refly" so adverbs are untouched — band N
+        ("", "refly", " ", "R F L AY2"),
         ("c", "riterion", "", "R AY0 T IH1 R IY0 AX N"),
         ("c", "riteria", "", "R AY0 T IH1 R IY0 AH0"),
         # -ranean Latinates (subterranean, mediterranean)
@@ -1773,6 +1786,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "r", "", "R"),
     ],
     "s": [
+        # horsefly-style compounds: silent linking e before the -fly
+        # element (horsefly HH AO1 R S F L AY2) — band N
+        ("", "sefly", " ", "S F L AY2"),
         # double-s + ian palatalizes voiceless (russian R AH1 SH AH0 N,
         # hessian, prussian) before the i-bucket's voiced s+ian rule
         # (asian, persian) can see the second s as its left context —
