@@ -338,7 +338,8 @@ def test_common_word_probe():
         ("pacific", "P AH0 S IH1 F IH0 K"),
         ("antarctica", "AE0 N T AA1 R K T IH0 K AH0"),
         # round-3 twentieth probe band (communication/cooking)
-        ("description", "D AH0 S K R IH1 P SH AH0 N"),
+        # de- prefix reduces to IH0 (CMUdict convention) — band O
+        ("description", "D IH0 S K R IH1 P SH AH0 N"),
         ("explanation", "EH2 K S P L AH0 N EY1 SH AH0 N"),
         ("suggestion", "S AH0 G JH EH1 S CH AH0 N"),
         ("invitation", "IH2 N V IH0 T EY1 SH AH0 N"),

@@ -1603,6 +1603,10 @@ _LEXICON: Dict[str, str] = {
     # broke compound/suffix splitting (turnover, hangover, shortening)
     "antiseptic": "AE2 N T AH0 S EH1 P T IH0 K",
     "audition": "AO0 D IH1 SH AH0 N",
+    "civil": "S IH1 V AH0 L",
+    "devil": "D EH1 V AH0 L",
+    "receive": "R IH0 S IY1 V",
+    "prepare": "P R IH0 P EH1 R",
     "capsule": "K AE1 P S AH0 L",
     "caterpillar": "K AE1 T ER0 P IH2 L ER0",
     "centipede": "S EH1 N T AH0 P IY2 D",
@@ -2808,6 +2812,11 @@ class G2P:
                 # reduces to IH0 in CMU, not schwa (elect, event,
                 # effect, eleven, especially) — round-5 CV sweep
                 if i == 0 and word.startswith("e"):
+                    out[i] = "IH0"
+                # the re-/de-/pre- prefix vowel likewise reduces to
+                # IH0 (refraction R IH0 F R AE1 K SH AH0 N, demand,
+                # prediction) — band-O analysis, round 5
+                elif k == 0 and word.startswith(("re", "de", "pre")):
                     out[i] = "IH0"
                 else:
                     out[i] = "AH0"

@@ -46,6 +46,9 @@ RULES: Dict[str, List[Rule]] = {
         # amortize family stresses the initial A (AE1 M ER0 T AY2 Z)
         # against the about-style schwa prefix — band M
         (" ", "amortiz", "", "AE1 M ER0 T AY2 Z"),
+        # capacitor/capacitance stress the second syllable
+        # (K AH0 P AE1 S AH0 T ER0) — band O
+        ("p", "acit", "", "AE1 S AX T"),
         # Italian -atta loans read the broad A (regatta
         # R AH0 G AA1 T AH0) like the -ava family below — band M
         ("", "atta", " ", "AA1 T AH0"),
@@ -509,6 +512,20 @@ RULES: Dict[str, List[Rule]] = {
         # diphthong primary (embroidery EH0 M B R OY1 D ER0 IY0) —
         # band M
         (" ", "embroid", "", "EH0 M B R OY1 D"),
+        # -eril(s) finals reduce like the -il family (peril
+        # P EH1 R AH0 L); -erity abstract nouns reduce the suffix i
+        # (austerity, sincerity, prosperity EH1 R AH0 T IY0) — the
+        # older "eri" digraph rule would otherwise consume the e-r-i
+        # before the i/r-bucket rules can see them — band O
+        ("", "erils", " ", "EH R AX L Z"),
+        ("", "eril", " ", "EH R AX L"),
+        ("", "erities", " ", "EH R AX T IY Z"),
+        ("", "erity", " ", "EH R AX T IY"),
+        # -etitor/-etitive agents stress the antepenult (competitor
+        # K AH0 M P EH1 T AH0 T ER0, competitive, repetitive); petition
+        # spells -etition and keeps its own path — band O
+        ("p", "etitor", "", "EH1 T AX T ER0"),
+        ("p", "etitiv", "", "EH1 T AX T IH0 V"),
         # e in the open syllable before a -Cia(n/l) hiatus is long
         # (median M IY1 D IY0 AH0 N, comedian, bohemian,
         # encyclopedia) — forty-fourth probe band (band L)
@@ -903,6 +920,14 @@ RULES: Dict[str, List[Rule]] = {
         ("", "h", "", ""),
     ],
     "i": [
+        # polysyllabic final -il reduces (anvil, tendril, fossil,
+        # pencil, nostril AE1 N V AH0 L); stressed -il words (until,
+        # Brazil) are lexicon entries — band O
+        ("#:^", "il", " ", "AX L"),
+        ("#:^", "ils", " ", "AX L Z"),
+        # d+u palatalization in -iduous adjectives (deciduous
+        # D IH0 S IH1 JH UW0 AH0 S, assiduous) — band O
+        ("", "iduous", "", "IH1 JH UW0 AH0 S"),
         # monosyllabic y-stem plurals/verbs read the diphthong (flies,
         # tries, skies F L AY1 Z); polysyllables (babies, cities) have
         # a vowel before the onset so the boundary+consonants context
@@ -1378,6 +1403,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "n", "", "N"),
     ],
     "o": [
+        # -onance/-onant Latinate nominals reduce both suffix vowels
+        # (resonance R EH1 Z AH0 N AH0 N S, consonant, dissonant);
+        # opponent/proponent spell -onent and are untouched — band O
+        ("", "onances", " ", "AX N AX N S IH0 Z"),
+        ("", "onance", " ", "AX N AX N S"),
+        ("", "onant", "", "AX N AX N T"),
         # "oar" is the AO R rime everywhere (oar, board, roar, soar,
         # hoarse, coarse, oarsman) — thirty-eighth probe band (band E)
         ("", "oar", "", "AO R"),
@@ -1750,6 +1781,15 @@ RULES: Dict[str, List[Rule]] = {
         # firefly: fire+fly keeps the compound diphthong; briefly has
         # no contiguous "refly" so adverbs are untouched — band N
         ("", "refly", " ", "R F L AY2"),
+        # -rity abstract nouns reduce the suffix i (austerity,
+        # celebrity, clarity, integrity ... R AH0 T IY0) — band O
+        ("", "rities", " ", "R AX T IY Z"),
+        ("", "rity", " ", "R AX T IY"),
+        # resonan-/resonat- keep the full initial E against the re-
+        # prefix rule (resonance R EH1 Z AH0 N AH0 N S, resonant,
+        # resonate) — band O
+        ("", "resonan", "", "R EH Z AX N AX N"),
+        ("", "resonat", "", "R EH Z AX N EY2 T"),
         ("c", "riterion", "", "R AY0 T IH1 R IY0 AX N"),
         ("c", "riteria", "", "R AY0 T IH1 R IY0 AH0"),
         # -ranean Latinates (subterranean, mediterranean)
