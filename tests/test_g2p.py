@@ -59,10 +59,12 @@ def test_lts_accuracy_vs_gold_lexicon():
     # generalization numbers are tools/g2p_cv.py (fold-out CV) and the
     # held-out blind set (tests/test_heldout.py, mechanically-ratcheted
     # floors). Measured 0.919 stripped / 0.912 with-stress (phone acc
-    # 0.978) at the band-E/G merge (2040 words).
-    assert exact / total > 0.900, f"word-exact {exact}/{total}"
+    # 0.978) at the band-E/G merge (2040 words); 0.899 stripped at the
+    # band-M/N/O merge (2249 words, ~70 new deliberately-lexical
+    # loans/irregulars) — floors re-based accordingly.
+    assert exact / total > 0.885, f"word-exact {exact}/{total}"
     assert match / denom > 0.960, f"phone accuracy {match / denom:.3f}"
-    assert with_stress / total > 0.890, (
+    assert with_stress / total > 0.875, (
         f"with-stress exact {with_stress}/{total}"
     )
     # stress-only error mass (stripped-correct but mis-stressed)

@@ -1605,8 +1605,6 @@ _LEXICON: Dict[str, str] = {
     "audition": "AO0 D IH1 SH AH0 N",
     "civil": "S IH1 V AH0 L",
     "devil": "D EH1 V AH0 L",
-    "receive": "R IH0 S IY1 V",
-    "prepare": "P R IH0 P EH1 R",
     "capsule": "K AE1 P S AH0 L",
     "caterpillar": "K AE1 T ER0 P IH2 L ER0",
     "centipede": "S EH1 N T AH0 P IY2 D",
