@@ -1605,6 +1605,18 @@ _LEXICON: Dict[str, str] = {
     "audition": "AO0 D IH1 SH AH0 N",
     "civil": "S IH1 V AH0 L",
     "devil": "D EH1 V AH0 L",
+    # band P lexical irregulars behind the -ify/-acy/-escent/-ology
+    # families
+    "attribute": "AE1 T R AH0 B Y UW2 T",
+    "destitute": "D EH1 S T AH0 T UW2 T",
+    "diplomacy": "D IH0 P L OW1 M AH0 S IY0",
+    "execute": "EH1 K S AH0 K Y UW2 T",
+    "meteorology": "M IY2 T IY0 ER0 AA1 L AH0 JH IY0",
+    "persecute": "P ER1 S AH0 K Y UW2 T",
+    "privacy": "P R AY1 V AH0 S IY0",
+    "prosecute": "P R AA1 S AH0 K Y UW2 T",
+    "solidify": "S AH0 L IH1 D AH0 F AY2",
+    "supremacy": "S UH0 P R EH1 M AH0 S IY0",
     "capsule": "K AE1 P S AH0 L",
     "caterpillar": "K AE1 T ER0 P IH2 L ER0",
     "centipede": "S EH1 N T AH0 P IY2 D",

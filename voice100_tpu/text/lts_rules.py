@@ -49,6 +49,10 @@ RULES: Dict[str, List[Rule]] = {
         # capacitor/capacitance stress the second syllable
         # (K AH0 P AE1 S AH0 T ER0) — band O
         ("p", "acit", "", "AE1 S AX T"),
+        # -acy abstract nouns reduce the suffix a (advocacy, literacy,
+        # candidacy ... AH0 S IY0) — band P
+        ("", "acies", " ", "AX S IY0 Z"),
+        ("", "acy", " ", "AX S IY0"),
         # Italian -atta loans read the broad A (regatta
         # R AH0 G AA1 T AH0) like the -ava family below — band M
         ("", "atta", " ", "AA1 T AH0"),
@@ -512,6 +516,16 @@ RULES: Dict[str, List[Rule]] = {
         # diphthong primary (embroidery EH0 M B R OY1 D ER0 IY0) —
         # band M
         (" ", "embroid", "", "EH0 M B R OY1 D"),
+        # -escent/-escence Latinate adjectives stress the suffix E
+        # (adolescent AE2 D AH0 L EH1 S AH0 N T, crescent, iridescent,
+        # effervescence); descent keeps its de- prefix via the
+        # exceptions — band P
+        (" d", "escent", " ", "IH0 S EH1 N T"),
+        (" d", "escents", " ", "IH0 S EH1 N T S"),
+        ("", "escents", " ", "EH1 S AX N T S"),
+        ("", "escent", " ", "EH1 S AX N T"),
+        ("", "escences", " ", "EH1 S AX N S IH0 Z"),
+        ("", "escence", " ", "EH1 S AX N S"),
         # -eril(s) finals reduce like the -il family (peril
         # P EH1 R AH0 L); -erity abstract nouns reduce the suffix i
         # (austerity, sincerity, prosperity EH1 R AH0 T IY0) — the
@@ -920,6 +934,17 @@ RULES: Dict[str, List[Rule]] = {
         ("", "h", "", ""),
     ],
     "i": [
+        # -ify verb family keeps the diphthong suffix (clarify
+        # K L EH1 R AH0 F AY2, dignify, falsify, mystify) — band P
+        ("", "ifying", " ", "AX F AY2 IH0 NG"),
+        ("", "ifies", " ", "AX F AY2 Z"),
+        ("", "ified", " ", "AX F AY2 D"),
+        ("", "ify", " ", "AX F AY2"),
+        # -iology medical/science compounds read the linking i as IY0
+        # (cardiology, radiology, sociology); biology's bi- prefix
+        # keeps its diphthong via the exception — band P
+        (" b", "iolog", "", "AY0 AA1 L AX JH"),
+        ("", "iolog", "", "IY0 AA1 L AX JH"),
         # polysyllabic final -il reduces (anvil, tendril, fossil,
         # pencil, nostril AE1 N V AH0 L); stressed -il words (until,
         # Brazil) are lexicon entries — band O
@@ -1403,6 +1428,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "n", "", "N"),
     ],
     "o": [
+        # zoology family: both o letters sound (Z OW0 AA1 L AH0 JH) —
+        # band P
+        ("z", "oolog", "", "OW0 AA1 L AX JH"),
+        # sociology keeps the soft c + linking IY0 (the bare ci->SH
+        # digraph would swallow the i) — band P
+        ("s", "ociolog", "", "OW2 S IY0 AA1 L AX JH"),
         # -onance/-onant Latinate nominals reduce both suffix vowels
         # (resonance R EH1 Z AH0 N AH0 N S, consonant, dissonant);
         # opponent/proponent spell -onent and are untouched — band O
@@ -2055,6 +2086,9 @@ RULES: Dict[str, List[Rule]] = {
         # upholster family: silent-ish ph boundary reads P, stressed
         # long o (upholstery AH0 P OW1 L S T ER0 IY0) — band M
         (" ", "upholst", "", "AH0 P OW1 L S T"),
+        # fluorescent/fluorescence read UH0 R before the stressed
+        # suffix — band P
+        ("l", "uorescen", "", "UH0 R EH1 S AX N"),
         # -ular adjectives palatalize the u and reduce (circular
         # S ER1 K Y AH0 L ER0, molecular, muscular); stress lands on
         # the preceding syllable via the _PENULT_STRESS entry —
