@@ -1608,6 +1608,11 @@ _LEXICON: Dict[str, str] = {
     # band P lexical irregulars behind the -ify/-acy/-escent/-ology
     # families
     "attribute": "AE1 T R AH0 B Y UW2 T",
+    "aristocracy": "EH2 R AH0 S T AA1 K R AH0 S IY0",
+    "bronchitis": "B R AA0 N K AY1 T IH0 S",
+    "carcinogenic": "K AA2 R S AH0 N AH0 JH EH1 N IH0 K",
+    "photogenic": "F OW2 T AH0 JH EH1 N IH0 K",
+    "windward": "W IH1 N D W ER0 D",
     "destitute": "D EH1 S T AH0 T UW2 T",
     "diplomacy": "D IH0 P L OW1 M AH0 S IY0",
     "execute": "EH1 K S AH0 K Y UW2 T",

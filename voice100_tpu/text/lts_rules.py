@@ -358,6 +358,9 @@ RULES: Dict[str, List[Rule]] = {
         # word-initial rule
         (" ", "charg", "", "CH AA1 R JH"),
         ("", "charg", "", "CH AA2 R JH"),
+        # Greek ch reads K before the -itis suffix (bronchitis
+        # B R AA0 NG K AY1 T IH0 S) — band Q
+        ("", "chitis", " ", "K AY1 T IH0 S"),
         # Italian cch is a plain K (zucchini, gnocchi) — round-5 sweep
         ("", "cch", "", "K"),
         # Greek n+chol keeps the hard K (melancholy)
@@ -934,6 +937,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "h", "", ""),
     ],
     "i": [
+        # -itis medical nouns stress the long I (bronchitis,
+        # arthritis, tendinitis ... AY1 T IH0 S) — band Q; the Greek
+        # ch->K variant (bronchitis) lives in the c bucket
+        ("", "itis", " ", "AY1 T IH0 S"),
         # -ify verb family keeps the diphthong suffix (clarify
         # K L EH1 R AH0 F AY2, dignify, falsify, mystify) — band P
         ("", "ifying", " ", "AX F AY2 IH0 NG"),
@@ -1431,6 +1438,10 @@ RULES: Dict[str, List[Rule]] = {
         # zoology family: both o letters sound (Z OW0 AA1 L AH0 JH) —
         # band P
         ("z", "oolog", "", "OW0 AA1 L AX JH"),
+        # -ocracy government nouns stress the linking O (democracy,
+        # theocracy, bureaucracy ... AA1 K R AH0 S IY0) — band Q
+        ("", "ocracies", " ", "AA1 K R AX S IY0 Z"),
+        ("", "ocracy", " ", "AA1 K R AX S IY0"),
         # sociology keeps the soft c + linking IY0 (the bare ci->SH
         # digraph would swallow the i) — band P
         ("s", "ociolog", "", "OW2 S IY0 AA1 L AX JH"),
@@ -2218,6 +2229,13 @@ RULES: Dict[str, List[Rule]] = {
         ("", "v", "", "V"),
     ],
     "w": [
+        # -ward suffix after the in- prefix and silent-e stems
+        # (inward IH1 N W ER0 D, homeward); reward keeps its stressed
+        # verb reading because only -meward matches a silent e — band Q
+        (" in", "ward", " ", "W ER0 D"),
+        (" in", "wards", " ", "W ER0 D Z"),
+        ("me", "ward", " ", "W ER0 D"),
+        ("me", "wards", " ", "W ER0 D Z"),
         (" ", "whilst", "", "W AY1 L S T"),
         (" ", "whereas", "", "W EH0 R AE1 Z"),
         (" ", "windy", "", "W IH1 N D IY0"),
