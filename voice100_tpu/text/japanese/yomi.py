@@ -304,11 +304,36 @@ class LexiconReader:
                 seg_start = pos
                 prev_on = -1
                 continue
+            # numeral + か/ヶ infix + counter kanji (三か国=サンカコク,
+            # 三ヶ月=サンカゲツ, 五か所=ゴカショ): read the numeral as
+            # a Sino number, カ for the infix, and let the counter
+            # kanji rejoin the next run — round-5 J18
+            span = kanji_numeral_span(text, pos)
+            _KA_COUNTERS = {"国": "コク", "所": "ショ", "月": "ゲツ",
+                            "年": "ネン", "条": "ジョウ", "社": "シャ"}
+            if (
+                span and pos + span == end
+                and end < len(text) and text[end] in "かヶケ"
+                and text[end + 1: end + 2] in _KA_COUNTERS
+            ):
+                val = kanji_numeral_to_int(text[pos:pos + span])
+                if val is not None:
+                    out.append((text[pos:pos + span], read_number(str(val))))
+                    out.append((text[end], "カ"))
+                    nxt = _KANJI_RX.match(text, end + 1)
+                    if nxt is not None and nxt.end() == end + 2:
+                        # isolated counter kanji would take its kun
+                        # (月=ツキ); pin the Sino reading here
+                        out.append((text[end + 1],
+                                    _KA_COUNTERS[text[end + 1]]))
+                        return end + 2
+                    # longer run (三か国語): the run scanner reads the
+                    # jukugo with the counter in ON position
+                    return end + 1
             # kanji numeral(s) + counter kanji read via the counter
             # paradigms (三十五度=サンジュウゴド, 九時=クジ), like their
             # ASCII-digit twins; bare 十分 stays with the earlier
             # special case / ジュウブン compound (adverb default)
-            span = kanji_numeral_span(text, pos)
             if (
                 span and pos + span < end
                 and text[pos + span] in COUNTERS
