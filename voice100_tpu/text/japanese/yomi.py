@@ -191,9 +191,16 @@ class LexiconReader:
                         break
                 # は directly after て/で is the topic particle even
                 # mid-run (走ってはいけません, それではまた,
-                # 食べてはだめ) — round-5 J9 sweep
+                # 食べてはだめ) — round-5 J9 sweep; after the
+                # nominalizer の it is too (割り込むのはやめましょう),
+                # except before ず/な/し where のは opens a noun
+                # (そのはず, 野のはな, のはなし) — round-5 J21
                 for j in range(1, len(run)):
-                    if run[j] == "は" and run[j - 1] in "てで":
+                    if run[j] == "は" and (
+                        run[j - 1] in "てで"
+                        or (run[j - 1] == "の"
+                            and run[j + 1:j + 2] not in ("ず", "な", "し"))
+                    ):
                         yomi = yomi[:j] + "ワ" + yomi[j + 1:]
                 out.append((run, yomi))
                 i = m.end()
