@@ -1609,6 +1609,24 @@ _LEXICON: Dict[str, str] = {
     # families
     "attribute": "AE1 T R AH0 B Y UW2 T",
     "aristocracy": "EH2 R AH0 S T AA1 K R AH0 S IY0",
+    "albeit": "AO0 L B IY1 IH0 T",
+    "aerobics": "ER0 OW1 B IH0 K S",
+    "beatific": "B IY2 AH0 T IH1 F IH0 K",
+    "calisthenics": "K AE2 L AH0 S TH EH1 N IH0 K S",
+    "dumbbell": "D AH1 M B EH2 L",
+    "exhibition": "EH2 K S AH0 B IH1 SH AH0 N",
+    "exponent": "EH1 K S P OW2 N AH0 N T",
+    "lichen": "L AY1 K AH0 N",
+    "limber": "L IH1 M B ER0",
+    "monopoly": "M AH0 N AA1 P AH0 L IY0",
+    "nutritious": "N UW0 T R IH1 SH AH0 S",
+    "oscillate": "AA1 S AH0 L EY2 T",
+    "rhizome": "R AY1 Z OW2 M",
+    "solder": "S AA1 D ER0",
+    "stamina": "S T AE1 M AH0 N AH0",
+    "store": "S T AO1 R",
+    "subsidy": "S AH1 B S AH0 D IY0",
+    "tariff": "T EH1 R AH0 F",
     "bronchitis": "B R AA0 N K AY1 T IH0 S",
     "carcinogenic": "K AA2 R S AH0 N AH0 JH EH1 N IH0 K",
     "photogenic": "F OW2 T AH0 JH EH1 N IH0 K",

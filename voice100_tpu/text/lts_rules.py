@@ -49,6 +49,10 @@ RULES: Dict[str, List[Rule]] = {
         # capacitor/capacitance stress the second syllable
         # (K AH0 P AE1 S AH0 T ER0) — band O
         ("p", "acit", "", "AE1 S AX T"),
+        # -acious Latinate adjectives stress the long A (gracious,
+        # audacious, tenacious ... EY1 SH AH0 S); right context open
+        # so -aciously/-aciousness ride along — band S
+        ("", "acious", "", "EY1 SH AX S"),
         # -acy abstract nouns reduce the suffix a (advocacy, literacy,
         # candidacy ... AH0 S IY0) — band P
         ("", "acies", " ", "AX S IY0 Z"),
@@ -316,6 +320,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "a", "", "AE"),
     ],
     "b": [
+        # -borne compound finals (airborne, waterborne ... B AO2 R N);
+        # the standalone participle keeps its primary — band R
+        (" ", "borne", " ", "B AO1 R N"),
+        ("", "borne", " ", "B AO2 R N"),
         (" ", "bluetooth", "", "B L UW1 T UW2 TH"),
         (" ", "brazil", "", "B R AH0 Z IH1 L"),
         # eyebrow keeps the full brow vowel (rainbow's -bow stays OW)
@@ -937,6 +945,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "h", "", ""),
     ],
     "i": [
+        # -itious adjectives stress the suffix I (nutritious,
+        # fictitious, superstitious ... IH1 SH AH0 S) — band S
+        ("", "itious", "", "IH1 SH AX S"),
         # -itis medical nouns stress the long I (bronchitis,
         # arthritis, tendinitis ... AY1 T IH0 S) — band Q; the Greek
         # ch->K variant (bronchitis) lives in the c bucket
@@ -1282,6 +1293,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "j", "", "JH"),
     ],
     "k": [
+        # -keeper agent compounds carry a secondary (storekeeper,
+        # gatekeeper, bookkeeper ... K IY2 P ER0) — band R
+        ("^", "keeper", "", "K IY2 P ER0"),
         (" ", "korea", "", "K ER0 IY1 AH0"),
         (" ", "karate", "", "K ER0 AA1 T IY0"),
         ("er", "kin", " ", "K AX N"),
@@ -1335,6 +1349,13 @@ RULES: Dict[str, List[Rule]] = {
         ("", "l", "", "L"),
     ],
     "m": [
+        # -maker agent compounds carry a secondary (matchmaker,
+        # lawmaker, shoemaker ... M EY2 K ER0); left ^ keeps bare
+        # "maker" and vowel-linked stems on their own paths; the
+        # double-m form (filmmaker) must outrank the mm digraph —
+        # band R
+        ("", "mmaker", "", "M EY2 K ER0"),
+        ("^", "maker", "", "M EY2 K ER0"),
         # -man in compounds/derivatives reduces (fisherman, human,
         # woman, German); voiced-stem -sman voices the s (helmsman
         # HH EH1 L M Z M AH0 N, oarsman, salesman) — thirty-eighth
@@ -1442,6 +1463,11 @@ RULES: Dict[str, List[Rule]] = {
         # theocracy, bureaucracy ... AA1 K R AH0 S IY0) — band Q
         ("", "ocracies", " ", "AA1 K R AX S IY0 Z"),
         ("", "ocracy", " ", "AA1 K R AX S IY0"),
+        # -ocious adjectives stress the long O (atrocious, ferocious,
+        # precocious ... OW1 SH AH0 S) — band S
+        ("", "ocious", "", "OW1 SH AX S"),
+        # noteworthy: the silent-e stem keeps its long O — band R
+        ("", "oteworthy", " ", "OW1 T W ER2 DH IY0"),
         # sociology keeps the soft c + linking IY0 (the bare ci->SH
         # digraph would swallow the i) — band P
         ("s", "ociolog", "", "OW2 S IY0 AA1 L AX JH"),
@@ -2236,6 +2262,11 @@ RULES: Dict[str, List[Rule]] = {
         (" in", "wards", " ", "W ER0 D Z"),
         ("me", "ward", " ", "W ER0 D"),
         ("me", "wards", " ", "W ER0 D Z"),
+        # -worthy compound finals (noteworthy, praiseworthy,
+        # trustworthy ... W ER2 DH IY0); the standalone adjective
+        # keeps its primary — band R
+        (" ", "worthy", " ", "W ER1 DH IY0"),
+        ("", "worthy", " ", "W ER2 DH IY0"),
         (" ", "whilst", "", "W AY1 L S T"),
         (" ", "whereas", "", "W EH0 R AE1 Z"),
         (" ", "windy", "", "W IH1 N D IY0"),
