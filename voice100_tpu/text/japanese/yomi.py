@@ -97,7 +97,7 @@ def _euphonic_join(prev: str, nxt: str, even_boundary: bool = True):
 _KATA_RX = re.compile(r"[ァ-ヶー]+")
 _NUM_RX = re.compile(r"[0-9]+")
 _ASCII_RX = re.compile(r"[A-Za-z]+")
-_KANJI_RX = re.compile(r"[一-龯々]+")
+_KANJI_RX = re.compile(r"[一-龯々〇]+")
 
 # Compound keys bucketed by first char, longest first, so the scanner
 # tries only plausible matches at each position.
@@ -306,6 +306,11 @@ class LexiconReader:
                 continue
             hit = self._match_compound(text, pos)
             if hit is not None:
+                if hit[0] == "一日" and out and out[-1][0].endswith("月"):
+                    # a day-of-month after a month reads ツイタチ
+                    # (四月一日); the generic compound keeps イチニチ
+                    # ("one day") elsewhere — round-5 J23
+                    hit = ("一日", "ツイタチ")
                 out.append(hit)
                 pos += len(hit[0])
                 seg_start = pos
