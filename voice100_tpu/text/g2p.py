@@ -1615,6 +1615,7 @@ _LEXICON: Dict[str, str] = {
     "calisthenics": "K AE2 L AH0 S TH EH1 N IH0 K S",
     "dumbbell": "D AH1 M B EH2 L",
     "exhibition": "EH2 K S AH0 B IH1 SH AH0 N",
+    "final": "F AY1 N AH0 L",
     "exponent": "EH1 K S P OW2 N AH0 N T",
     "lichen": "L AY1 K AH0 N",
     "limber": "L IH1 M B ER0",
