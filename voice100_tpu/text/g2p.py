@@ -1610,6 +1610,12 @@ _LEXICON: Dict[str, str] = {
     "attribute": "AE1 T R AH0 B Y UW2 T",
     "aristocracy": "EH2 R AH0 S T AA1 K R AH0 S IY0",
     "albeit": "AO0 L B IY1 IH0 T",
+    "almond": "AA1 M AH0 N D",
+    "beret": "B ER0 EY1",
+    "cachet": "K AE0 SH EY1",
+    "poignant": "P OY1 N Y AH0 N T",
+    "rapport": "R AH0 P AO1 R",
+    "wreath": "R IY1 TH",
     "aerobics": "ER0 OW1 B IH0 K S",
     "beatific": "B IY2 AH0 T IH1 F IH0 K",
     "calisthenics": "K AE2 L AH0 S TH EH1 N IH0 K S",
@@ -2825,6 +2831,10 @@ class G2P:
                 # pretonic (audacity AO0 D AE1 S..., austere, audition)
                 # — band-N analysis, round 5
                 and not (k == 0 and word.startswith("au"))
+                # final -aught keeps its AO too (onslaught
+                # AA1 N S L AO2 T carries a CMU secondary) — band U
+                and not (p[:-1] == "AO"
+                         and word.endswith(("aught", "aughts")))
                 # open_only (rule-pinned words): the vowel's syllable
                 # must be open under onset maximization — the whole
                 # consonant cluster before the next vowel syllabifies
