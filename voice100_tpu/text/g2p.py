@@ -1610,6 +1610,30 @@ _LEXICON: Dict[str, str] = {
     "attribute": "AE1 T R AH0 B Y UW2 T",
     "aristocracy": "EH2 R AH0 S T AA1 K R AH0 S IY0",
     "albeit": "AO0 L B IY1 IH0 T",
+    # band V: city/state/country proper nouns (purely lexical, as in
+    # CMUdict — the rules cannot derive loan-origin spellings)
+    "albuquerque": "AE1 L B AH0 K ER2 K IY0",
+    "arkansas": "AA1 R K AH0 N S AO2",
+    "atlanta": "AE0 T L AE1 N T AH0",
+    "beijing": "B EY2 JH IH1 NG",
+    "boston": "B AO1 S T AH0 N",
+    "cairo": "K AY1 R OW0",
+    "chicago": "SH AH0 K AA1 G OW0",
+    "connecticut": "K AH0 N EH1 T AH0 K AH0 T",
+    "dallas": "D AE1 L AH0 S",
+    "houston": "HH Y UW1 S T AH0 N",
+    "illinois": "IH2 L AH0 N OY1",
+    "miami": "M AY0 AE1 M IY0",
+    "michigan": "M IH1 SH IH0 G AH0 N",
+    "montreal": "M AA2 N T R IY0 AO1 L",
+    "nairobi": "N AY0 R OW1 B IY0",
+    "phoenix": "F IY1 N IH0 K S",
+    "prague": "P R AA1 G",
+    "seattle": "S IY0 AE1 T AH0 L",
+    "toronto": "T ER0 AA1 N T OW0",
+    "tucson": "T UW1 S AA2 N",
+    "vienna": "V IY0 EH1 N AH0",
+    "zurich": "Z UH1 R IH0 K",
     "almond": "AA1 M AH0 N D",
     "beret": "B ER0 EY1",
     "cachet": "K AE0 SH EY1",
