@@ -1610,6 +1610,32 @@ _LEXICON: Dict[str, str] = {
     "attribute": "AE1 T R AH0 B Y UW2 T",
     "aristocracy": "EH2 R AH0 S T AA1 K R AH0 S IY0",
     "albeit": "AO0 L B IY1 IH0 T",
+    # band W: common first names (lexical loan-origin spellings)
+    "charlotte": "SH AA1 R L AH0 T",
+    "chloe": "K L OW1 IY0",
+    "geoffrey": "JH EH1 F R IY0",
+    "giovanni": "JH OW0 V AA1 N IY0",
+    "graham": "G R EY1 AH0 M",
+    "hugh": "HH Y UW1",
+    "isaac": "AY1 Z AH0 K",
+    "jose": "HH OW0 Z EY1",
+    "joseph": "JH OW1 S AH0 F",
+    "juan": "W AA1 N",
+    "leah": "L IY1 AH0",
+    "louis": "L UW1 IH0 S",
+    "luigi": "L UW0 IY1 JH IY0",
+    "matthew": "M AE1 TH Y UW0",
+    "michael": "M AY1 K AH0 L",
+    "miguel": "M IH0 G EH1 L",
+    "naomi": "N EY0 OW1 M IY0",
+    "phoebe": "F IY1 B IY0",
+    "rachel": "R EY1 CH AH0 L",
+    "sarah": "S EH1 R AH0",
+    "sean": "SH AO1 N",
+    "sergio": "S EH1 R JH IY0 OW0",
+    "sophia": "S OW0 F IY1 AH0",
+    "stephen": "S T IY1 V AH0 N",
+    "zoe": "Z OW1 IY0",
     # band V: city/state/country proper nouns (purely lexical, as in
     # CMUdict — the rules cannot derive loan-origin spellings)
     "albuquerque": "AE1 L B AH0 K ER2 K IY0",
