@@ -29,10 +29,14 @@ def test_lts_accuracy_vs_gold_lexicon():
     """The embedded lexicon holds gold CMUdict pronunciations; the rule
     engine alone must stay above these floors on it (the lexicon skews
     toward irregular words, so this is a hard set)."""
+    from voice100_tpu.text.g2p import PROPER_NOUNS
+
     g = _bare_engine()
     exact = with_stress = stress_only = total = match = denom = 0
     for word, gold in _LEXICON.items():
-        if not word.isalpha():
+        if not word.isalpha() or word in PROPER_NOUNS:
+            # proper nouns are lexical even for CMUdict; they measure
+            # nothing about rule generalization
             continue
         raw = g._lts(word)
         goldraw = gold.split()

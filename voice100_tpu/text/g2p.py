@@ -1906,6 +1906,20 @@ _DESTRESSED_SECOND = frozenset({"some"})
 # heteronym elements pinned to their compound-noun reading in either
 # position (tailwind/crosswind/windchill read the noun W IH1 N D,
 # never the verb W AY1 N D)
+# proper nouns in the gold lexicon (bands V/W and earlier name/place
+# entries). Purely lexical even for CMUdict/g2p_en — excluded from the
+# rules-only generalization floor in tests/test_g2p.py, which measures
+# how well the LTS rules derive common-noun vocabulary.
+PROPER_NOUNS = frozenset("""
+    albuquerque arkansas atlanta beijing boston cairo chicago
+    connecticut dallas houston illinois miami michigan montreal
+    nairobi phoenix prague seattle toronto tucson vienna zurich
+    charlotte chloe geoffrey giovanni graham hugh isaac jose joseph
+    juan leah louis luigi matthew michael miguel naomi phoebe rachel
+    sarah sean sergio sophia stephen zoe
+    presley birmingham nottingham buckingham campbell
+    """.split())
+
 _COMPOUND_OVERRIDE = {"wind": "W IH1 N D"}
 
 # 2-letter Latin prefixes that head compounds with a free stem
