@@ -523,6 +523,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "d", "", "D"),
     ],
     "e": [
+        # word-final -ees is a voiced plural/agent ending (degrees,
+        # employees, referees ... IY1 Z) — sentence-audit fix, round 5
+        ("", "ees", " ", "IY1 Z"),
         # embroider family keeps the em- prefix unstressed with the
         # diphthong primary (embroidery EH0 M B R OY1 D ER0 IY0) —
         # band M
