@@ -207,7 +207,23 @@ class LexiconReader:
                 continue
             m = _KATA_RX.match(text, i)
             if m:
-                out.append((m.group(0), m.group(0)))
+                kata = m.group(0)
+                # a numeral directly before a katakana loan geminates
+                # like a counter (二十パーセント=ニジュッパーセント,
+                # 十キロ=ジュッキロ, 八ページ=ハッページ); ハ行 loans
+                # are excluded (十ヘクタール keeps ジュウ) — round-5
+                # J27
+                if out and out[-1][1]:
+                    p_surf, p_yomi = out[-1]
+                    numeric = all(c.isdigit() or c in "一二三四五六七八九十百千万〇"
+                                  for c in p_surf)
+                    head = kata[0]
+                    if numeric and head in "カキクケコサシスセソタチツテトパピプペポ":
+                        if p_yomi.endswith(("イチ", "ハチ", "ジュウ")):
+                            out[-1] = (p_surf, p_yomi[:-1] + "ッ")
+                        elif p_yomi.endswith("ロク") and head in "カキクケコパピプペポ":
+                            out[-1] = (p_surf, p_yomi[:-1] + "ッ")
+                out.append((kata, kata))
                 i = m.end()
                 continue
             m = _NUM_RX.match(text, i)
