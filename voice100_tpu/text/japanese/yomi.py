@@ -433,7 +433,8 @@ class LexiconReader:
                 and ch in _ON_PREFIX_KANJI
             ):
                 # numeral/prefix kanji before a katakana loan reads ON
-                # (一パック=イチ, 新サービス=シン), unlike a standalone
+                # (一パック=イッ after the loan-gemination pass,
+                # 新サービス=シン), unlike a standalone
                 # noun (犬カフェ keeps kun)
                 isolated = False
             if isolated:
