@@ -1672,6 +1672,11 @@ _LEXICON: Dict[str, str] = {
     "dumbbell": "D AH1 M B EH2 L",
     "exhibition": "EH2 K S AH0 B IH1 SH AH0 N",
     "final": "F AY1 N AH0 L",
+    "date": "D EY1 T",
+    "rate": "R EY1 T",
+    "spoken": "S P OW1 K AH0 N",
+    "understood": "AH2 N D ER0 S T UH1 D",
+    "livelihood": "L AY1 V L IY0 HH UH2 D",
     "exponent": "EH1 K S P OW2 N AH0 N T",
     "lichen": "L AY1 K AH0 N",
     "limber": "L IH1 M B ER0",

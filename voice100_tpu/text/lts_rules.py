@@ -523,6 +523,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "d", "", "D"),
     ],
     "e": [
+        # silent-e stems before -dom (boredom B AO1 R D AH0 M);
+        # freedom's ee is consumed earlier and never reaches this —
+        # band X
+        ("", "edom", " ", "D AH0 M"),
         # word-final -ees is a voiced plural/agent ending (degrees,
         # employees, referees ... IY1 Z) — sentence-audit fix, round 5
         ("", "ees", " ", "IY1 Z"),
@@ -916,6 +920,13 @@ RULES: Dict[str, List[Rule]] = {
         ("", "g", "", "G"),
     ],
     "h": [
+        # -hood abstract-noun suffix carries a secondary (neighborhood,
+        # parenthood ... HH UH2 D); standalone "hood" keeps primary —
+        # band X
+        (" ", "hood", " ", "HH UH1 D"),
+        (" ", "hoods", " ", "HH UH1 D Z"),
+        ("", "hood", " ", "HH UH2 D"),
+        ("", "hoods", " ", "HH UH2 D Z"),
         # silent h in French -lhouette (silhouette S IH2 L UW0 EH1 T)
         ("l", "houette", "", "UW0 EH1 T"),
         # heredity family pre-empts the "here" adverb's long E
@@ -1420,6 +1431,9 @@ RULES: Dict[str, List[Rule]] = {
         # silent h in the -ngham place/fabric family (gingham,
         # Birmingham, Nottingham, Buckingham) — band M
         ("", "ngham", "", "NG AX M"),
+        # -ngless compounds keep the soft NG (meaningless, wingless
+        # ... NG L AH0 S) against the hard-g "ngle" path — band X
+        ("", "ngless", " ", "NG L AX S"),
         # -ntain reduces after the ou of mountain/fountain (verbs like
         # maintain/contain never carry that left context); integral
         # front-stresses — round-5 CV sweep
@@ -2037,6 +2051,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "s", "", "S"),
     ],
     "t": [
+        # t + -hood suffix stays a stop + aspirate, not a th digraph
+        # (parenthood P EH1 R AH0 N T HH UH2 D) — band X
+        ("", "thood", " ", "T HH UH2 D"),
+        ("", "thoods", " ", "T HH UH2 D Z"),
         # -trol verbs stress the final O (patrol P AH0 T R OW1 L);
         # petrol keeps its initial stress via the e left context
         # falling through; control is the o-bucket "ontrol" rule —
