@@ -1673,6 +1673,14 @@ _LEXICON: Dict[str, str] = {
     "exhibition": "EH2 K S AH0 B IH1 SH AH0 N",
     "final": "F AY1 N AH0 L",
     "date": "D EY1 T",
+    "aria": "AA1 R IY0 AH0",
+    "centrifuge": "S EH1 N T R AH0 F Y UW2 JH",
+    "cumulus": "K Y UW1 M Y AH0 L AH0 S",
+    "isobar": "AY1 S OW0 B AA2 R",
+    "lacquer": "L AE1 K ER0",
+    "mortise": "M AO1 R T AH0 S",
+    "pipette": "P AY0 P EH1 T",
+    "squall": "S K W AO1 L",
     "rate": "R EY1 T",
     "spoken": "S P OW1 K AH0 N",
     "understood": "AH2 N D ER0 S T UH1 D",
