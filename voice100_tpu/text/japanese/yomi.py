@@ -425,6 +425,11 @@ class LexiconReader:
                 and not (pos > seg_start and text[end] in "しさせな")
                 and not (pos > seg_start and text[end] == "す"
                          and text[end + 1: end + 2] in ("る", "れ"))
+                # keigo auxiliaries いたします/いただき after a
+                # multi-kanji noun likewise mark it a jukugo
+                # (調整いたします = チョウセイ) — round-5 J28
+                and not (pos > seg_start
+                         and text[end:end + 3] in ("いたし", "いただ"))
             )
             isolated = run_len == 1 or okurigana or before_iter
             if (
@@ -443,6 +448,12 @@ class LexiconReader:
             else:
                 yomi = ON.get(ch) or KUN.get(ch) or ""
                 on_read = bool(ON.get(ch))
+                # suffix rendaku: 版 as the third-or-later kanji of a
+                # segment is the ~版 suffix and voices (訂正版=バン,
+                # 最新版); word-second 版 keeps ハン (出版, 初版) —
+                # round-5 J28
+                if ch == "版" and pos - seg_start >= 2 and yomi == "ハン":
+                    yomi = "バン"
             if on_read and prev_on >= 0 and yomi:
                 p_surf, p_yomi = out[prev_on]
                 p_yomi, yomi = _euphonic_join(
