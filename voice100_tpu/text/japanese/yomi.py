@@ -327,6 +327,11 @@ class LexiconReader:
                     # (四月一日); the generic compound keeps イチニチ
                     # ("one day") elsewhere — round-5 J23
                     hit = ("一日", "ツイタチ")
+                elif hit[0] == "気味" and pos > i:
+                    # the ~気味 suffix voices after a noun in the same
+                    # run (風邪気味=カゼギミ); standalone 気味 keeps
+                    # キミ (いい気味) — round-5 J29
+                    hit = ("気味", "ギミ")
                 out.append(hit)
                 pos += len(hit[0])
                 seg_start = pos
