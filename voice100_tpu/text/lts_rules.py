@@ -1233,6 +1233,12 @@ RULES: Dict[str, List[Rule]] = {
         ("", "ibly", " ", "AX B L IY"),
         ("", "ilar", "", "AX L ER"),
         ("", "istry", "", "AX S T R IY"),
+        # polysyllables only (determine, examine, engine, margin-class
+        # -gine); the monosyllables mine/dine keep the diphthong via
+        # the boundary-anchored exceptions
+        (" m", "ine", " ", "AY1 N"),
+        (" m", "ines", " ", "AY1 N Z"),
+        (" m", "ined", " ", "AY1 N D"),
         ("m", "ine", " ", "AX N"),
         ("g", "ine", " ", "AX N"),
         (" ", "isl", "", "AY L"),
