@@ -985,6 +985,12 @@ RULES: Dict[str, List[Rule]] = {
         # d+u palatalization in -iduous adjectives (deciduous
         # D IH0 S IH1 JH UW0 AH0 S, assiduous) — band O
         ("", "iduous", "", "IH1 JH UW0 AH0 S"),
+        # monosyllabic -ire reads the syllabic CMU form (fire
+        # F AY1 ER0, hire, spire); polysyllables keep their own paths
+        # (admire AY R vs desire AY ER0 is lexical) — CV-error fix
+        (" :", "ire", " ", "AY1 ER0"),
+        (" :", "ires", " ", "AY1 ER0 Z"),
+        (" :", "ired", " ", "AY1 ER0 D"),
         # monosyllabic y-stem plurals/verbs read the diphthong (flies,
         # tries, skies F L AY1 Z); polysyllables (babies, cities) have
         # a vowel before the onset so the boundary+consonants context
