@@ -523,6 +523,9 @@ RULES: Dict[str, List[Rule]] = {
         ("", "d", "", "D"),
     ],
     "e": [
+        # silent b in the debt family (debt, debtor, indebted
+        # ... EH T) — CV-error fix
+        ("", "ebt", "", "EH T"),
         # silent-e stems before -dom (boredom B AO1 R D AH0 M);
         # freedom's ee is consumed earlier and never reaches this —
         # band X
