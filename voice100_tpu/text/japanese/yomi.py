@@ -437,6 +437,12 @@ class LexiconReader:
                          and text[end:end + 3] in ("いたし", "いただ"))
             )
             isolated = run_len == 1 or okurigana or before_iter
+            # the pronoun 何 opens its own word even mid-run
+            # (最近何か = ナニカ); its ナンで/ナンだ copula forms come
+            # from KUN_OKURI, and the rare 何-final jukugo (幾何) are
+            # compounds — round-5 J34
+            if ch == "何" and pos == seg_start:
+                isolated = True
             if (
                 isolated and pos == end - 1 and end < len(text)
                 and _KATA_RX.match(text, end) is not None
