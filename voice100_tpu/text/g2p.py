@@ -1610,6 +1610,29 @@ _LEXICON: Dict[str, str] = {
     "attribute": "AE1 T R AH0 B Y UW2 T",
     "aristocracy": "EH2 R AH0 S T AA1 K R AH0 S IY0",
     "albeit": "AO0 L B IY1 IH0 T",
+    # round-5 band Z: -ant/-ent/-ate adjective bases behind the
+    # -ancy/-ency/-acy noun derivation (vacancy <- vacant, decency <-
+    # decent, privacy <- private: CMU replaces the final T with S IY0)
+    "vacant": "V EY1 K AH0 N T",
+    "decent": "D IY1 S AH0 N T",
+    "vibrant": "V AY1 B R AH0 N T",
+    "agent": "EY1 JH AH0 N T",
+    "private": "P R AY1 V AH0 T",
+    "accurate": "AE1 K Y ER0 AH0 T",
+    "frequent": "F R IY1 K W AH0 N T",
+    "urgent": "ER1 JH AH0 N T",
+    "fluent": "F L UW1 AH0 N T",
+    "delicate": "D EH1 L AH0 K AH0 T",
+    "intimate": "IH1 N T AH0 M AH0 T",
+    "pregnant": "P R EH1 G N AH0 N T",
+    "constant": "K AA1 N S T AH0 N T",
+    "hesitant": "HH EH1 Z IH0 T AH0 N T",
+    "current": "K ER1 AH0 N T",
+    "absent": "AE1 B S AH0 N T",
+    "recent": "R IY1 S AH0 N T",
+    "silent": "S AY1 L AH0 N T",
+    "potent": "P OW1 T AH0 N T",
+    "latent": "L EY1 T AH0 N T",
     # band W: common first names (lexical loan-origin spellings)
     "charlotte": "SH AA1 R L AH0 T",
     "chloe": "K L OW1 IY0",
@@ -1892,6 +1915,14 @@ _COMPOUND_PARTS = {
     "breakfast": "B R EH1 K F AH0 S T",
     "something": "S AH1 M TH IH0 NG",
     "handsome": "HH AE1 N S AH0 M",
+    # round-5 final sweep: elements whose absence stranded compounds
+    # when the standalone word was CV-folded out (sandbox, dumbbell,
+    # dugout, sourdough, everything, seafarer)
+    "box": "B AA1 K S", "out": "AW1 T", "dumb": "D AH1 M",
+    "dough": "D OW1", "sour": "S AW1 R", "every": "EH1 V R IY0",
+    "sea": "S IY1", "fare": "F EH1 R", "spray": "S P R EY1",
+    "wind": "W IH1 N D", "dust": "D AH1 S T", "salt": "S AO1 L T",
+    "drift": "D R IH1 F T", "proof": "P R UW1 F",
 }
 
 # first parts that subordinate to the second element (understand,
@@ -2240,7 +2271,7 @@ class G2P:
             pb = (_COMPOUND_OVERRIDE.get(b) or self._lexicon.get(b)
                   or _COMPOUND_PARTS.get(b))
             pb_phones = (pb.split() if pb is not None
-                         else self._strip_suffix(b))
+                         else self._strip_suffix(b, _COMPOUND_PARTS))
             if pb_phones is None:
                 continue
             first, second = pa.split(), list(pb_phones)
@@ -2263,7 +2294,7 @@ class G2P:
             if b in _PREFIX_BLOCK_SECOND or b in _NON_SECOND:
                 continue
             pb_phones = (self._lexicon[b].split() if b in self._lexicon
-                         else self._strip_suffix(b))
+                         else self._strip_suffix(b, _COMPOUND_PARTS))
             if pb_phones is None:
                 continue
             second = [p[:-1] + "2" if p.endswith("1") else p
@@ -2277,7 +2308,7 @@ class G2P:
                 continue
             pb = self._lexicon.get(b) or _COMPOUND_PARTS.get(b)
             pb_phones = (pb.split() if pb is not None
-                         else self._strip_suffix(b))
+                         else self._strip_suffix(b, _COMPOUND_PARTS))
             if pb_phones is None:
                 continue
             # the root keeps its own primary; the prefix is reduced
@@ -2287,7 +2318,17 @@ class G2P:
     _VOICELESS_FINAL = {"P", "T", "K", "F", "TH"}
     _SIBILANT_FINAL = {"S", "Z", "SH", "ZH", "CH", "JH"}
 
-    def _strip_suffix(self, word: str) -> Optional[List[str]]:
+    def _strip_suffix(self, word: str,
+                      extra: Optional[dict] = None) -> Optional[List[str]]:
+        # compound second elements resolve their stems through the
+        # curated parts table too (star+gazer works even when "gaze"
+        # itself is absent from a trimmed lexicon — CV folds)
+        def lookup(w: str) -> Optional[str]:
+            hit = self._lexicon.get(w)
+            if hit is None and extra is not None:
+                hit = extra.get(w)
+            return hit
+
         def plural(stem_phones: List[str]) -> List[str]:
             last = stem_phones[-1].rstrip("012")
             if last in self._SIBILANT_FINAL:
@@ -2312,6 +2353,22 @@ class G2P:
             if last in self._SIBILANT_FINAL or last == "OW":
                 return plural(stem_phones)
             return None
+
+        # -ancy/-ency nouns derive from their -ant/-ent adjectives
+        # (vacancy <- vacant, agency <- agent) and -acy from -ate
+        # (privacy <- private, accuracy <- accurate): CMUdict replaces
+        # the base's final T with S IY0, keeping its stress pattern
+        if word.endswith("cy") and len(word) > 5:
+            if word[-4:-2] in ("an", "en"):
+                base = word[:-2] + "t"
+            elif word[-3] == "a":
+                base = word[:-2] + "te"
+            else:
+                base = None
+            if base is not None and base in self._lexicon:
+                p = self._lexicon[base].split()
+                if p[-1] == "T":
+                    return p[:-1] + ["S", "IY0"]
 
         candidates = (
             ("'s", plural), ("s'", plural), ("es", es_plural),
@@ -2359,19 +2416,19 @@ class G2P:
                 # (logging -> log, batting -> bat, runner -> run)
                 variants.append(stem[:-1])
             for variant in variants:
-                if variant in self._lexicon:
-                    attached = attach(self._lexicon[variant].split())
+                hit = lookup(variant)
+                if hit is not None:
+                    attached = attach(hit.split())
                     if attached is not None:
                         # an attach that declines (es_plural on a
                         # non-sibilant stem) falls through to the next
                         # candidate instead of ending the search
                         return attached
             # consonant doubling: "stopped" -> stop + p + ed
-            if (
-                len(stem) >= 2 and stem[-1] == stem[-2]
-                and stem[:-1] in self._lexicon
-            ):
-                attached = attach(self._lexicon[stem[:-1]].split())
+            dedoubled = lookup(stem[:-1]) if (
+                len(stem) >= 2 and stem[-1] == stem[-2]) else None
+            if dedoubled is not None:
+                attached = attach(dedoubled.split())
                 if attached is not None:
                     return attached
         return None
