@@ -3004,6 +3004,26 @@ class G2P:
             # (festival/president/editor reduce; hospital/bicycle/
             # technical/criticize keep IH0). Words on the reducing
             # side are lexicon entries, not a rule.
+        # medial spelled-i IH0 reduces to schwa before n/l/m/b/d/v/p/f
+        # (CMU convention: festival, stamina, polymer, attribute,
+        # centipede, subsidy, nautilus, centrifuge); before k/t/g it
+        # is lexical (technical, hospital, resignation keep IH0) and
+        # the word-initial vowel is prefix territory (re-/de-/pre-
+        # and bare e- reduce to IH0, not past it) — round-5 CV sweep
+        for k, i in enumerate(vowel_idx):
+            if (
+                k == 0 or k == len(vowel_idx) - 1 or i in keep
+                or out[i] != "IH0"
+            ):
+                continue
+            nxt = out[i + 1].rstrip("012")
+            if (
+                nxt in ("N", "L", "M", "B", "D", "V", "P", "F")
+                # ... but not before a glide (-inion/-inia words keep
+                # IH0: dominion, opinion)
+                and (i + 2 >= len(out) or out[i + 2] != "Y")
+            ):
+                out[i] = "AH0"
         # FINAL-syllable IH0 with a plain {T,D,N} coda reduces (the
         # gold convention: visit V IH1 Z AH0 T, audit, dolphin,
         # cousin, margin); epenthetic past -ted/-ded and the -men
