@@ -1964,7 +1964,12 @@ PROPER_NOUNS = frozenset("""
     presley birmingham nottingham buckingham campbell
     """.split())
 
-_COMPOUND_OVERRIDE = {"wind": "W IH1 N D"}
+_COMPOUND_OVERRIDE = {
+    "wind": "W IH1 N D",
+    # compounds syncopate "every" (everything EH1 V R IY0 TH IH2 NG)
+    # even though the standalone word keeps three syllables
+    "every": "EH1 V R IY0",
+}
 
 # 2-letter Latin prefixes that head compounds with a free stem
 # (copilot, coworker, biplane, biweekly); the stem must resolve through
@@ -2395,6 +2400,10 @@ class G2P:
                 # a 1-letter stem is never a real morphological base:
                 # "west" is not we+est (W IY1 AH0 S T), "bed" not be+d;
                 # nor is a vowel-less one ("shed" is not she+d)
+                continue
+            if suffix in ("er", "est") and word.endswith("eer"):
+                # -eer words are monomorphemic (beer is not be+er;
+                # steer, career): the eer -> IH1 R rule handles them
                 continue
             if (
                 suffix in ("er", "est")
@@ -2969,6 +2978,16 @@ class G2P:
                 # AA1 N S L AO2 T carries a CMU secondary) — band U
                 and not (p[:-1] == "AO"
                          and word.endswith(("aught", "aughts")))
+                # pretonic spelled-"ar" in a closed syllable keeps
+                # AA0 R (harpoon, sardine, cartoon, carnation,
+                # marquee); CMU reduces only the open-syllable cases
+                # (parade P ER0 EY1 D) — round-5 final CV sweep
+                and not (
+                    p[:-1] == "AA" and k < prim_syl
+                    and i + 1 < len(phones) and phones[i + 1] == "R"
+                    and i + 2 < len(phones)
+                    and not phones[i + 2][-1].isdigit()
+                )
                 # open_only (rule-pinned words): the vowel's syllable
                 # must be open under onset maximization — the whole
                 # consonant cluster before the next vowel syllabifies

@@ -43,6 +43,9 @@ Rule = Tuple[str, str, str, str]
 # apostrophe rules. Order within a bucket is significant.
 RULES: Dict[str, List[Rule]] = {
     "a": [
+        # Latin plural -ae reads IY0 (larvae, antennae, algae,
+        # vertebrae) — round-5 final CV sweep
+        ("^", "ae", " ", "IY0"),
         # amortize family stresses the initial A (AE1 M ER0 T AY2 Z)
         # against the about-style schwa prefix — band M
         (" ", "amortiz", "", "AE1 M ER0 T AY2 Z"),
@@ -1873,6 +1876,10 @@ RULES: Dict[str, List[Rule]] = {
         ("ou", "quet", " ", "K EY"),
         ("", "que", " ", "K"),
         ("", "ques", " ", "K S"),
+        # -quer finals drop the glide (lacquer L AE1 K ER0, conquer)
+        ("", "quer", " ", "K ER"),
+        ("", "quers", " ", "K ER Z"),
+        ("", "quered", " ", "K ER D"),
         ("", "quar", "", "K W AO R"),
         ("", "qu", "", "K W"),
         ("", "q", "", "K"),
