@@ -3043,6 +3043,21 @@ class G2P:
                 and (i + 2 >= len(out) or out[i + 2] != "Y")
             ):
                 out[i] = "AH0"
+            elif (
+                nxt == "T"
+                and i + 2 < len(out)
+                and out[i + 2][-1] in "12"
+            ):
+                # i before t reduces when the t's syllable is stressed
+                # (-itate/-itude/-itime: maritime M EH1 R AH0 T AY2 M,
+                # gravitational, hesitate) but keeps IH0 before a weak
+                # syllable (hospital, creditor, hesitant)
+                out[i] = "AH0"
+            elif nxt in ("S", "Z") and k < prim_syl:
+                # pretonic i before a sibilant reduces (antiseptic
+                # AE2 N T AH0 S EH1 P..., aristocracy, calisthenics);
+                # post-tonic keeps IH0 (criticize)
+                out[i] = "AH0"
         # FINAL-syllable IH0 with a plain {T,D,N} coda reduces (the
         # gold convention: visit V IH1 Z AH0 T, audit, dolphin,
         # cousin, margin); epenthetic past -ted/-ded and the -men
