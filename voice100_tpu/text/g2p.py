@@ -1919,6 +1919,7 @@ _COMPOUND_PARTS = {
     # when the standalone word was CV-folded out (sandbox, dumbbell,
     # dugout, sourdough, everything, seafarer)
     "box": "B AA1 K S", "out": "AW1 T", "dumb": "D AH1 M",
+    "air": "EH1 R",
     "dough": "D OW1", "sour": "S AW1 R", "every": "EH1 V R IY0",
     "sea": "S IY1", "fare": "F EH1 R", "spray": "S P R EY1",
     "wind": "W IH1 N D", "dust": "D AH1 S T", "salt": "S AO1 L T",
@@ -3038,9 +3039,11 @@ class G2P:
             nxt = out[i + 1].rstrip("012")
             if (
                 nxt in ("N", "L", "M", "B", "D", "V", "P", "F")
-                # ... but not before a glide (-inion/-inia words keep
-                # IH0: dominion, opinion)
-                and (i + 2 >= len(out) or out[i + 2] != "Y")
+                # ... but not before n+glide (-inion/-inia words keep
+                # IH0: dominion, opinion); b+glide still reduces
+                # (attribute AE1 T R AH0 B Y UW2 T, contribution)
+                and not (nxt == "N"
+                         and i + 2 < len(out) and out[i + 2] == "Y")
             ):
                 out[i] = "AH0"
             elif (

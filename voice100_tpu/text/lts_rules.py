@@ -1498,6 +1498,11 @@ RULES: Dict[str, List[Rule]] = {
         # theocracy, bureaucracy ... AA1 K R AH0 S IY0) — band Q
         ("", "ocracies", " ", "AA1 K R AX S IY0 Z"),
         ("", "ocracy", " ", "AA1 K R AX S IY0"),
+        # -ometer measuring instruments stress the linking O the same
+        # way (thermometer, barometer, speedometer, kilometer
+        # ... AA1 M AH0 T ER0) — round-5 final CV sweep
+        ("", "ometer", " ", "AA1 M AX T ER0"),
+        ("", "ometers", " ", "AA1 M AX T ER0 Z"),
         # -ocious adjectives stress the long O (atrocious, ferocious,
         # precocious ... OW1 SH AH0 S) — band S
         ("", "ocious", "", "OW1 SH AX S"),
@@ -1933,6 +1938,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "r", "", "R"),
     ],
     "s": [
+        # the anti- prefix boundary blocks intervocalic voicing
+        # (antiseptic ... T AH0 S EH1 P..., antisocial) — round-5
+        # final CV sweep
+        ("anti", "s", "", "S"),
         # horsefly-style compounds: silent linking e before the -fly
         # element (horsefly HH AO1 R S F L AY2) — band N
         ("", "sefly", " ", "S F L AY2"),
