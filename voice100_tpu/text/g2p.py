@@ -1920,8 +1920,10 @@ _COMPOUND_PARTS = {
     # dugout, sourdough, everything, seafarer)
     "box": "B AA1 K S", "out": "AW1 T", "dumb": "D AH1 M",
     "air": "EH1 R",
-    "dough": "D OW1", "sour": "S AW1 R", "every": "EH1 V R IY0",
+    "dough": "D OW1", "sour": "S AW1 R",
     "sea": "S IY1", "fare": "F EH1 R", "spray": "S P R EY1",
+    "state": "S T EY1 T", "gold": "G OW1 L D", "dark": "D AA1 R K",
+    "weak": "W IY1 K", "sharp": "SH AA1 R P", "wide": "W AY1 D",
     "wind": "W IH1 N D", "dust": "D AH1 S T", "salt": "S AO1 L T",
     "drift": "D R IH1 F T", "proof": "P R UW1 F",
 }
@@ -2231,6 +2233,11 @@ class G2P:
             return self._lexicon[word].split()
         if word in self._IRREGULAR:
             return self._IRREGULAR[word].split()
+        if word in _COMPOUND_PARTS:
+            # the parts table holds correct standalone pronunciations
+            # (and preempts the splitter for lexicalized compounds
+            # like breakfast, whose live parts would mislead it)
+            return _COMPOUND_PARTS[word].split()
         # strip morphological suffixes and retry the lexicon, voicing the
         # affix phone by the stem's final sound like g2p_en's dictionary
         # layer would return
@@ -2333,6 +2340,11 @@ class G2P:
             hit = self._lexicon.get(w)
             if hit is None and extra is not None:
                 hit = extra.get(w)
+            if hit is None:
+                # the curated parts table doubles as a mini-lexicon of
+                # common stems (boxer = box+er works even when "box"
+                # is absent from a trimmed lexicon)
+                hit = _COMPOUND_PARTS.get(w)
             return hit
 
         def plural(stem_phones: List[str]) -> List[str]:
@@ -2375,6 +2387,27 @@ class G2P:
                 p = self._lexicon[base].split()
                 if p[-1] == "T":
                     return p[:-1] + ["S", "IY0"]
+
+        # adjectival/verbal -en attaches to l/d/k/p/w-final stems
+        # (wooden, golden, woolen, weaken, sharpen, widen); other
+        # finals are monomorphemic (haven, siren, soften)
+        if word.endswith("en") and len(word) > 4 and word[-3] in "ldkpw":
+            stem = word[:-2]
+            for variant in (stem, stem + "e",
+                            stem[:-1] if stem[-1:] == stem[-2:-1]
+                            else stem):
+                hit = lookup(variant)
+                if hit is not None:
+                    return hit.split() + ["AH0", "N"]
+
+        # denominal -age (acreage, wreckage-style regulars: stem +
+        # AH0 JH, the 2:1 majority convention in the gold lexicon)
+        if word.endswith("age") and len(word) > 6:
+            stem = word[:-3]
+            for variant in (stem, stem + "e"):
+                hit = lookup(variant)
+                if hit is not None:
+                    return hit.split() + ["AH0", "JH"]
 
         candidates = (
             ("'s", plural), ("s'", plural), ("es", es_plural),

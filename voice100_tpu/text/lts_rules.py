@@ -1498,11 +1498,13 @@ RULES: Dict[str, List[Rule]] = {
         # theocracy, bureaucracy ... AA1 K R AH0 S IY0) — band Q
         ("", "ocracies", " ", "AA1 K R AX S IY0 Z"),
         ("", "ocracy", " ", "AA1 K R AX S IY0"),
-        # -ometer measuring instruments stress the linking O the same
-        # way (thermometer, barometer, speedometer, kilometer
-        # ... AA1 M AH0 T ER0) — round-5 final CV sweep
-        ("", "ometer", " ", "AA1 M AX T ER0"),
-        ("", "ometers", " ", "AA1 M AX T ER0 Z"),
+        # high-frequency irregulars: only keeps the long O against the
+        # closed-syllable default; word-initial offer- and the bare
+        # noun log read AO — round-5 final CV sweep
+        (" ", "only", " ", "OW1 N L IY0"),
+        (" ", "offer", "", "AO1 F ER0"),
+        (" l", "og", " ", "AO1 G"),
+        (" l", "ogs", " ", "AO1 G Z"),
         # -ocious adjectives stress the long O (atrocious, ferocious,
         # precocious ... OW1 SH AH0 S) — band S
         ("", "ocious", "", "OW1 SH AX S"),
