@@ -2216,6 +2216,9 @@ class G2P:
     # ending where the verb participle would not (a jagged edge vs. he
     # jagged left) and lexicalized syncope (evening, government)
     _IRREGULAR = {
+        # really contracts to two syllables (not real+ly), so the
+        # suffix stripper must not see it
+        "really": "R IH1 L IY0",
         "says": "S EH1 Z", "does": "D AH1 Z", "mr": "M IH1 S T ER0",
         "mrs": "M IH1 S IH0 Z", "ms": "M IH1 Z",
         "number": "N AH1 M B ER0", "numbers": "N AH1 M B ER0 Z",

@@ -761,6 +761,13 @@ RULES: Dict[str, List[Rule]] = {
         (" r", "ead", "s ", "IY D"),
         (" r", "ead", "ing", "IY D"),
         (" r", "ead", "er", "IY D"),
+        # knead and the bead/plead class keep the tense vowel; wreath
+        # too — round-5 final CV sweep
+        (" kn", "ead", "", "IY D"),
+        (" b", "ead", "", "IY D"),
+        (" pl", "ead", "", "IY D"),
+        (" wr", "eath", " ", "IY TH"),
+        (" wr", "eaths", " ", "IY DH Z"),
         ("cr", "ea", "ture", "IY"),
         ("cr", "ea", "t", "IY0 EY1"),
         # the vowel after a silenced t (listen, fasten) is a schwa
