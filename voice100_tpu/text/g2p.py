@@ -1972,6 +1972,9 @@ _COMPOUND_OVERRIDE = {
     # compounds syncopate "every" (everything EH1 V R IY0 TH IH2 NG)
     # even though the standalone word keeps three syllables
     "every": "EH1 V R IY0",
+    # -ward reduces as a compound final (windward W IH1 N D W ER0 D,
+    # backward) though the standalone noun keeps W AO1 R D
+    "ward": "W ER0 D",
 }
 
 # 2-letter Latin prefixes that head compounds with a free stem

@@ -972,6 +972,10 @@ RULES: Dict[str, List[Rule]] = {
         ("", "h", "", ""),
     ],
     "i": [
+        # -lihood nouns keep the base -ly adjective's tense vowel
+        # (livelihood L AY1 V L IY0 HH UH2 D, likelihood)
+        ("l", "ivelihood", " ", "AY1 V L IY0 HH UH2 D"),
+        ("l", "ikelihood", " ", "AY1 K L IY0 HH UH2 D"),
         # -itious adjectives stress the suffix I (nutritious,
         # fictitious, superstitious ... IH1 SH AH0 S) — band S
         ("", "itious", "", "IH1 SH AX S"),
